@@ -1,0 +1,301 @@
+"""Analysis chain: HTML text extraction + StandardAnalyzer-equivalent tokenization.
+
+Pure Python/numpy functions (usable from pytest without Spark) plus
+pandas-batch wrappers for use inside Arrow UDFs. No per-row Python on the
+Spark side: batches are processed with compiled regexes in C loops.
+
+Reference semantics reproduced (cites are /root/reference paths):
+
+- HTML extraction: demo HTMLParser grammar
+  (src/demo/org/apache/lucene/demo/html/HTMLParser.jj:152-190,217-220,318,342):
+  words / decoded entities / punctuation kept, whitespace runs collapsed to a
+  single separator, ``<script>``/``<style>`` contents skipped, comments and
+  declarations skipped, ``<title>`` captured separately (excluded from body
+  text per FIXTURES.md contract).
+- Tokenization: StandardTokenizer JFlex grammar
+  (src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex:55-131)
+  with longest-match semantics over ALPHANUM / APOSTROPHE / ACRONYM / COMPANY /
+  EMAIL / HOST / NUM / CJ token classes; StandardFilter
+  (analysis/standard/StandardFilter.java:58-64) strips trailing ``'s`` from
+  APOSTROPHE tokens and dots from ACRONYM tokens; LowerCaseFilter
+  (analysis/LowerCaseFilter.java:35); StopFilter with the 33-word English stop
+  set (analysis/StopAnalyzer.java:48-54) keeping position holes
+  (enablePositionIncrements, analysis/StopFilter.java:45).
+- maxTokenLength 255 (analysis/standard/StandardAnalyzer.java:114): longer
+  tokens are dropped.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Stop words — the exact 33-word set from StopAnalyzer.ENGLISH_STOP_WORDS_SET
+# (reference analysis/StopAnalyzer.java:48-54).
+# ---------------------------------------------------------------------------
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+# ---------------------------------------------------------------------------
+
+_RE_SCRIPT = re.compile(rb"(?is)<script\b.*?</script[^<>]*>")
+_RE_STYLE = re.compile(rb"(?is)<style\b.*?</style[^<>]*>")
+_RE_COMMENT = re.compile(rb"(?s)<!--.*?-->")
+_RE_DECL = re.compile(rb"(?s)<![^>]*>")
+_RE_TITLE = re.compile(rb"(?is)<title[^>]*>(.*?)</title>")
+_RE_TAG = re.compile(rb"(?s)</?[A-Za-z][^>]*>")
+_RE_WS = re.compile(r"[ \t\r\n\f]+")
+
+
+def extract_text(html: bytes | str) -> str:
+    """Extract visible text from an HTML byte string.
+
+    Deterministic pure function; the per-url invariant of the engine is
+    ``extract_text(html) == text`` byte-identically (BASELINE input_hint).
+    Semantics follow the reference demo HTMLParser (HTMLParser.jj): script /
+    style / comment / declaration content removed, ``<title>`` excluded from
+    body, tags become separators, entities decoded, whitespace runs collapsed
+    to a single space, result stripped.
+    """
+    if html is None:
+        return ""
+    raw = html.encode("utf-8") if isinstance(html, str) else bytes(html)
+    raw = _RE_SCRIPT.sub(b" ", raw)
+    raw = _RE_STYLE.sub(b" ", raw)
+    raw = _RE_COMMENT.sub(b" ", raw)
+    raw = _RE_TITLE.sub(b" ", raw)  # title captured separately, not body text
+    raw = _RE_DECL.sub(b" ", raw)
+    raw = _RE_TAG.sub(b" ", raw)
+    text = raw.decode("utf-8", errors="replace")
+    text = _htmllib.unescape(text)
+    text = _RE_WS.sub(" ", text).strip()
+    return text
+
+
+def extract_title(html: bytes | str) -> str:
+    """Extract the <title> contents (reference HTMLParser.jj title capture)."""
+    if html is None:
+        return ""
+    raw = html.encode("utf-8") if isinstance(html, str) else bytes(html)
+    m = _RE_TITLE.search(raw)
+    if not m:
+        return ""
+    t = _htmllib.unescape(m.group(1).decode("utf-8", errors="replace"))
+    return _RE_WS.sub(" ", t).strip()
+
+
+# ---------------------------------------------------------------------------
+# StandardTokenizer
+#
+# JFlex uses longest-match with rule-order tie-breaks. We implement this in
+# two layers:
+#   1. a C-speed span regex that finds maximal "token-ish" spans (token chars
+#      joined by the connector chars ' & @ _ . , - /),
+#   2. within each span, either the trivial single-token fast path (no
+#      connectors — the overwhelmingly common case) or an exact longest-match
+#      scanner over the JFlex rules.
+# Token *type* only matters where it changes the emitted text (APOSTROPHE 's
+# strip, ACRONYM dot strip) or token boundaries (NUM digit constraints), so
+# the scanner tracks exactly those distinctions.
+# ---------------------------------------------------------------------------
+
+# CJ ranges (StandardTokenizerImpl.jflex:129-131): Chinese & Japanese, not Korean.
+_CJ_CLASS = (
+    "㄀-ㄯ぀-ゟ゠-ヿㇰ-ㇿ"
+    "㌀-㍿㐀-䶿一-鿿豈-﫿･-ﾟ"
+)
+_CJ_RE = re.compile(f"[{_CJ_CLASS}]")
+
+# LETTER = unicode letter minus CJ; ALPHANUM adds digits. [^\W\d_] = unicode letter.
+_L = f"(?:(?![{_CJ_CLASS}])[^\\W\\d_])"  # LETTER
+_AN = f"(?:{_L}|\\d)"  # ALPHANUM char
+_ALPHANUM = f"{_AN}+"
+_ALPHA = f"{_L}+"
+_HAS_DIGIT = f"(?:{_L}|\\d)*\\d(?:{_L}|\\d)*"
+_P = r"[_\-/.,]"
+
+_EMAIL = f"{_ALPHANUM}(?:[._-]{_ALPHANUM})*@{_ALPHANUM}(?:[.-]{_ALPHANUM})+"
+_APOSTROPHE = f"{_ALPHA}(?:'{_ALPHA})+"
+_ACRONYM = f"{_L}\\.(?:{_L}\\.)+"
+_COMPANY = f"{_ALPHA}[&@]{_ALPHA}"
+_HOST = f"{_ALPHANUM}(?:\\.{_ALPHANUM})+"
+_NUM = (
+    f"(?:{_ALPHANUM}{_P}{_HAS_DIGIT}(?:{_P}{_ALPHANUM}{_P}{_HAS_DIGIT})*(?:{_P}{_ALPHANUM})?"
+    f"|{_HAS_DIGIT}{_P}{_ALPHANUM}(?:{_P}{_HAS_DIGIT}{_P}{_ALPHANUM})*(?:{_P}{_HAS_DIGIT})?)"
+)
+_CJ_TOK = f"[{_CJ_CLASS}]"
+
+# Longest-match emulation: each rule compiled separately; the scanner takes
+# the max match length, ties broken by JFlex rule order (ALPHANUM, APOSTROPHE,
+# ACRONYM, COMPANY, EMAIL, HOST, NUM, CJ — jflex:135-143).
+_RULES: list[tuple[str, re.Pattern[str]]] = [
+    ("ALPHANUM", re.compile(_ALPHANUM)),
+    ("APOSTROPHE", re.compile(_APOSTROPHE)),
+    ("ACRONYM", re.compile(_ACRONYM)),
+    ("COMPANY", re.compile(_COMPANY)),
+    ("EMAIL", re.compile(_EMAIL)),
+    ("HOST", re.compile(_HOST)),
+    ("NUM", re.compile(_NUM)),
+    ("CJ", re.compile(_CJ_TOK)),
+]
+
+# Maximal token-ish spans: token chars joined by connectors. A connector only
+# binds if surrounded by token chars (so "word, next" yields span "word").
+_TOKCH = f"(?:[^\\W_]|[{_CJ_CLASS}])"
+# trailing dots kept in the span so ACRONYMs ("U.S.A.") see their final dot;
+# a trailing dot is inert for every other rule (scanner skips bare connectors)
+_RE_SPAN = re.compile(f"{_TOKCH}+(?:['&@_.,/\\-]+{_TOKCH}+)*\\.*")
+_RE_SIMPLE = re.compile(f"^[^\\W_]+$")  # no connectors, no CJ → one ALPHANUM
+_RE_SIMPLE_CJ = re.compile(f"[{_CJ_CLASS}]")
+
+
+def _scan_span(span: str) -> list[tuple[str, str]]:
+    """Exact longest-match scan of one span → [(type, raw_text)]."""
+    out: list[tuple[str, str]] = []
+    pos, n = 0, len(span)
+    while pos < n:
+        best_len = 0
+        best: tuple[str, str] | None = None
+        for typ, pat in _RULES:
+            m = pat.match(span, pos)
+            if m is not None:
+                ln = m.end() - pos
+                if ln > best_len:
+                    best_len = ln
+                    best = (typ, m.group())
+        if best is None:
+            pos += 1  # skip non-token char (connector run, stray punct)
+            continue
+        out.append(best)
+        pos += best_len
+    return out
+
+
+def standard_tokenize_typed(text: str) -> list[tuple[str, str]]:
+    """StandardTokenizer: text → [(token_type, raw_token)], pre-filters."""
+    out: list[tuple[str, str]] = []
+    for m in _RE_SPAN.finditer(text):
+        span = m.group()
+        if _RE_SIMPLE.match(span) and not _RE_SIMPLE_CJ.search(span):
+            out.append(("ALPHANUM", span))  # fast path: single ALPHANUM token
+        else:
+            out.extend(_scan_span(span))
+    return out
+
+
+def _standard_filter(typ: str, tok: str) -> str:
+    """StandardFilter.java:58-64 — 's strip on APOSTROPHE, dot strip on ACRONYM."""
+    if typ == "APOSTROPHE" and (tok.endswith("'s") or tok.endswith("'S")):
+        return tok[:-2]
+    if typ == "ACRONYM":
+        return tok.replace(".", "")
+    return tok
+
+
+def analyze(text: str) -> list[tuple[str, int]]:
+    """Full StandardAnalyzer chain → [(term, position)] with stopword holes.
+
+    Pipeline (StandardAnalyzer.java:99-104): StandardTokenizer → StandardFilter
+    → LowerCaseFilter → StopFilter(33 words, position increments preserved).
+    Tokens longer than 255 chars dropped (maxTokenLength). Positions are
+    0-based token indexes in the pre-stop stream, so removed stopwords leave
+    gaps (StopFilter.java:45 enablePositionIncrements).
+    """
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for typ, raw in standard_tokenize_typed(text):
+        if len(raw) > MAX_TOKEN_LENGTH:
+            continue  # StandardTokenizer skips over-long tokens
+        term = _standard_filter(typ, raw).lower()
+        if term in ENGLISH_STOP_WORDS:
+            pos += 1  # hole: position increment carries over
+            continue
+        out.append((term, pos))
+        pos += 1
+    return out
+
+
+def tokenize(text: str) -> list[str]:
+    """Terms only (analyze() minus positions)."""
+    return [t for t, _ in analyze(text)]
+
+
+# ---------------------------------------------------------------------------
+# Simple analyzers (reference WhitespaceTokenizer / SimpleAnalyzer /
+# KeywordTokenizer — analysis/WhitespaceTokenizer.java:38, LetterTokenizer.java:45,
+# KeywordTokenizer.java:30)
+# ---------------------------------------------------------------------------
+
+_RE_LETTER_RUN = re.compile(r"[^\W\d_]+")
+
+
+def whitespace_tokenize(text: str) -> list[str]:
+    return text.split()
+
+
+def simple_tokenize(text: str) -> list[str]:
+    """SimpleAnalyzer: letter runs, lowercased."""
+    return [m.group().lower() for m in _RE_LETTER_RUN.finditer(text)]
+
+
+def keyword_tokenize(text: str) -> list[str]:
+    return [text] if text else []
+
+
+ANALYZERS = {
+    "standard": tokenize,
+    "whitespace": whitespace_tokenize,
+    "simple": simple_tokenize,
+    "keyword": keyword_tokenize,
+}
+
+
+# ---------------------------------------------------------------------------
+# pandas-batch wrappers (called from Arrow UDFs — batch in, batch out;
+# the regex work runs in C via re on each string, no Spark-side per-row Python)
+# ---------------------------------------------------------------------------
+
+def extract_text_batch(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+def analyze_batch(text: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """→ (terms: Series[list[str]], positions: Series[list[int]])."""
+    terms: list[list[str]] = []
+    positions: list[list[int]] = []
+    for t in text:
+        pairs = analyze(t or "")
+        terms.append([p[0] for p in pairs])
+        positions.append([p[1] for p in pairs])
+    return pd.Series(terms, index=text.index), pd.Series(positions, index=text.index)
+
+
+def doc_term_stats(text: str) -> tuple[list[str], list[int], list[list[int]], int]:
+    """Per-doc inverted view: (unique_terms, tfs, positions_per_term, doclen).
+
+    doclen counts post-stop tokens (reference FieldInvertState.length —
+    index/FieldInvertState.java:30 — counts tokens the inverter sees, i.e.
+    after the stop filter).
+    """
+    pairs = analyze(text or "")
+    agg: dict[str, list[int]] = {}
+    for term, pos in pairs:
+        agg.setdefault(term, []).append(pos)
+    terms = list(agg.keys())
+    return (
+        terms,
+        [len(agg[t]) for t in terms],
+        [agg[t] for t in terms],
+        len(pairs),
+    )

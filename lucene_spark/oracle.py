@@ -1,0 +1,181 @@
+"""Single-node pure-Python reference engine — the rank-identity oracle.
+
+The "two engines, one truth" pattern of the reference test suite
+(search/TestBoolean2.java:115-240 runs identical queries through independent
+scorer implementations and asserts identical hit lists). This oracle shares
+the analyzer (analysis.py) and the scoring math (scoring.py) with the Spark
+engine but nothing else: postings are plain dicts, evaluation is naive and
+obviously-correct. pytest asserts Spark top-k ≡ oracle top-k.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .analysis import analyze
+from .queries.ast import (
+    Bool,
+    ConstantScore,
+    DisjunctionMax,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Query,
+    Term,
+    Wildcard,
+)
+from .scoring import bm25_idf, bm25_tf_weight, levenshtein, phrase_freq, wildcard_to_regex
+
+
+@dataclass
+class OracleIndex:
+    N: int = 0
+    avgdl: float = 0.0
+    doclen: dict[int, int] = field(default_factory=dict)
+    # term → {docid → positions list}
+    postings: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+
+    @property
+    def terms_sorted(self) -> list[str]:
+        return sorted(self.postings.keys())  # UTF-8/code-point order on ASCII
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+
+def build_oracle_index(docs: list[tuple[int, str]]) -> OracleIndex:
+    idx = OracleIndex()
+    total = 0
+    for docid, text in docs:
+        pairs = analyze(text or "")
+        idx.doclen[docid] = len(pairs)
+        total += len(pairs)
+        for term, pos in pairs:
+            idx.postings.setdefault(term, {}).setdefault(docid, []).append(pos)
+    idx.N = len(docs)
+    idx.avgdl = total / idx.N if idx.N else 0.0
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: query → {docid: score}
+# ---------------------------------------------------------------------------
+
+def _eval_term(idx: OracleIndex, q: Term) -> dict[int, float]:
+    plist = idx.postings.get(q.term)
+    if not plist:
+        return {}
+    df = len(plist)
+    idf = float(bm25_idf(idx.N, df))
+    out = {}
+    for docid, positions in plist.items():
+        w = float(bm25_tf_weight(len(positions), idx.doclen[docid], idx.avgdl))
+        out[docid] = q.boost * idf * w
+    return out
+
+
+def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
+    plists = [idx.postings.get(t) for t in q.phrase_terms]
+    if any(p is None for p in plists):
+        return {}
+    qpos = q.qpositions()
+    # candidate docs: intersection
+    docsets = [set(p.keys()) for p in plists]  # type: ignore[union-attr]
+    cand = set.intersection(*docsets)
+    if not cand:
+        return {}
+    # phrase df for idf: number of docs where the phrase actually matches
+    freqs: dict[int, float] = {}
+    for docid in cand:
+        pos_lists = [np.asarray(plists[i][docid], dtype=np.int64) for i in range(len(plists))]  # type: ignore[index]
+        f = phrase_freq(pos_lists, qpos, q.slop)
+        if f > 0:
+            freqs[docid] = f
+    if not freqs:
+        return {}
+    idf = float(bm25_idf(idx.N, len(freqs)))
+    return {
+        d: q.boost * idf * float(bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+        for d, f in freqs.items()
+    }
+
+
+def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
+    """MultiTermQuery term enumeration against the term dictionary
+    (reference search/MultiTermQuery.java:98-146 rewrite; pinned rewrite mode:
+    scoring boolean disjunction)."""
+    if isinstance(q, Prefix):
+        return [t for t in idx_terms if t.startswith(q.prefix)]
+    if isinstance(q, Wildcard):
+        rx = re.compile(wildcard_to_regex(q.pattern))
+        return [t for t in idx_terms if rx.match(t)]
+    if isinstance(q, Fuzzy):
+        pre = q.term[: q.prefix_length]
+        return [
+            t
+            for t in idx_terms
+            if t.startswith(pre)
+            and abs(len(t) - len(q.term)) <= q.max_edits
+            and levenshtein(t, q.term) <= q.max_edits
+        ]
+    raise TypeError(type(q))
+
+
+def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
+    if isinstance(q, Term):
+        return _eval_term(idx, q)
+    if isinstance(q, Phrase):
+        return _eval_phrase(idx, q)
+    if isinstance(q, (Prefix, Wildcard, Fuzzy)):
+        terms = expand_multiterm(idx.terms_sorted, q)
+        b = Bool(should=[Term(t) for t in terms], boost=q.boost)
+        return _eval(idx, b)
+    if isinstance(q, MatchAll):
+        return {d: q.boost * 1.0 for d in idx.doclen}
+    if isinstance(q, ConstantScore):
+        inner = _eval(idx, q.query)
+        return {d: q.boost * 1.0 for d in inner}
+    if isinstance(q, DisjunctionMax):
+        subs = [_eval(idx, s) for s in q.queries]
+        out: dict[int, float] = {}
+        all_docs = set().union(*[s.keys() for s in subs]) if subs else set()
+        for d in all_docs:
+            scores = [s[d] for s in subs if d in s]
+            out[d] = q.boost * (max(scores) + q.tie_breaker * (sum(scores) - max(scores)))
+        return out
+    if isinstance(q, Bool):
+        if not q.must and not q.should:
+            return {}  # empty / pure-negative boolean matches nothing (reference BooleanQuery semantics)
+        must = [_eval(idx, c) for c in q.must]
+        should = [_eval(idx, c) for c in q.should]
+        must_not = [_eval(idx, c) for c in q.must_not]
+        min_should = q.effective_min_should()
+        if must:
+            cand = set(must[0].keys())
+            for m in must[1:]:
+                cand &= m.keys()
+        elif should:
+            cand = set().union(*[s.keys() for s in should])
+        else:
+            cand = set(idx.doclen.keys())
+        for mn in must_not:
+            cand -= mn.keys()
+        out = {}
+        for d in cand:
+            s_hits = [s[d] for s in should if d in s]
+            if len(s_hits) < min_should:
+                continue
+            out[d] = q.boost * (sum(m[d] for m in must) + sum(s_hits))
+        return out
+    raise TypeError(type(q))
+
+
+def oracle_search(idx: OracleIndex, q: Query, k: int = 10) -> list[tuple[int, float]]:
+    """Top-k by (score desc, docid asc) — the reference tie-break
+    (search/TopScoreDocCollector.java:54-62: lower docID wins on equal score)."""
+    scores = _eval(idx, q)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -1,0 +1,13 @@
+from .ast import (  # noqa: F401
+    Bool,
+    ConstantScore,
+    DisjunctionMax,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Query,
+    Term,
+    Wildcard,
+)
+from .parser import parse_query  # noqa: F401

@@ -1,0 +1,115 @@
+"""Query AST — the logical plan of the fulltext engine.
+
+Mirrors the reference query-class hierarchy (search/TermQuery.java:32,
+BooleanQuery.java:32, PhraseQuery.java:35, PrefixQuery.java:32,
+WildcardQuery.java:38, FuzzyQuery.java:38, MatchAllDocsQuery.java:32,
+ConstantScoreQuery.java:30, DisjunctionMaxQuery.java:42) as plain
+dataclasses. Both the single-node oracle and the Spark planner execute this
+same AST — the "two engines, one truth" test pattern
+(reference search/TestBoolean2.java:115-240).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        """All literal terms mentioned (for stats gathering)."""
+        return []
+
+
+@dataclass
+class Term(Query):
+    term: str
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass
+class Phrase(Query):
+    """Terms + their analyzed positions (stopword holes preserved —
+    reference PhraseQuery position gaps, search/PhraseQuery.java:35)."""
+
+    phrase_terms: list[str]
+    positions: list[int] | None = None  # defaults to 0..m-1
+    slop: int = 0
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+    def qpositions(self) -> list[int]:
+        return self.positions if self.positions is not None else list(range(len(self.phrase_terms)))
+
+
+@dataclass
+class Bool(Query):
+    must: list[Query] = field(default_factory=list)
+    should: list[Query] = field(default_factory=list)
+    must_not: list[Query] = field(default_factory=list)
+    min_should: int = 0  # 0 → 1 if no MUST clauses else 0 (reference BooleanQuery semantics)
+    boost: float = 1.0
+
+    def effective_min_should(self) -> int:
+        if self.min_should:
+            return self.min_should
+        return 1 if (self.should and not self.must) else 0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.must + self.should + self.must_not:
+            out.extend(q.terms())
+        return out
+
+
+@dataclass
+class Prefix(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass
+class Wildcard(Query):
+    pattern: str  # Lucene syntax: * = any run, ? = one char
+    boost: float = 1.0
+
+
+@dataclass
+class Fuzzy(Query):
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass
+class MatchAll(Query):
+    boost: float = 1.0
+
+
+@dataclass
+class ConstantScore(Query):
+    query: "Query" = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.query.terms() if self.query else []
+
+
+@dataclass
+class DisjunctionMax(Query):
+    queries: list[Query] = field(default_factory=list)
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.queries:
+            out.extend(q.terms())
+        return out

@@ -1,0 +1,212 @@
+"""Mini query parser for the reference query-set syntax.
+
+Subset of the reference QueryParser grammar (queryParser/QueryParser.java:134-139,
+QueryParser.jj): ``term``, ``"quoted phrase"``, ``"phrase"~slop``, ``AND / OR /
+NOT``, ``+must``, ``-must_not``, ``term^boost``, ``wild*card`` / ``wi?d``,
+``fuzzy~`` / ``fuzzy~1``, ``prefix*``, parentheses. Default operator OR
+(QueryParser.java:130). Query text is run through the same analyzer as
+documents (QueryParser.java:513) — multi-token analysis of one quoted string
+yields a PhraseQuery with stopword position holes.
+
+Recursive descent, precedence NOT > AND > OR.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis import analyze
+from .ast import Bool, Fuzzy, MatchAll, Phrase, Prefix, Query, Term, Wildcard
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\()
+      | (?P<rpar>\))
+      | (?P<quoted>"[^"]*"(?:~\d+)?)
+      | (?P<and>AND\b)
+      | (?P<or>OR\b)
+      | (?P<not>NOT\b)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<word>[^\s()"+-]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Lexer:
+    def __init__(self, s: str):
+        self.tokens: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN_RE.match(s, pos)
+            if not m or m.end() == pos:
+                break
+            pos = m.end()
+            kind = m.lastgroup
+            if kind:
+                self.tokens.append((kind, m.group(kind)))
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+
+def _split_boost(word: str) -> tuple[str, float]:
+    if "^" in word:
+        base, _, b = word.rpartition("^")
+        try:
+            return base, float(b)
+        except ValueError:
+            return word, 1.0
+    return word, 1.0
+
+
+def _word_query(word: str) -> Query | None:
+    word, boost = _split_boost(word)
+    # fuzzy: trailing ~ or ~n / ~0.x (classic similarity form → edits)
+    m = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", word)
+    if m and not word.endswith("\\~"):
+        base, sim = m.group(1), m.group(2)
+        if "*" not in base and "?" not in base:
+            if sim is None:
+                edits = 2
+            else:
+                f = float(sim)
+                # reference FuzzyQuery minimumSimilarity in [0,1) → edit budget
+                edits = int(f) if f >= 1 else max(1, int(round((1.0 - f) * len(base))))
+            terms = analyze(base)
+            if terms:
+                return Fuzzy(terms[0][0], max_edits=min(edits, 2), boost=boost)
+            return None
+    if word == "*:*":
+        return MatchAll(boost=boost)
+    if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+        return Prefix(word[:-1].lower(), boost=boost)
+    if "*" in word or "?" in word:
+        return Wildcard(word.lower(), boost=boost)
+    pairs = analyze(word)
+    if not pairs:
+        return None  # analyzed away (stopword / punctuation)
+    if len(pairs) == 1:
+        return Term(pairs[0][0], boost=boost)
+    return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=0, boost=boost)
+
+
+def _quoted_query(tok: str) -> Query | None:
+    m = re.match(r'^"([^"]*)"(?:~(\d+))?$', tok)
+    assert m
+    body, slop = m.group(1), int(m.group(2) or 0)
+    pairs = analyze(body)
+    if not pairs:
+        return None
+    if len(pairs) == 1:
+        return Term(pairs[0][0])
+    return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop)
+
+
+def _parse_atom(lx: _Lexer) -> tuple[Query | None, str]:
+    """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}."""
+    occur = "SHOULD"
+    t = lx.peek()
+    if t and t[0] in ("plus", "minus", "not"):
+        lx.next()
+        occur = "MUST" if t[0] == "plus" else "MUST_NOT"
+        t = lx.peek()
+    if t is None:
+        return None, occur
+    if t[0] == "lpar":
+        lx.next()
+        q = _parse_or(lx)
+        nxt = lx.peek()
+        if nxt and nxt[0] == "rpar":
+            lx.next()
+        return q, occur
+    if t[0] == "quoted":
+        lx.next()
+        return _quoted_query(t[1]), occur
+    if t[0] == "word":
+        lx.next()
+        return _word_query(t[1]), occur
+    lx.next()
+    return None, occur
+
+
+def _parse_and(lx: _Lexer) -> Query | None:
+    clauses: list[tuple[Query, str]] = []
+    q, occur = _parse_atom(lx)
+    if q is not None or occur != "SHOULD":
+        if q is not None:
+            clauses.append((q, occur))
+    while True:
+        t = lx.peek()
+        if t and t[0] == "and":
+            lx.next()
+            q, occur = _parse_atom(lx)
+            if q is not None:
+                clauses.append((q, "MUST" if occur == "SHOULD" else occur))
+                # retroactively promote the left neighbour to MUST
+                if len(clauses) >= 2 and clauses[-2][1] == "SHOULD":
+                    clauses[-2] = (clauses[-2][0], "MUST")
+        else:
+            break
+    if not clauses:
+        return None
+    if len(clauses) == 1 and clauses[0][1] == "SHOULD":
+        return clauses[0][0]
+    b = Bool()
+    for q, occ in clauses:
+        {"MUST": b.must, "SHOULD": b.should, "MUST_NOT": b.must_not}[occ].append(q)
+    return b
+
+
+def _merge_should(parts: list[Query]) -> Query:
+    if len(parts) == 1:
+        return parts[0]
+    b = Bool()
+    for p in parts:
+        if isinstance(p, Bool) and not p.must and not p.must_not and p.boost == 1.0 and not p.min_should:
+            b.should.extend(p.should)
+        elif isinstance(p, Bool) and (p.must_not or p.must):
+            # fold bare +/- groups into the enclosing bool (Lucene flat parse)
+            b.must.extend(p.must)
+            b.should.extend(p.should)
+            b.must_not.extend(p.must_not)
+        else:
+            b.should.append(p)
+    return b
+
+
+def _parse_or(lx: _Lexer) -> Query | None:
+    parts: list[Query] = []
+    q = _parse_and(lx)
+    if q is not None:
+        parts.append(q)
+    while True:
+        t = lx.peek()
+        if t is None or t[0] == "rpar":
+            break
+        if t[0] == "or":
+            lx.next()
+            continue
+        q = _parse_and(lx)
+        if q is None:
+            if lx.peek() is t:  # no progress — bail
+                lx.next()
+            continue
+        parts.append(q)
+    if not parts:
+        return None
+    return _merge_should(parts)
+
+
+def parse_query(s: str) -> Query:
+    q = _parse_or(_Lexer(s))
+    if q is None:
+        return MatchAll()
+    return q

@@ -1,0 +1,120 @@
+"""BM25 scoring + phrase matching — ONE implementation shared by the
+single-node oracle and the Spark kernels, so rank-identity is by
+construction.
+
+North rule pins BM25 (k1=1.2, b=0.75). The reference's pluggable Similarity
+seam (search/Similarity.java:527) licenses the swap from its TF-IDF
+(search/DefaultSimilarity.java:23-77); inputs are the same corpus statistics
+(tf, df, N, doclen, avgdl). idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the
+non-negative Robertson/Lucene-modern form, pinned in FIXTURES.md §3.3.
+
+All functions are numpy array-at-a-time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import BM25_B, BM25_K1
+
+
+def bm25_idf(N: int, df) -> np.ndarray | float:
+    df = np.asarray(df, dtype=np.float64)
+    return np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_weight(tf, dl, avgdl: float) -> np.ndarray:
+    """(k1+1)·tf / (tf + k1·(1 − b + b·dl/avgdl)) — monotone ↑ in tf, ↓ in dl."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return (BM25_K1 + 1.0) * tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def bm25_score(tf, dl, N: int, df: int, avgdl: float) -> np.ndarray:
+    return bm25_idf(N, df) * bm25_tf_weight(tf, dl, avgdl)
+
+
+def bm25_term_upper_bound(N: int, df: int, max_tf: int, min_dl: int, avgdl: float) -> float:
+    """Admissible per-block score bound for block-max WAND: tf-weight is
+    increasing in tf and decreasing in dl, so f(max_tf, min_dl) dominates."""
+    return float(bm25_idf(N, df) * bm25_tf_weight(max_tf, min_dl, avgdl))
+
+
+# ---------------------------------------------------------------------------
+# Phrase matching (shared semantic, pinned):
+# a document matches iff there exist positions p_i — one from each query
+# term's position list, all distinct — such that
+#     span = max(p_i − qpos_i) − min(p_i − qpos_i) ≤ slop.
+# For slop 0 this is the exact consecutive-phrase condition (with stopword
+# holes honoured via qpos). Phrase frequency for scoring sums the reference's
+# sloppyFreq = 1/(span+1) over a greedy left-to-right non-overlapping match
+# enumeration (reference search/SloppyPhraseScorer.java:25-75 semantics,
+# DefaultSimilarity.java:63 sloppyFreq).
+# ---------------------------------------------------------------------------
+
+def phrase_freq(position_lists: list[np.ndarray], qpos: list[int], slop: int) -> float:
+    """→ summed sloppyFreq (0.0 if no match). position_lists[i] must be a
+    sorted int array of term i's positions in the doc."""
+    m = len(position_lists)
+    if m == 0 or any(len(p) == 0 for p in position_lists):
+        return 0.0
+    # normalize: shifted[i] = positions - qpos[i]; an exact match is m equal
+    # shifted values; a sloppy match is m shifted values within a window slop.
+    shifted = [np.asarray(p, dtype=np.int64) - qpos[i] for i, p in enumerate(position_lists)]
+    if slop == 0:
+        common = shifted[0]
+        for s in shifted[1:]:
+            common = np.intersect1d(common, s, assume_unique=False)
+            if common.size == 0:
+                return 0.0
+        # distinct-position guard: with distinct terms, equal shifted values
+        # at distinct qpos are distinct positions by construction
+        return float(common.size)
+    # sloppy: greedy minimal-window enumeration over the merged candidates
+    total = 0.0
+    cursors = [0] * m
+    lens = [len(s) for s in shifted]
+    while all(cursors[i] < lens[i] for i in range(m)):
+        vals = [int(shifted[i][cursors[i]]) for i in range(m)]
+        lo, hi = min(vals), max(vals)
+        if hi - lo <= slop:
+            total += 1.0 / (hi - lo + 1.0)
+            # consume all participants of this match (non-overlapping greedy)
+            for i in range(m):
+                cursors[i] += 1
+        else:
+            # advance the minimal cursor (classic leapfrog)
+            i_min = min(range(m), key=lambda i: shifted[i][cursors[i]])
+            cursors[i_min] += 1
+    return total
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax (* any run, ? one char) → anchored regex
+    (reference search/WildcardTermEnum.java semantics)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append("\\" + ch if ch in ".^$+{}[]|()\\" else ch)
+    return "^" + "".join(out) + "$"
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (reference search/FuzzyTermEnum.java:95 similarity basis)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
