@@ -65,7 +65,14 @@ _EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
 
 def page_body(i: int) -> str:
-    """Zipfian token stream for doc i (seeded per doc — FIXTURES.md §1)."""
+    """Zipfian token stream for doc i (seeded per doc — FIXTURES.md §1).
+
+    Number spellings < 1000 reuse only ~30 distinct words, so the Zipf draw
+    alone yields no rare tail. Two extra tokens fix that: a df=1 serial token
+    (the compound spelling of i, e.g. ``onehundredtwentyone``) and a
+    mid-frequency bucket token (df ≈ N/50) — giving the term dictionary a
+    head, a torso, and a tail for WAND/salting/prefix tests (FIXTURES.md §4).
+    """
     rng = random.Random(SEED * 1_000_003 + i)
     n_tokens = 40 + (i * 7919) % 200
     total = _CUM[-1]
@@ -73,7 +80,9 @@ def page_body(i: int) -> str:
     while len(words) < n_tokens:
         r = bisect.bisect_left(_CUM, rng.random() * total)
         words.extend(_VOCAB[min(r, VOCAB_SIZE - 1)].split())
-    return " ".join(words[:n_tokens])
+    serial = "".join(long_to_english(i).split())
+    bucket = "bucket" + "".join(long_to_english(i % 50).split())
+    return " ".join(words[:n_tokens] + [serial, bucket])
 
 
 def page_row(i: int) -> dict:

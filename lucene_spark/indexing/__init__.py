@@ -1,0 +1,5 @@
+from .build import build_index  # noqa: F401
+from .merge import compact_segments, merge_index  # noqa: F401
+from .plan import make_build_plan, read_build_plan  # noqa: F401
+from .reader import IndexReader  # noqa: F401
+from .validate import validate_index  # noqa: F401

@@ -1,0 +1,159 @@
+"""LSM merge stage: global term dictionary + corpus stats; optional segment
+compaction.
+
+The reference's SegmentMerger (index/SegmentMerger.java:153-158,557-628) does
+a k-way heap merge of term streams and concatenates postings with docID
+rebasing. Spark-first restatement: postings already live in Parquet keyed by
+(seg, term), so the *global dictionary* is a metadata-level aggregation —
+``groupBy(term).agg(sum(df), sum(cf))`` — written range-partitioned and
+sorted by term (Parquet min/max stats then give the two-level term-index
+seek behaviour of .tii/.tis, index/TermInfosWriter.java:59). Posting blobs
+are NOT rewritten at merge time: per-segment postings ARE the index (the
+reference searches per-segment too — search/IndexSearcher.java:202-217).
+
+``compact_segments`` is the physical LSM step (mergeFactor-style fan-in,
+index/LogMergePolicy.java:41): it concatenates several segments' blobs into
+one segment with pure blob-level concatenation — segments hold disjoint,
+ordered docID ranges by construction, so no re-sort is needed, only
+re-blocking at the boundary (we re-encode from decoded arrays, which is
+byte-identical to a cold build of the union).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from .. import BLOCK_SIZE
+from ..codec import decode_positions, decode_postings, encode_postings, vbyte_encode
+from .build import POSTINGS_SCHEMA
+
+
+def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> dict:
+    """Build term_dict/ (globally sorted by term) + stats.json."""
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    (postings.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+             F.countDistinct("seg").alias("n_segs"),
+             F.count("*").alias("n_rows"))
+        .repartitionByRange(dict_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict")))
+
+    docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+    row = docmap.agg(F.count("*").alias("N"), F.avg("doclen").alias("avgdl"),
+                     F.sum("doclen").alias("total_tokens")).collect()[0]
+    n_terms = spark.read.parquet(os.path.join(out_dir, "term_dict")).count()
+    stats = {
+        "N": int(row["N"]),
+        "avgdl": float(row["avgdl"] or 0.0),
+        "total_tokens": int(row["total_tokens"] or 0),
+        "n_terms": int(n_terms),
+        "n_segments": int(docmap.select("seg").distinct().count()),
+    }
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return stats
+
+
+def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
+    """applyInPandas closure: all of one term's rows across source segments →
+    re-encoded rows for the destination segment. Source docID ranges are
+    disjoint and ordered, so concatenation in (seg, salt) order is already
+    docID order."""
+
+    def fn(key, pdf: pd.DataFrame):
+        term = key[0]
+        pdf = pdf.sort_values(["seg", "salt"])
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        has_pos = True
+        for _, r in pdf.iterrows():
+            ids, tfs, dls = decode_postings(r, block_size=block_size)
+            ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
+            if r["positions_blob"] is not None and len(r["positions_blob"]):
+                pos_l.extend(decode_positions(r["positions_blob"], tfs))
+            else:
+                has_pos = False
+        ids = np.concatenate(ids_l); tfs = np.concatenate(tfs_l); dls = np.concatenate(dls_l)
+        rows = []
+        n = ids.size
+        nsplits = (n + max_postings_per_row - 1) // max_postings_per_row
+        for salt in range(nsplits):
+            lo, hi = salt * max_postings_per_row, min((salt + 1) * max_postings_per_row, n)
+            enc = encode_postings(ids[lo:hi], tfs[lo:hi], dls[lo:hi], block_size=block_size)
+            if has_pos and pos_l:
+                deltas_parts = []
+                for p in pos_l[lo:hi]:
+                    d = np.diff(p, prepend=np.int64(0))
+                    if p.size:
+                        d[0] = p[0]
+                    deltas_parts.append(d)
+                pos_blob = vbyte_encode(
+                    np.concatenate(deltas_parts).astype(np.uint64) if deltas_parts
+                    else np.empty(0, dtype=np.uint64))
+            else:
+                pos_blob = b""
+            rows.append({
+                "seg": dest, "term": term, "salt": salt,
+                "df": enc["df"], "cf": enc["cf"],
+                "ids_blob": enc["ids_blob"], "tfs_blob": enc["tfs_blob"],
+                "dls_blob": enc["dls_blob"], "positions_blob": pos_blob,
+                "block_last_ids": enc["block_last_ids"],
+                "block_offsets_ids": enc["block_offsets_ids"],
+                "block_offsets_tfs": enc["block_offsets_tfs"],
+                "block_offsets_dls": enc["block_offsets_dls"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
+            })
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def compact_segments(
+    spark: SparkSession,
+    out_dir: str,
+    seg_group: list[int],
+    *,
+    block_size: int = BLOCK_SIZE,
+    max_postings_per_row: int = 250_000,
+) -> int:
+    """Merge several segments into one (destination = min seg id).
+
+    Rewrites postings + docmap + tokens partitions for the group; the
+    destination segment is byte-identical to a cold single-segment build of
+    the same docs (tested property: merge(build(A), build(B)) ≡ build(A∪B)).
+    """
+    import shutil
+
+    dest = min(seg_group)
+    # Spark cannot read and overwrite the same path in one job: stage the
+    # merged output in a sibling tmp dir, then swap partition dirs (the
+    # rename-commit pattern, same as the manifest writes).
+    for name, df_fn in (
+        ("postings", lambda df: df.groupBy("term").applyInPandas(
+            _compact_group(block_size, max_postings_per_row, dest), schema=POSTINGS_SCHEMA)),
+        ("docmap", lambda df: df.withColumn("seg", F.lit(dest))),
+        ("tokens", lambda df: df.withColumn("seg", F.lit(dest))),
+    ):
+        src = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f"_compact_tmp_{name}")
+        (df_fn(spark.read.parquet(src).where(F.col("seg").isin(seg_group)))
+            .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+        for s in seg_group:
+            shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
+        os.replace(os.path.join(tmp, f"seg={dest}"), os.path.join(src, f"seg={dest}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    for s in seg_group:
+        if s == dest:
+            continue
+        mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    return dest

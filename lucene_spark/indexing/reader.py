@@ -1,0 +1,67 @@
+"""IndexReader — handle to an on-disk index (reference IndexReader /
+IndexSearcher split: stats + dictionary live on the driver side as cheap
+lookups; postings stay distributed)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.N: int = self.stats["N"]
+        self.avgdl: float = self.stats["avgdl"]
+
+    # --- distributed tables -------------------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    def term_dict(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_dict"))
+
+    def tokens(self) -> DataFrame:
+        """Forward index (term vectors analog)."""
+        return self.spark.read.parquet(os.path.join(self.index_dir, "tokens"))
+
+    # --- driver-side lookups (query planning) --------------------------------
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per query term — the two-phase Weight stats binding
+        (reference search/Weight.java:49-103: idf uses GLOBAL stats so every
+        shard scores identically; ours: one pushed-down dictionary probe)."""
+        if not terms:
+            return {}
+        rows = (self.term_dict()
+                .where(F.col("term").isin(list(set(terms))))
+                .select("term", "df").collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def expand_terms(self, kind: str, arg, limit: int = 1024) -> list[str]:
+        """MultiTermQuery enumeration against the dictionary
+        (reference search/MultiTermQuery.java:98-146; FilteredTermEnum).
+        kind: 'prefix' | 'wildcard_regex' | 'range'. Pushed down to the
+        parquet dictionary scan where the predicate allows."""
+        td = self.term_dict()
+        if kind == "prefix":
+            df = td.where(F.col("term").startswith(arg))
+        elif kind == "wildcard_regex":
+            df = td.where(F.col("term").rlike(arg))
+        elif kind == "range":
+            lo, hi = arg
+            df = td.where(F.col("term").between(lo, hi))
+        else:
+            raise ValueError(kind)
+        # reference caps BooleanQuery at 1024 clauses (search/BooleanQuery.java:34)
+        return [r["term"] for r in df.select("term").orderBy("term").limit(limit).collect()]
+
+    def all_terms(self) -> list[str]:
+        return [r["term"] for r in self.term_dict().select("term").orderBy("term").collect()]

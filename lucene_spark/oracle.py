@@ -88,7 +88,6 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     cand = set.intersection(*docsets)
     if not cand:
         return {}
-    # phrase df for idf: number of docs where the phrase actually matches
     freqs: dict[int, float] = {}
     for docid in cand:
         pos_lists = [np.asarray(plists[i][docid], dtype=np.int64) for i in range(len(plists))]  # type: ignore[index]
@@ -97,7 +96,11 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
             freqs[docid] = f
     if not freqs:
         return {}
-    idf = float(bm25_idf(idx.N, len(freqs)))
+    # phrase idf = Σ idf(term) over unique phrase terms — the reference
+    # PhraseWeight semantics (Similarity.idfExplain sums term idfs), which
+    # needs only global term stats (segment-local kernels can't know global
+    # phrase df)
+    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in dict.fromkeys(q.phrase_terms)))
     return {
         d: q.boost * idf * float(bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
         for d, f in freqs.items()

@@ -1,0 +1,354 @@
+"""Per-segment scoring kernel — runs inside applyInPandas, one call per
+segment, fully numpy-vectorized.
+
+The reference searches per segment and merges shard top-k with global stats
+(search/IndexSearcher.java:202-217, MultiSearcher.java:305-330); this kernel
+is the per-segment scorer tree. Pruning:
+
+- AND (MUST) paths leapfrog from the rarest term using the per-block skip
+  metadata: only blocks whose docid range intersects the current candidate
+  set are decoded (searchsorted over block_last_ids ≙ the reference's
+  multi-level skip list, index/DefaultSkipListReader.java:30).
+- OR (SHOULD-only term) queries use MaxScore-style early termination with
+  block-max upper bounds: once the summed upper bound of the remaining
+  (rarest-scored) terms falls strictly below the running k-th score, those
+  terms can no longer introduce new top-k docs and are only looked up for
+  docs already in the accumulator (block-targeted decode). This is the
+  block-max WAND family member best suited to vectorized scoring
+  (score-at-a-time); bounds are admissible per scoring.bm25_term_upper_bound.
+
+Exactness: pruning switches use strict inequality with a safety factor, so
+tie cases fall back to full evaluation — output is rank-identical (score
+desc, docid asc) to the naive oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import BLOCK_SIZE
+from ..codec import decode_block, decode_positions, decode_postings
+from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
+from .ast import Bool, ConstantScore, DisjunctionMax, MatchAll, Phrase, Query, Term
+
+_SAFETY = 1.0 + 1e-9  # pruning bound slack: ties always fall back to full eval
+
+
+class SegmentPostings:
+    """Lazy decoded view of one segment's posting rows for the query terms."""
+
+    def __init__(self, pdf: pd.DataFrame, block_size: int = BLOCK_SIZE):
+        self.block_size = block_size
+        self.rows: dict[str, list[dict]] = {}
+        for rec in pdf.to_dict("records"):
+            self.rows.setdefault(rec["term"], []).append(rec)
+        for term in self.rows:
+            self.rows[term].sort(key=lambda r: r["salt"])
+        self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def has(self, term: str) -> bool:
+        return term in self.rows
+
+    def full(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, tfs, dls) — full decode, cached."""
+        if term not in self._full:
+            parts = [decode_postings(r, self.block_size) for r in self.rows[term]]
+            self._full[term] = tuple(np.concatenate(x) for x in zip(*parts))  # type: ignore[assignment]
+        return self._full[term]
+
+    def lookup(self, term: str, targets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Block-targeted decode: postings of `term` restricted to docids in
+        sorted `targets`. Decodes only blocks whose range intersects targets
+        (skip-list advance). → (docids∩targets, tfs, dls)."""
+        if term in self._full:
+            ids, tfs, dls = self._full[term]
+            sel = np.isin(ids, targets, assume_unique=True)
+            return ids[sel], tfs[sel], dls[sel]
+        out_i, out_t, out_d = [], [], []
+        for r in self.rows[term]:
+            last = np.asarray(r["block_last_ids"], dtype=np.int64)
+            first_possible = np.empty_like(last)
+            first_possible[0] = 0
+            first_possible[1:] = last[:-1] + 1
+            # block b needed iff ∃ target in [first_possible[b], last[b]]
+            lo_idx = np.searchsorted(targets, first_possible, side="left")
+            hi_idx = np.searchsorted(targets, last, side="right")
+            needed = np.flatnonzero(hi_idx > lo_idx)
+            for b in needed:
+                ids, tfs, dls = decode_block(r, int(b), self.block_size)
+                sel = np.isin(ids, targets, assume_unique=True)
+                if sel.any():
+                    out_i.append(ids[sel]); out_t.append(tfs[sel]); out_d.append(dls[sel])
+        if not out_i:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return np.concatenate(out_i), np.concatenate(out_t), np.concatenate(out_d)
+
+    def positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
+        """(docids, per-doc position arrays) — full decode (phrase path)."""
+        ids_all, pos_all = [], []
+        for r in self.rows[term]:
+            ids, tfs, _ = decode_postings(r, self.block_size)
+            ids_all.append(ids)
+            pos_all.extend(decode_positions(r["positions_blob"], tfs))
+        return np.concatenate(ids_all), pos_all
+
+    def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
+        ub = 0.0
+        for r in self.rows[term]:
+            mt = np.asarray(r["block_max_tf"], dtype=np.float64)
+            md = np.asarray(r["block_min_dl"], dtype=np.float64)
+            ub = max(ub, float(np.max(bm25_tf_weight(mt, md, avgdl))))
+        return idf * ub
+
+
+class Ctx:
+    def __init__(self, N: int, avgdl: float, dfs: dict[str, int], k: int):
+        self.N = N
+        self.avgdl = avgdl
+        self.dfs = dfs
+        self.k = k
+
+    def idf(self, term: str) -> float:
+        df = self.dfs.get(term, 0)
+        return float(bm25_idf(self.N, df)) if df else 0.0
+
+
+# ---------------------------------------------------------------------------
+# sorted-(ids, scores) algebra
+# ---------------------------------------------------------------------------
+
+def _merge_sum(a_ids, a_sc, b_ids, b_sc):
+    """Union of two sorted id/score sets, scores summed. Addition order is
+    pinned left-to-right (clause order) so FP results match the oracle."""
+    ids = np.union1d(a_ids, b_ids)
+    sc = np.zeros(ids.size, dtype=np.float64)
+    sc[np.searchsorted(ids, a_ids)] += a_sc
+    sc[np.searchsorted(ids, b_ids)] += b_sc
+    return ids, sc
+
+
+def _eval_term_full(sp: SegmentPostings, ctx: Ctx, q: Term):
+    if not sp.has(q.term):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids, tfs, dls = sp.full(q.term)
+    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+    return ids, sc
+
+
+def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if any(not sp.has(t) for t in q.phrase_terms):
+        return empty
+    qpos = q.qpositions()
+    per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
+        sp.positions(t) for t in q.phrase_terms
+    ]
+    cand = per_term[0][0]
+    for ids, _ in per_term[1:]:
+        cand = np.intersect1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    idf = float(sum(ctx.idf(t) for t in dict.fromkeys(q.phrase_terms)))
+    # per-candidate phrase_freq (python loop over candidates only — candidate
+    # sets are small after intersection; positions math inside is numpy)
+    out_ids, out_fr = [], []
+    idx_maps = [
+        {int(d): i for i, d in enumerate(ids)} for ids, _ in per_term
+    ]
+    for d in cand:
+        pls = [per_term[i][1][idx_maps[i][int(d)]] for i in range(len(per_term))]
+        f = phrase_freq(pls, qpos, q.slop)
+        if f > 0:
+            out_ids.append(int(d))
+            out_fr.append(f)
+    if not out_ids:
+        return empty
+    ids = np.asarray(out_ids, dtype=np.int64)
+    frs = np.asarray(out_fr, dtype=np.float64)
+    # need dl per candidate: take from any term's postings via lookup
+    l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids)
+    dls = l_dls[np.searchsorted(l_ids, ids)]
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    return ids, sc
+
+
+def _is_term_disjunction(q: Bool) -> bool:
+    return (
+        not q.must
+        and not q.must_not
+        and q.effective_min_should() <= 1
+        and all(isinstance(c, Term) for c in q.should)
+    )
+
+
+def _topk_theta(ids: np.ndarray, sc: np.ndarray, k: int) -> float:
+    if ids.size < k:
+        return -np.inf
+    return float(np.partition(sc, sc.size - k)[sc.size - k])
+
+
+def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
+    """MaxScore over a pure term disjunction (see module docstring)."""
+    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl) * c.boost)
+             for c in q.should if sp.has(c.term)]
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # evaluation must preserve clause order for FP-identical sums → we keep
+    # per-clause results and sum in clause order at the end; pruning only
+    # decides HOW each clause's postings are obtained (full vs lookup).
+    order = np.argsort([-ub for _, ub in terms], kind="stable")
+    suffix_ub = np.zeros(len(terms) + 1)
+    for i in range(len(terms) - 1, -1, -1):
+        suffix_ub[i] = suffix_ub[i + 1] + terms[order[i]][1]
+
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_sc = np.empty(0, dtype=np.float64)
+    clause_results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    theta = -np.inf
+    for rank, oi in enumerate(order):
+        c, _ub = terms[oi]
+        prune = theta > -np.inf and suffix_ub[rank] * _SAFETY < theta
+        if prune:
+            # no new doc can enter the top-k: only docs already accumulated
+            # need this term's contribution (block-targeted decode)
+            ids, tfs, dls = sp.lookup(c.term, acc_ids)
+        else:
+            ids, tfs, dls = sp.full(c.term)
+        sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+        clause_results[oi] = (ids, sc)
+        acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, ids, sc)
+        theta = _topk_theta(acc_ids, acc_sc, ctx.k)
+    # recombine in ORIGINAL clause order for oracle-identical FP summation
+    ids = np.empty(0, dtype=np.int64)
+    sc = np.empty(0, dtype=np.float64)
+    for oi in range(len(terms)):
+        if oi in clause_results:
+            ids, sc = _merge_sum(ids, sc, *clause_results[oi])
+    if q.boost != 1.0:
+        sc = sc * q.boost
+    return ids, sc
+
+
+def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query):
+    """→ (sorted docids, scores) for this segment."""
+    if isinstance(q, Term):
+        return _eval_term_full(sp, ctx, q)
+    if isinstance(q, Phrase):
+        return _eval_phrase(sp, ctx, q)
+    if isinstance(q, ConstantScore):
+        ids, _ = eval_query(sp, ctx, q.query)
+        return ids, np.full(ids.size, q.boost, dtype=np.float64)
+    if isinstance(q, DisjunctionMax):
+        subs = [eval_query(sp, ctx, s) for s in q.queries]
+        all_ids = (np.unique(np.concatenate([i for i, _ in subs]))
+                   if subs else np.empty(0, dtype=np.int64))
+        if all_ids.size == 0:
+            return all_ids, np.empty(0, dtype=np.float64)
+        mx = np.full(all_ids.size, -np.inf)
+        sm = np.zeros(all_ids.size)
+        for ids, sc in subs:
+            pos = np.searchsorted(all_ids, ids)
+            np.maximum.at(mx, pos, sc)
+            sm[pos] += sc
+        out = q.boost * (mx + q.tie_breaker * (sm - mx))
+        return all_ids, out
+    if isinstance(q, MatchAll):
+        raise ValueError("MatchAll is planned outside the kernel (docmap scan)")
+    if isinstance(q, Bool):
+        if not q.must and not q.should:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if _is_term_disjunction(q) and not any(
+            isinstance(c, Term) and c.term == d.term
+            for i, c in enumerate(q.should) for d in q.should[:i]
+        ):
+            ids, sc = _eval_or_maxscore(sp, ctx, q)
+        else:
+            ids, sc = _eval_bool_general(sp, ctx, q)
+        return ids, sc
+    raise TypeError(type(q))
+
+
+def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    min_should = q.effective_min_should()
+
+    # --- MUST: leapfrog intersection from the rarest clause, skip-decoding ---
+    must_res: list[tuple[np.ndarray, np.ndarray]] = []
+    if q.must:
+        # candidate narrowing: evaluate Term clauses by ascending global df;
+        # non-term clauses evaluated fully
+        def clause_df(c: Query) -> int:
+            return ctx.dfs.get(c.term, 0) if isinstance(c, Term) else 1 << 60
+
+        idx_order = sorted(range(len(q.must)), key=lambda i: clause_df(q.must[i]))
+        cand: np.ndarray | None = None
+        res_by_idx: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for i in idx_order:
+            c = q.must[i]
+            if isinstance(c, Term) and cand is not None:
+                if not sp.has(c.term):
+                    return empty
+                ids, tfs, dls = sp.lookup(c.term, cand)
+                sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+            else:
+                ids, sc = eval_query(sp, ctx, c)
+            if ids.size == 0:
+                return empty
+            res_by_idx[i] = (ids, sc)
+            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return empty
+        must_res = [res_by_idx[i] for i in range(len(q.must))]
+    else:
+        cand = None
+
+    should_res = [eval_query(sp, ctx, c) for c in q.should]
+
+    if cand is None:
+        if not should_res:
+            return empty
+        cand = np.unique(np.concatenate([i for i, _ in should_res]))
+    if cand.size == 0:
+        return empty
+
+    for c in q.must_not:
+        ids, _ = eval_query(sp, ctx, c)
+        cand = np.setdiff1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+
+    # min_should filter
+    if q.should and min_should > 0:
+        cnt = np.zeros(cand.size, dtype=np.int64)
+        for ids, _ in should_res:
+            cnt += np.isin(cand, ids, assume_unique=True)
+        cand = cand[cnt >= min_should]
+        if cand.size == 0:
+            return empty
+
+    # final score: clause-order summation (must then should), FP-identical
+    # to the oracle's sum(must) + sum(should)
+    sc = np.zeros(cand.size, dtype=np.float64)
+    for ids, s in must_res + should_res:
+        sel = np.isin(ids, cand, assume_unique=True)
+        pos = np.searchsorted(cand, ids[sel])
+        sc[pos] += s[sel]
+    if q.boost != 1.0:
+        sc = sc * q.boost
+    return cand, sc
+
+
+def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """Entry point for applyInPandas: one segment's query-term posting rows →
+    per-segment top-k (docid, score) with docid-asc tie-break (the reference
+    per-segment bounded heap, search/TopScoreDocCollector.java:46-66)."""
+    sp = SegmentPostings(pdf, block_size)
+    ids, sc = eval_query(sp, ctx, q)
+    if ids.size == 0:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    k = min(ctx.k, ids.size)
+    order = np.lexsort((ids, -sc))[:k]
+    return pd.DataFrame({"docid": ids[order], "score": sc[order]})

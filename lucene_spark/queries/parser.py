@@ -206,7 +206,12 @@ def _parse_or(lx: _Lexer) -> Query | None:
 
 
 def parse_query(s: str) -> Query:
-    q = _parse_or(_Lexer(s))
+    lx = _Lexer(s)
+    had_tokens = bool(lx.tokens)
+    q = _parse_or(lx)
     if q is None:
-        return MatchAll()
+        # blank input → MatchAll (lenient); input that analyzed away entirely
+        # (e.g. all stopwords) → empty boolean, matches nothing (reference
+        # QueryParser + StopFilter behaviour)
+        return Bool() if had_tokens else MatchAll()
     return q
