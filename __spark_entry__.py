@@ -1,38 +1,816 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` builds the fulltext index over the sf0.001 ``documents``
+table and runs the flagship conjunctive BM25 query. ``queries()`` exposes one
+entry per implemented operator (SURVEY.md §2) — fulltext term / boolean /
+phrase / multi-term queries, index statistics, and the training-data pipeline
+operators (dedup, similarity search, text analysis, multimodal plumbing).
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each.
+
+Parity notes:
+- Tokenization for this contract uses the engine's ``whitespace`` analyzer
+  (reference analysis/WhitespaceTokenizer.java:38), which on the synthetic
+  ``documents.text`` (single-space separated) equals DuckDB
+  ``string_split(text, ' ')`` token-for-token — so the whole postings build is
+  reproducible in SQL.
+- BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))) is written in SQL
+  with the same association order as lucene_spark/scoring.py; tf/df/dl/N are
+  integers (exact in doubles) so per-term scores agree bit-for-bit; summed
+  scores are rounded to 4 decimals on both sides to absorb last-bit
+  sum-order differences.
+- Hash-derived operators (dedup minhash/simhash, LSH planes) derive all
+  randomness from md5, which is identical across Python/Spark/DuckDB.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.indexing.build import build_index
+from lucene_spark.indexing.merge import merge_index
+from lucene_spark.indexing.reader import IndexReader
+from lucene_spark.queries.ast import Bool, DisjunctionMax, MatchAll, Term
+from lucene_spark.queries.planner import Searcher
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+_IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_idx")
+
+# ---------------------------------------------------------------------------
+# index management (cached per sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build-once (resumable) whitespace-analyzed index over documents."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_IDX_CACHE, tag)
+    if not os.path.exists(os.path.join(d, "stats.json")):
+        src = os.path.join(d, "src")
+        # docid order must equal doc_id order for rank-identical tie-breaks:
+        # range-partition + sort, and the build plan takes files path-sorted
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+            .repartitionByRange(4, F.col("url").cast("long"))
+            .sortWithinPartitions(F.col("url").cast("long"))
+            .write.mode("overwrite").parquet(src)
+        )
+        build_index(spark, src, d, analyzer="whitespace",
+                    target_docs_per_seg=2000, store_positions=True)
+        merge_index(spark, d)
+    return IndexReader(spark, d)
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(_index(spark, sf_dir))
+
+
+def _topk(spark: SparkSession, sf_dir: str, q, k: int = 10) -> DataFrame:
+    """Engine top-k → (doc_id, score) with scores rounded for FP parity."""
+    top = _searcher(spark, sf_dir).search(q, k=k, hydrate=True)
+    return (
+        top.select(F.col("url").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) — whitespace tokens, JVM-side split/posexplode."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per doc (JVM-side transform, no UDF)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, greatest(size(split(text,' '))-3, -1)), "
+                "i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
+            )).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_H15 = "conv(substring(md5(cast({s} as binary)), 1, 15), 16, 10)"  # 60-bit hash
+
+
+def _h60(col_expr: str):
+    """Spark column: first 60 bits of md5(col) as long (matches DuckDB
+    CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT))."""
+    return F.expr(f"cast({_H15.format(s=col_expr)} as bigint)")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship conjunctive BM25 top-10 on sf0.001; driver checks rows>0."""
+    return _topk(spark, DEFAULT_SF_DIR, "data AND spark", k=10)
+
+
+# ---------------------------------------------------------------------------
+# fulltext queries (engine side)
+# ---------------------------------------------------------------------------
+
+
+def _q_ft_count(spark, sf_dir):
+    n = _searcher(spark, sf_dir).count("data AND spark")
+    return spark.createDataFrame([(n,)], "n_hits long")
+
+
+def _q_ft_term_stats(spark, sf_dir):
+    td = _index(spark, sf_dir).term_dict()
+    return (td.select("term", F.col("df").cast("long").alias("df"),
+                      F.col("cf").cast("long").alias("cf"))
+            .orderBy("term"))
+
+
+def _q_ft_doclens(spark, sf_dir):
+    dm = _index(spark, sf_dir).docmap()
+    return (dm.select(F.col("url").cast("long").alias("doc_id"),
+                      F.col("doclen").cast("long").alias("dl"))
+            .where(F.col("url").cast("long") < 20).orderBy("doc_id"))
+
+
+def _q_ft_matchall(spark, sf_dir):
+    top = _searcher(spark, sf_dir).search(MatchAll(), k=10, hydrate=True)
+    return (top.select(F.col("url").cast("long").alias("doc_id"),
+                       F.round("score", 4).alias("score")).orderBy("doc_id"))
+
+
+def _q_ft_min_should(spark, sf_dir):
+    q = Bool(should=[Term("data"), Term("spark"), Term("vector")], min_should=2)
+    return _topk(spark, sf_dir, q)
+
+
+def _q_ft_disjmax(spark, sf_dir):
+    q = DisjunctionMax([Term("data"), Term("spark")], tie_breaker=0.3)
+    return _topk(spark, sf_dir, q)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy (map-side combinable aggregation)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").alias("keep_doc"))
+        .orderBy("text_hash")
+    )
+
+
+_BUCKET_CAP = 25  # skip mega-buckets (head shingles) — mirrored in the oracle
+_JAC_MIN = 0.5
+
+
+def _cand_pairs_by_shingle(sh: DataFrame) -> DataFrame:
+    """Candidate pairs sharing ≥1 non-head shingle + exact jaccard verify."""
+    ok = sh.groupBy("shingle").count().where(F.col("count") <= _BUCKET_CAP)
+    shf = sh.join(F.broadcast(ok.select("shingle")), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = shf.alias("a")
+    b = shf.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return _jaccard_verify(inter, sizes)
+
+
+def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(a, b, i) + per-doc sizes → verified pairs. Filter on the RAW ratio
+    (matching the oracle), round only for output."""
+    raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "a")
+                               .withColumnRenamed("ns", "na")), "a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b")
+                          .withColumnRenamed("ns", "nb")), "b")
+        .where(raw >= _JAC_MIN)
+        .select("a", "b", F.round(raw, 4).alias("jac"))
+        .orderBy("a", "b")
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return _cand_pairs_by_shingle(_shingles(spark, sf_dir))
+
+
+_N_MINHASH = 8
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    seeded = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.array(*[F.lit(j) for j in range(_N_MINHASH)])).alias("seed"),
+    ).withColumn("h", _h60("concat(cast(seed as string), '|', shingle)"))
+    return seeded.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("seed") == j, F.col("h"))).alias(f"mh{j}")
+          for j in range(_N_MINHASH)]
+    )
+
+
+def _q_dedup_minhash_sig(spark, sf_dir):
+    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup: 4 bands × 2 rows → band-bucket join →
+    exact-jaccard verification of candidates."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", F.col(f"mh{2*b}").cast("string"),
+                              F.col(f"mh{2*b+1}").cast("string"))
+                  .cast("binary")).alias("bh"))
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = sh.alias("sa")
+    b2 = sh.alias("sb")
+    inter = (
+        cand.join(a, F.col("a") == F.col("sa.doc_id"))
+        .join(b2, (F.col("b") == F.col("sb.doc_id"))
+              & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("a", "b").agg(F.count("*").alias("i"))
+    )
+    return _jaccard_verify(inter, sizes)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """60-bit SimHash over whitespace tokens, tf-weighted."""
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"))
+    tf = tf.withColumn("h", _h60("term"))
+    bits = tf.select(
+        "doc_id", "tf", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.col("tf") * (F.expr("(h >> b) & 1") * 2 - 1),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bit", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+                    .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id").agg(F.sum("bit").cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_STOPWORDS = sorted(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+def _q_text_quality(spark, sf_dir):
+    """Per-doc quality metrics: token/type counts, TTR, mean token length,
+    stopword ratio (the reference 33-word English stop set)."""
+    tok = _tokens(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return (
+        tok.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("term").cast("long").alias("n_types"),
+            F.round(F.countDistinct("term") / F.count("*"), 4).alias("ttr"),
+            F.round(F.avg(F.length("term")), 4).alias("mean_len"),
+            F.round(F.sum(F.array_contains(stop_arr, F.col("term")).cast("int"))
+                    / F.count("*"), 4).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_langid(spark, sf_dir):
+    """Stopword-hit-rate language ID heuristic (deterministic)."""
+    tok = _tokens(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ratio = F.sum(F.array_contains(stop_arr, F.col("term")).cast("int")) / F.count("*")
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+             .alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint: md5 of the sorted distinct token set
+    (token-order / duplication invariant near-dup key)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
+                    F.split("text", " ")))).cast("binary")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _cosine(vec_col, lit_arr):
+    dot = F.aggregate(F.zip_with(vec_col, lit_arr,
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(lit_arr, lambda x: x.cast("double") * x.cast("double")),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (the exact
+    baseline an IVF/LSH path is measured against)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    lit_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(_cosine(F.col("embedding"), lit_arr), 4)
+                .alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+    )
+
+
+def _q_ann_knn_join(spark, sf_dir):
+    """k-NN join: top-3 neighbors for each of the first 5 query vectors —
+    broadcast the small query side, rank per query."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    pairs = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("embedding", "qvec",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = pairs.select(
+        "query_id", "vec_id",
+        (dot / (norm(F.col("embedding")) * norm(F.col("qvec")))).alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", F.round("c", 4).alias("cos"),
+                F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — identical
+    to the SQL derivation (md5 is md5 everywhere)."""
+    return [
+        [int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+         for d in range(_EMB_DIM)]
+        for j in range(_N_PLANES)
+    ]
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 sign bits → bucket id per vector (the
+    scale path for ANN: candidate generation via bucket equality join)."""
+    emb = _emb(spark, sf_dir)
+    planes = _lsh_planes()
+    bucket = None
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(F.zip_with("embedding", arr,
+                                     lambda x, y: x.cast("double") * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
+
+
+def _q_mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → typed metadata via
+    mapInPandas (Arrow batches). The real decode (image/audio libs absent in
+    this container) is stubbed with deterministic byte-derived metadata; the
+    Spark-side schema/batching/partitioning is real."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode_meta(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                # decode stub: a real impl would parse image headers here
+                "fake_width": (n_bytes % 640).astype("int64"),
+                "fake_height": ((n_bytes * 7) % 480).astype("int64"),
+            })
+
+    return docs.mapInPandas(
+        decode_meta,
+        schema="doc_id long, n_bytes long, content_md5 string, "
+               "fake_width long, fake_height long",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries() registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def ft(qstr, k=10):
+        return lambda spark, sf_dir: _topk(spark, sf_dir, qstr, k=k)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext: term / boolean / phrase / multi-term (SURVEY §2.3) ---
+        "ft_term_head": ft("join"),
+        "ft_term_tail": ft("dup"),
+        "ft_bool_and": ft("data AND spark"),
+        "ft_bool_or": ft("data spark vector"),
+        "ft_bool_not": ft("data -spark"),
+        "ft_boost": ft("data^2 spark^0.5"),
+        "ft_min_should": _q_ft_min_should,
+        "ft_disjmax": _q_ft_disjmax,
+        "ft_phrase": ft('"batch batch"'),
+        "ft_phrase2": ft('"order sort"'),
+        "ft_prefix": ft("s*"),
+        "ft_wildcard": ft("s?an"),
+        "ft_fuzzy": ft("datq~1"),
+        "ft_count": _q_ft_count,
+        # --- index build artifacts (SURVEY §2.1) ---
+        "ft_term_stats": _q_ft_term_stats,
+        "ft_doclens": _q_ft_doclens,
+        "ft_matchall": _q_ft_matchall,
+        # --- dedup ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        # --- text analysis ---
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        # --- similarity search ---
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        # --- multimodal plumbing ---
+        "mm_binary_meta": _q_mm_binary_meta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same math, same hashes, same rounding
+# ---------------------------------------------------------------------------
+
+# Whitespace tokenization + BM25 statistics over `documents`. tf/df/dl/N are
+# integers → exact in doubles; the score expression mirrors
+# lucene_spark/scoring.py association order.
+_PRELUDE = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT avg(dl) FROM dls) AS avgdl),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+           * ((1.2 + 1.0) * t.tf)
+           / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)) AS s
+  FROM tfs t
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  CROSS JOIN corpus c
+)
+"""
+
+
+def _sql_term(term: str) -> str:
+    return f"""WITH {_PRELUDE}
+SELECT doc_id, round(s, 4) AS score FROM scored WHERE term = '{term}'
+ORDER BY s DESC, doc_id ASC LIMIT 10"""
+
+
+def _sql_sum(terms: list[str], having: str = "", boosts: dict | None = None) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    sexpr = "s"
+    if boosts:
+        cases = " ".join(f"WHEN term = '{t}' THEN {b} * s" for t, b in boosts.items())
+        sexpr = f"CASE {cases} ELSE s END"
+    return f"""WITH {_PRELUDE}
+SELECT doc_id, round(sum({sexpr}), 4) AS score FROM scored
+WHERE term IN ({inlist}) GROUP BY doc_id {having}
+ORDER BY sum({sexpr}) DESC, doc_id ASC LIMIT 10"""
+
+
+def _sql_phrase(t1: str, t2: str) -> str:
+    uniq = [t1] if t1 == t2 else [t1, t2]
+    idf_sum = " + ".join(
+        f"ln(1.0 + (c.n - (SELECT df FROM dfs WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM dfs WHERE term = '{t}') + 0.5))" for t in uniq)
+    return f"""WITH {_PRELUDE},
+phrase AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+)
+SELECT p.doc_id,
+       round(({idf_sum})
+             * ((1.2 + 1.0) * p.pf)
+             / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)), 4) AS score
+FROM phrase p JOIN dls l USING (doc_id) CROSS JOIN corpus c
+ORDER BY ({idf_sum}) * ((1.2 + 1.0) * p.pf)
+         / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)) DESC,
+         p.doc_id ASC
+LIMIT 10"""
+
+
+def _sql_expand(term_pred: str) -> str:
+    return f"""WITH {_PRELUDE}
+SELECT doc_id, round(sum(s), 4) AS score FROM scored
+WHERE term IN (SELECT term FROM dfs WHERE {term_pred})
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10"""
+
+
+_H60_SQL = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_SQL = """
+sh AS (
+  SELECT DISTINCT a.doc_id, (a.term || ' ' || b.term || ' ' || c.term) AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_VERIFY_SQL = """
+SELECT i.a, i.b, round(i.i * 1.0 / (sa.ns + sb.ns - i.i), 4) AS jac
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i * 1.0 / (sa.ns + sb.ns - i.i) >= 0.5
+ORDER BY i.a, i.b
+"""
+
+_MINHASH_SQL = f"""
+seeded AS (
+  SELECT sh.doc_id, seeds.seed,
+         {_H60_SQL.format(s="(CAST(seeds.seed AS VARCHAR) || '|' || sh.shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed) seeds
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(CASE WHEN seed = {j} THEN h END) AS mh{j}"
+                    for j in range(_N_MINHASH))}
+  FROM seeded GROUP BY doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+    sqls: dict[str, str] = {
+        "ft_term_head": _sql_term("join"),
+        "ft_term_tail": _sql_term("dup"),
+        "ft_bool_and": _sql_sum(["data", "spark"], having="HAVING count(*) = 2"),
+        "ft_bool_or": _sql_sum(["data", "spark", "vector"]),
+        "ft_bool_not": f"""WITH {_PRELUDE}
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE term = 'data'
+  AND doc_id NOT IN (SELECT doc_id FROM tfs WHERE term = 'spark')
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        "ft_boost": _sql_sum(["data", "spark"],
+                             boosts={"data": 2.0, "spark": 0.5}),
+        "ft_min_should": _sql_sum(["data", "spark", "vector"],
+                                  having="HAVING count(*) >= 2"),
+        "ft_disjmax": f"""WITH {_PRELUDE}
+SELECT doc_id, round(max(s) + 0.3 * (sum(s) - max(s)), 4) AS score FROM scored
+WHERE term IN ('data', 'spark') GROUP BY doc_id
+ORDER BY max(s) + 0.3 * (sum(s) - max(s)) DESC, doc_id ASC LIMIT 10""",
+        "ft_phrase": _sql_phrase("batch", "batch"),
+        "ft_phrase2": _sql_phrase("order", "sort"),
+        "ft_prefix": _sql_expand("term LIKE 's%'"),
+        "ft_wildcard": _sql_expand("regexp_matches(term, '^s.an$')"),
+        "ft_fuzzy": _sql_expand(
+            "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
+        "ft_count": f"""WITH {_PRELUDE}
+SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
+  SELECT doc_id FROM tfs WHERE term IN ('data', 'spark')
+  GROUP BY doc_id HAVING count(*) = 2
+)""",
+        "ft_term_stats": f"""WITH {_PRELUDE}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tfs GROUP BY term ORDER BY term""",
+        "ft_doclens": f"""WITH {_PRELUDE}
+SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
+ORDER BY doc_id""",
+        "ft_matchall": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+ORDER BY doc_id LIMIT 10""",
+        # --- dedup ---
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+        "dedup_ngram_jaccard": f"""WITH {_PRELUDE}, {_SHINGLES_SQL},
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_BUCKET_CAP}),
+shf AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+{_JACCARD_VERIFY_SQL}""",
+        "dedup_minhash_sig": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL}
+SELECT * FROM sigs ORDER BY doc_id""",
+        "dedup_minhash_lsh": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL},
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, "
+      f"md5(CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bh "
+      f"FROM sigs" for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+)
+{_JACCARD_VERIFY_SQL}""",
+        "dedup_simhash": f"""WITH {_PRELUDE},
+th AS (SELECT doc_id, term, tf, {_H60_SQL.format(s="term")} AS h FROM tfs),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        # --- text analysis ---
+        "text_quality": f"""WITH {_PRELUDE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+       round(count(DISTINCT term) * 1.0 / count(*), 4) AS ttr,
+       round(avg(length(term)), 4) AS mean_len,
+       round(sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS stop_ratio
+FROM tok GROUP BY doc_id ORDER BY doc_id""",
+        "text_langid": f"""WITH {_PRELUDE}
+SELECT doc_id,
+       CASE WHEN sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) * 1.0
+                 / count(*) >= 0.05
+            THEN 'en' ELSE 'und' END AS pred_lang
+FROM tok GROUP BY doc_id ORDER BY doc_id""",
+        "text_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fp
+FROM documents ORDER BY doc_id""",
+        # --- similarity search ---
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (
+  SELECT e.vec_id,
+         unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM ex GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+FROM dots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
+        "ann_knn_join": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+ex AS (
+  SELECT q.query_id, e.vec_id,
+         unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+dots AS (
+  SELECT query_id, vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM ex GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC,
+                                     vec_id ASC) AS rnk
+  FROM dots
+)
+SELECT query_id, vec_id, round(c, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""",
+        "ann_lsh_buckets": f"""
+WITH planes AS (
+  SELECT j.j, d.d,
+         CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || '_'
+                                      || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 - 0.5 AS p
+  FROM (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) j
+  CROSS JOIN (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS d) d
+),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS ev,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+dots AS (
+  SELECT e.vec_id, p.j, sum(CAST(e.ev AS DOUBLE) * p.p) AS dot
+  FROM ex e JOIN planes p ON p.d = e.d
+  GROUP BY e.vec_id, p.j
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id ORDER BY vec_id""",
+        # --- multimodal ---
+        "mm_binary_meta": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
+FROM documents ORDER BY doc_id""",
+    }
+    return sqls
