@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark — one JSON line on stdout.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+1. Index-build throughput (docs/sec) over the deterministic synthetic
+   Common-Crawl-style pages corpus (lucene_spark.fixtures, seed 42), sized
+   ~500k docs × sf. This is the BASELINE.json headline metric (reference
+   contrib/benchmark ReportTask rec/s semantics).
+2. Per-query latency for the reference query set (queries/refset.py —
+   EnwikiQueryMaker-style) over the built index.
+3. A sample of the training-data pipeline operators from __spark_entry__
+   over the sf_dir tables.
+
+Scaling-efficiency evidence (local[8] vs local[32] on the same input) is
+produced by scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_m = re.search(r"sf([0-9.]+)", SF_DIR)
+SF = float(_m.group(1).rstrip(".")) if _m else 0.1
+N_DOCS = int(os.environ.get("BENCH_DOCS", str(max(2000, int(500_000 * SF)))))
+WORK = os.environ.get("BENCH_WORK", "/tmp/lucene_spark_bench")
+
+
+def main() -> None:
+    from lucene_spark.fixtures import write_pages
+    from lucene_spark.indexing.build import build_index
+    from lucene_spark.indexing.merge import merge_index
+    from lucene_spark.indexing.reader import IndexReader
+    from lucene_spark.queries.planner import Searcher
+    from lucene_spark.queries.refset import REFERENCE_QUERIES
+    from lucene_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+
+    corpus = os.path.join(WORK, f"pages_{N_DOCS}")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        write_pages(spark, N_DOCS, corpus, partitions=max(CPUS * 4, 16))
+
+    # --- 1. index build (timed: build + merge, fresh output) ---------------
+    idx_dir = os.path.join(WORK, f"idx_{N_DOCS}_c{CPUS}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark, corpus, idx_dir,
+        analyzer="standard", store_positions=True,
+        target_docs_per_seg=max(2000, N_DOCS // 64),
+    )
+    merge_index(spark, idx_dir)
+    t_build = time.time() - t0
+    docs_per_sec = N_DOCS / t_build
+
+    # --- 2. reference query set over the built index -----------------------
+    # fresh session: the query service is a separate process from the batch
+    # build in any real deployment, and build-job shuffle state otherwise
+    # pollutes latency numbers
+    spark.stop()
+    spark = get_spark("bench-query", cores=CPUS)
+    searcher = Searcher(IndexReader(spark, idx_dir))
+    queries: dict[str, float] = {}
+    slug = re.compile(r"[^a-z0-9]+")
+    for i, q in enumerate(REFERENCE_QUERIES):
+        name = f"q{i:02d}_" + slug.sub("_", q.lower()).strip("_")[:24]
+        t0 = time.time()
+        searcher.search(q, k=10).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    # --- 3. pipeline operators over the sf_dir tables ----------------------
+    import __spark_entry__ as entry
+
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+                 "text_quality", "ann_cosine_topk", "ann_knn_join"):
+        fn = entry.queries()[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "index_build_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": SF,
+        "n_docs": N_DOCS,
+        "build_sec": round(t_build, 2),
+        "cores": CPUS,
+        "query_set_sec": round(sum(v for k, v in queries.items()
+                                   if k.startswith("q")), 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

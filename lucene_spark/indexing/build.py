@@ -107,52 +107,78 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool):
     return fn
 
 
-def _encode_group(max_postings_per_row: int, block_size: int, store_positions: bool):
-    """applyInPandas closure: all (docid, tf, dl, positions) of one
-    (seg, term) group → one or more encoded posting rows (salt-split)."""
+def _encode_positions_blob(lists: list[np.ndarray], tfs: np.ndarray) -> bytes:
+    """Per-doc position lists → delta+VByte blob (first position absolute
+    per doc, then in-doc deltas), vectorized across the whole slice."""
+    flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+    if not flat.size:
+        return b""
+    deltas = np.diff(flat, prepend=np.int64(0))
+    starts = np.zeros(len(lists), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    firsts = np.array([p[0] for p in lists], dtype=np.int64)
+    deltas[starts] = firsts
+    return bytes(vbyte_encode(deltas.astype(np.uint64)))
 
-    def fn(key, pdf: pd.DataFrame):
-        seg, term = int(key[0]), key[1]
-        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-        docids = pdf["docid"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["doclen"].to_numpy()[order].astype(np.int64)
-        pos_col = pdf["positions"].to_numpy()[order] if store_positions else None
 
-        rows = []
-        n = docids.size
-        nsplits = (n + max_postings_per_row - 1) // max_postings_per_row
-        for salt in range(nsplits):
-            lo, hi = salt * max_postings_per_row, min((salt + 1) * max_postings_per_row, n)
-            enc = encode_postings(docids[lo:hi], tfs[lo:hi], dls[lo:hi], block_size=block_size)
-            if store_positions:
-                # per-doc delta encode, fully vectorized across the slice
-                lists = [np.asarray(p, dtype=np.int64) for p in pos_col[lo:hi]]
-                flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
-                if flat.size:
-                    deltas = np.diff(flat, prepend=np.int64(0))
-                    starts = np.zeros(len(lists), dtype=np.int64)
-                    np.cumsum(tfs[lo:hi][:-1], out=starts[1:])
-                    firsts = np.array([p[0] for p in lists], dtype=np.int64)
-                    deltas[starts] = firsts
-                    pos_blob = vbyte_encode(deltas.astype(np.uint64))
-                else:
-                    pos_blob = b""
-            else:
-                pos_blob = b""
-            rows.append({
-                "seg": seg, "term": term, "salt": salt,
-                "df": enc["df"], "cf": enc["cf"],
-                "ids_blob": enc["ids_blob"], "tfs_blob": enc["tfs_blob"],
-                "dls_blob": enc["dls_blob"], "positions_blob": pos_blob,
-                "block_last_ids": enc["block_last_ids"],
-                "block_offsets_ids": enc["block_offsets_ids"],
-                "block_offsets_tfs": enc["block_offsets_tfs"],
-                "block_offsets_dls": enc["block_offsets_dls"],
-                "block_max_tf": enc["block_max_tf"],
-                "block_min_dl": enc["block_min_dl"],
-            })
-        return pd.DataFrame(rows)
+def _encode_rows(seg: int, term: str, docids, tfs, dls, pos_lists,
+                 max_postings_per_row: int, block_size: int) -> list[dict]:
+    """One term's sorted postings → one or more encoded rows (salt-split so
+    no single Arrow row exceeds ~a few MB for Zipf-head terms)."""
+    rows = []
+    n = docids.size
+    nsplits = (n + max_postings_per_row - 1) // max_postings_per_row
+    for salt in range(nsplits):
+        lo, hi = salt * max_postings_per_row, min((salt + 1) * max_postings_per_row, n)
+        enc = encode_postings(docids[lo:hi], tfs[lo:hi], dls[lo:hi], block_size=block_size)
+        pos_blob = (_encode_positions_blob(pos_lists[lo:hi], tfs[lo:hi])
+                    if pos_lists is not None else b"")
+        rows.append({
+            "seg": seg, "term": term, "salt": salt,
+            "df": enc["df"], "cf": enc["cf"],
+            "ids_blob": enc["ids_blob"], "tfs_blob": enc["tfs_blob"],
+            "dls_blob": enc["dls_blob"], "positions_blob": pos_blob,
+            "block_last_ids": enc["block_last_ids"],
+            "block_offsets_ids": enc["block_offsets_ids"],
+            "block_offsets_tfs": enc["block_offsets_tfs"],
+            "block_offsets_dls": enc["block_offsets_dls"],
+            "block_max_tf": enc["block_max_tf"],
+            "block_min_dl": enc["block_min_dl"],
+        })
+    return rows
+
+
+def _encode_batches(max_postings_per_row: int, block_size: int, store_positions: bool):
+    """mapInPandas closure over JVM-pre-aggregated term rows.
+
+    Input rows (one per (seg, term), built by collect_list + sort_array +
+    transform — all JVM-side): ``seg, term, docids, tfs, dls[, poss]`` with
+    the arrays already sorted by docid. Encoding many terms per Arrow batch
+    amortizes Python overhead — this replaced a per-(seg,term)
+    applyInPandas that spent ~2 ms/group on 50k+ singleton tail terms
+    (the Zipf tail makes per-group UDF dispatch the bottleneck, not math).
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            segs = pdf["seg"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            col_ids = pdf["docids"].to_numpy()
+            col_tfs = pdf["tfs"].to_numpy()
+            col_dls = pdf["dls"].to_numpy()
+            col_pos = pdf["poss"].to_numpy() if store_positions else None
+            for i in range(len(pdf)):
+                docids = np.asarray(col_ids[i], dtype=np.int64)
+                tfs = np.asarray(col_tfs[i], dtype=np.int64)
+                dls = np.asarray(col_dls[i], dtype=np.int64)
+                pos_lists = (
+                    [np.asarray(p, dtype=np.int64) for p in col_pos[i]]
+                    if col_pos is not None else None
+                )
+                out.extend(_encode_rows(int(segs[i]), terms[i], docids, tfs, dls,
+                                        pos_lists, max_postings_per_row, block_size))
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -255,12 +281,27 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         .write.mode("overwrite").partitionBy("seg")
         .parquet(os.path.join(out_dir, "docmap")))
 
-    # postings: one corpus shuffle on (seg, term); group size ≤ seg docs
-    (tok.where(F.col("term").isNotNull())
-        .select("seg", "term", "docid", "tf", "doclen", "positions")
-        .groupBy("seg", "term")
-        .applyInPandas(_encode_group(max_postings_per_row, block_size, store_positions),
-                       schema=POSTINGS_SCHEMA)
+    # postings: one corpus shuffle on (seg, term); group size ≤ seg docs.
+    # The partial (map-side) hash aggregation happens JVM-side via
+    # collect_list, the docid sort via sort_array on the struct (docid is
+    # the first field), and field extraction via transform — only the final
+    # blob encode crosses into Python, batched thousands-of-terms per
+    # Arrow batch (the Zipf tail of singleton terms makes per-group UDF
+    # dispatch far more expensive than the encode math itself).
+    plist = F.sort_array(F.collect_list(F.struct("docid", "tf", "doclen", "positions")))
+    agg = (tok.where(F.col("term").isNotNull())
+           .select("seg", "term", "docid", "tf", "doclen", "positions")
+           .groupBy("seg", "term")
+           .agg(plist.alias("pl"))
+           .select(
+               "seg", "term",
+               F.expr("transform(pl, s -> s.docid)").alias("docids"),
+               F.expr("transform(pl, s -> s.tf)").alias("tfs"),
+               F.expr("transform(pl, s -> s.doclen)").alias("dls"),
+               F.expr("transform(pl, s -> s.positions)").alias("poss"),
+           ))
+    (agg.mapInPandas(_encode_batches(max_postings_per_row, block_size, store_positions),
+                     schema=POSTINGS_SCHEMA)
         .write.mode("overwrite").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
 

@@ -19,15 +19,26 @@ class IndexReader:
         self.N: int = self.stats["N"]
         self.avgdl: float = self.stats["avgdl"]
 
-    # --- distributed tables -------------------------------------------------
+    # --- distributed tables (DataFrame handles cached so repeated queries
+    # reuse the same logical plan + file listing; the data itself stays on
+    # disk — Parquet column pruning / predicate pushdown do the seeking) ----
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        if not hasattr(self, "_postings"):
+            self._postings = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings"))
+        return self._postings
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        if not hasattr(self, "_docmap"):
+            self._docmap = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap"))
+        return self._docmap
 
     def term_dict(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_dict"))
+        if not hasattr(self, "_term_dict"):
+            self._term_dict = self.spark.read.parquet(
+                os.path.join(self.index_dir, "term_dict"))
+        return self._term_dict
 
     def tokens(self) -> DataFrame:
         """Forward index (term vectors analog)."""
