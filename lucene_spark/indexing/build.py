@@ -43,7 +43,7 @@ from .plan import BuildPlan, make_build_plan, read_build_plan, write_build_plan
 
 TOKENS_SCHEMA = (
     "seg int, docid long, url string, lang string, doclen int, "
-    "is_first boolean, term string, tf int, positions array<int>"
+    "terms array<string>, tfs array<int>, positions array<array<int>>"
 )
 
 POSTINGS_SCHEMA = (
@@ -56,22 +56,32 @@ POSTINGS_SCHEMA = (
 
 
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool):
-    """mapInPandas closure: pages batches → per-(doc, term) rows."""
+    """mapInPandas closure: pages batches → ONE row per doc with parallel
+    term/tf/positions arrays (the term-vector forward index, reference
+    TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
+
+    Doc-major rows keep Python-side materialization O(docs), not
+    O(doc×term): the per-(doc, term) flattening happens JVM-side via
+    explode(arrays_zip(...)) in the postings job.
+    """
     from .plan import _norm
 
     analyze_fn = analyze if analyzer == "standard" else None
     simple_fn = ANALYZERS.get(analyzer)
+    empty_pos: list[list[int]] = []
 
     def fn(batches):
         for pdf in batches:
-            out = {k: [] for k in (
-                "seg", "docid", "url", "lang", "doclen", "is_first", "term", "tf", "positions")}
+            c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
+            c_terms, c_tfs, c_pos = [], [], []
             fps = pdf["fp"].map(lambda p: base_by_path[_norm(p)])
             texts = pdf["text"] if "text" in pdf else None
             htmls = pdf["html"] if "html" in pdf else None
+            urls = pdf["url"]
+            langs = pdf["lang"] if "lang" in pdf else None
+            ris = pdf["ri"]
             for i in range(len(pdf)):
                 base, seg = fps.iloc[i]
-                docid = int(base) + int(pdf["ri"].iloc[i])
                 text = texts.iloc[i] if texts is not None else None
                 if text is None and htmls is not None:
                     text = extract_text(htmls.iloc[i])
@@ -83,26 +93,19 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool):
                 agg: dict[str, list[int]] = {}
                 for term, pos in pairs:
                     agg.setdefault(term, []).append(pos)
-                dl = len(pairs)
-                url = pdf["url"].iloc[i]
-                lang = pdf["lang"].iloc[i] if "lang" in pdf else None
-                if not agg:  # empty doc still needs a docmap row
-                    out["seg"].append(seg); out["docid"].append(docid)
-                    out["url"].append(url); out["lang"].append(lang)
-                    out["doclen"].append(0); out["is_first"].append(True)
-                    out["term"].append(None); out["tf"].append(0)
-                    out["positions"].append([])
-                    continue
-                first = True
-                for term, poss in agg.items():
-                    out["seg"].append(seg); out["docid"].append(docid)
-                    out["url"].append(url if first else None)
-                    out["lang"].append(lang if first else None)
-                    out["doclen"].append(dl); out["is_first"].append(first)
-                    out["term"].append(term); out["tf"].append(len(poss))
-                    out["positions"].append(poss if store_positions else [])
-                    first = False
-            yield pd.DataFrame(out)
+                c_seg.append(seg)
+                c_docid.append(int(base) + int(ris.iloc[i]))
+                c_url.append(urls.iloc[i])
+                c_lang.append(langs.iloc[i] if langs is not None else None)
+                c_dl.append(len(pairs))
+                c_terms.append(list(agg.keys()))
+                c_tfs.append([len(v) for v in agg.values()])
+                c_pos.append(list(agg.values()) if store_positions else empty_pos)
+            yield pd.DataFrame({
+                "seg": c_seg, "docid": c_docid, "url": c_url, "lang": c_lang,
+                "doclen": c_dl, "terms": c_terms, "tfs": c_tfs,
+                "positions": c_pos,
+            })
 
     return fn
 
@@ -148,36 +151,68 @@ def _encode_rows(seg: int, term: str, docids, tfs, dls, pos_lists,
     return rows
 
 
-def _encode_batches(max_postings_per_row: int, block_size: int, store_positions: bool):
-    """mapInPandas closure over JVM-pre-aggregated term rows.
+def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: bool):
+    """mapInPandas closure over token rows sorted by (seg, term, docid)
+    within the partition (the reference FormatPostingsDocsWriter consuming a
+    sorted term stream, index/FormatPostingsDocsWriter.java:71-97).
 
-    Input rows (one per (seg, term), built by collect_list + sort_array +
-    transform — all JVM-side): ``seg, term, docids, tfs, dls[, poss]`` with
-    the arrays already sorted by docid. Encoding many terms per Arrow batch
-    amortizes Python overhead — this replaced a per-(seg,term)
-    applyInPandas that spent ~2 ms/group on 50k+ singleton tail terms
-    (the Zipf tail makes per-group UDF dispatch the bottleneck, not math).
+    A (seg, term) group may span Arrow batch boundaries — incomplete groups
+    carry over in numpy buffers until the key changes. Group boundaries are
+    found vectorized (np.flatnonzero on key changes); per-term work is a few
+    numpy calls. This replaced a per-(seg,term) applyInPandas that spent
+    ~2 ms/group of UDF dispatch on the Zipf tail of singleton terms, and it
+    needs no collect_list buffering JVM-side.
     """
 
     def fn(batches):
+        cur_key: tuple | None = None
+        b_ids: list = []
+        b_tfs: list = []
+        b_dls: list = []
+        b_pos: list = []
+        out: list[dict] = []
+
+        def flush():
+            nonlocal cur_key
+            if cur_key is None:
+                return
+            ids = np.concatenate(b_ids)
+            tfs = np.concatenate(b_tfs)
+            dls = np.concatenate(b_dls)
+            pos = ([np.asarray(p, dtype=np.int64) for chunk in b_pos for p in chunk]
+                   if store_positions else None)
+            out.extend(_encode_rows(cur_key[0], cur_key[1], ids, tfs, dls, pos,
+                                    max_postings_per_row, block_size))
+            b_ids.clear(); b_tfs.clear(); b_dls.clear(); b_pos.clear()
+
         for pdf in batches:
-            out: list[dict] = []
+            if not len(pdf):
+                continue
             segs = pdf["seg"].to_numpy()
-            terms = pdf["term"].to_numpy()
-            col_ids = pdf["docids"].to_numpy()
-            col_tfs = pdf["tfs"].to_numpy()
-            col_dls = pdf["dls"].to_numpy()
-            col_pos = pdf["poss"].to_numpy() if store_positions else None
-            for i in range(len(pdf)):
-                docids = np.asarray(col_ids[i], dtype=np.int64)
-                tfs = np.asarray(col_tfs[i], dtype=np.int64)
-                dls = np.asarray(col_dls[i], dtype=np.int64)
-                pos_lists = (
-                    [np.asarray(p, dtype=np.int64) for p in col_pos[i]]
-                    if col_pos is not None else None
-                )
-                out.extend(_encode_rows(int(segs[i]), terms[i], docids, tfs, dls,
-                                        pos_lists, max_postings_per_row, block_size))
+            terms = pdf["term"].to_numpy(dtype=object)
+            ids = pdf["docid"].to_numpy().astype(np.int64, copy=False)
+            tfs = pdf["tf"].to_numpy().astype(np.int64, copy=False)
+            dls = pdf["doclen"].to_numpy().astype(np.int64, copy=False)
+            pos_col = pdf["positions"].to_numpy() if store_positions else None
+            change = np.flatnonzero(
+                (segs[1:] != segs[:-1]) | (terms[1:] != terms[:-1])) + 1
+            bounds = [0, *change.tolist(), len(pdf)]
+            for bi in range(len(bounds) - 1):
+                lo, hi = bounds[bi], bounds[bi + 1]
+                key = (int(segs[lo]), terms[lo])
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                b_ids.append(ids[lo:hi])
+                b_tfs.append(tfs[lo:hi])
+                b_dls.append(dls[lo:hi])
+                if store_positions:
+                    b_pos.append(pos_col[lo:hi])
+            if len(out) >= 1024:  # only completed groups ever sit in `out`
+                yield pd.DataFrame(out)
+                out = []
+        flush()
+        if out:
             yield pd.DataFrame(out)
 
     return fn
@@ -253,17 +288,34 @@ def build_index(
 def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  analyzer: str, store_positions: bool,
                  max_postings_per_row: int, block_size: int) -> None:
+    import pyarrow.parquet as pq
+
     t0 = time.time()
-    paths = [f.path for f in plan.files if f.seg in set(segs)]
+    chunk_files = [f for f in plan.files if f.seg in set(segs)]
+    paths = [f.path for f in chunk_files]
     cols = ["url", "lang",
             F.col("_metadata.file_path").alias("fp"),
             F.col("_metadata.row_index").alias("ri")]
-    src_schema = spark.read.parquet(paths[0]).schema.fieldNames()
+    src_schema = pq.ParquetFile(paths[0]).schema_arrow.names  # footer only, no job
     if "text" in src_schema:
         cols.insert(1, F.col("text"))
     if "html" in src_schema:
         cols.insert(1, F.col("html"))
     pages = spark.read.parquet(*paths).select(*cols)
+
+    # co-locate each segment's pages in one task BEFORE tokenizing, so the
+    # partitionBy(seg) writes below emit one file per (task, seg) ≈ one file
+    # per segment instead of tasks×segments small files — the file-commit
+    # storm otherwise dominates wall clock (and would crush a real
+    # object-store namespace at 10^12 docs)
+    seg_map = F.create_map(
+        *[lit for f in chunk_files for lit in (F.lit(f.path), F.lit(f.seg))])
+    pages = (
+        pages
+        .withColumn("_seg", F.element_at(seg_map, F.regexp_replace("fp", "^file:(//)?", "")))
+        .repartition(len(segs), "_seg")
+        .drop("_seg")
+    )
 
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions),
@@ -275,51 +327,56 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     tok = spark.read.parquet(os.path.join(out_dir, "tokens")).where(F.col("seg").isin(segs))
 
-    # docmap: the is_first flag marks exactly one row per doc → no shuffle
-    (tok.where(F.col("is_first"))
-        .select("seg", "docid", "url", "lang", "doclen")
+    # docmap: one row per doc already — pure column projection, no shuffle
+    (tok.select("seg", "docid", "url", "lang", "doclen")
         .write.mode("overwrite").partitionBy("seg")
         .parquet(os.path.join(out_dir, "docmap")))
 
-    # postings: one corpus shuffle on (seg, term); group size ≤ seg docs.
-    # The partial (map-side) hash aggregation happens JVM-side via
-    # collect_list, the docid sort via sort_array on the struct (docid is
-    # the first field), and field extraction via transform — only the final
-    # blob encode crosses into Python, batched thousands-of-terms per
-    # Arrow batch (the Zipf tail of singleton terms makes per-group UDF
-    # dispatch far more expensive than the encode math itself).
-    plist = F.sort_array(F.collect_list(F.struct("docid", "tf", "doclen", "positions")))
-    agg = (tok.where(F.col("term").isNotNull())
-           .select("seg", "term", "docid", "tf", "doclen", "positions")
-           .groupBy("seg", "term")
-           .agg(plist.alias("pl"))
-           .select(
-               "seg", "term",
-               F.expr("transform(pl, s -> s.docid)").alias("docids"),
-               F.expr("transform(pl, s -> s.tf)").alias("tfs"),
-               F.expr("transform(pl, s -> s.doclen)").alias("dls"),
-               F.expr("transform(pl, s -> s.positions)").alias("poss"),
-           ))
-    (agg.mapInPandas(_encode_batches(max_postings_per_row, block_size, store_positions),
+    # postings: ONE corpus shuffle (repartition by seg — bounded groups, the
+    # segment is the salt), then a JVM Tungsten sort within each partition
+    # by (seg, term, docid) feeding the streaming encoder. Output lands one
+    # file per segment with row groups sorted by term, so query-time term
+    # predicates prune via parquet min/max stats — the two-level term-index
+    # seek of the reference (.tii/.tis, index/TermInfosWriter.java:59) falls
+    # out of the storage layout.
+    (tok.select(
+            "seg", "docid", "doclen",
+            F.explode(F.arrays_zip(
+                F.col("terms").alias("term"),
+                F.col("tfs").alias("tf"),
+                F.col("positions").alias("positions"))).alias("z"))
+        .select("seg", F.col("z.term").alias("term"), "docid",
+                F.col("z.tf").alias("tf"), "doclen",
+                F.col("z.positions").alias("positions"))
+        .repartition(len(segs), "seg")
+        .sortWithinPartitions("seg", "term", "docid")
+        .mapInPandas(_encode_stream(max_postings_per_row, block_size, store_positions),
                      schema=POSTINGS_SCHEMA)
         .write.mode("overwrite").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
 
-    # commit point: per-seg manifest with lineage + metrics (written last)
+    # commit point: per-seg manifest with lineage + metrics (written last).
+    # Stats scan only the tiny scalar columns (seg/salt/df — parquet column
+    # pruning keeps the blobs on disk); postings bytes come from file sizes.
     stats = {r["seg"]: r for r in (
         spark.read.parquet(os.path.join(out_dir, "postings"))
         .where(F.col("seg").isin(segs))
         .groupBy("seg")
         .agg(F.count("*").alias("posting_rows"),
-             F.countDistinct("term").alias("terms"),
-             F.sum("df").alias("postings"),
-             F.sum(F.length("ids_blob") + F.length("tfs_blob")
-                   + F.length("dls_blob") + F.length("positions_blob")).alias("postings_bytes"))
+             F.sum((F.col("salt") == 0).cast("long")).alias("terms"),
+             F.sum("df").alias("postings"))
         .collect())}
     docs = {r["seg"]: r["docs"] for r in (
         spark.read.parquet(os.path.join(out_dir, "docmap"))
         .where(F.col("seg").isin(segs))
         .groupBy("seg").agg(F.count("*").alias("docs")).collect())}
+
+    def _seg_bytes(seg: int) -> int:
+        d = os.path.join(out_dir, "postings", f"seg={seg}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(os.path.getsize(os.path.join(d, n))
+                   for n in os.listdir(d) if n.endswith(".parquet"))
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
     wall = time.time() - t0
     for seg in segs:
@@ -334,7 +391,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "terms": int(s["terms"]) if s else 0,
             "posting_rows": int(s["posting_rows"]) if s else 0,
             "postings": int(s["postings"]) if s else 0,
-            "postings_bytes": int(s["postings_bytes"]) if s else 0,
+            "postings_bytes": _seg_bytes(seg),
             "wall_ms": int(wall * 1000),
             "attempt": 1,
             "analyzer": analyzer,

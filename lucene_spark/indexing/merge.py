@@ -46,14 +46,21 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
 
     docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
     row = docmap.agg(F.count("*").alias("N"), F.avg("doclen").alias("avgdl"),
-                     F.sum("doclen").alias("total_tokens")).collect()[0]
-    n_terms = spark.read.parquet(os.path.join(out_dir, "term_dict")).count()
+                     F.sum("doclen").alias("total_tokens"),
+                     F.countDistinct("seg").alias("n_segments")).collect()[0]
+    # n_terms from parquet footers (driver-side metadata, no Spark job)
+    td_dir = os.path.join(out_dir, "term_dict")
+    import pyarrow.parquet as pq
+    n_terms = sum(
+        pq.ParquetFile(os.path.join(r, n)).metadata.num_rows
+        for r, _d, names in os.walk(td_dir) for n in names
+        if n.endswith(".parquet"))
     stats = {
         "N": int(row["N"]),
         "avgdl": float(row["avgdl"] or 0.0),
         "total_tokens": int(row["total_tokens"] or 0),
         "n_terms": int(n_terms),
-        "n_segments": int(docmap.select("seg").distinct().count()),
+        "n_segments": int(row["n_segments"]),
     }
     tmp = os.path.join(out_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
