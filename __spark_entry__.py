@@ -40,7 +40,7 @@ from lucene_spark.queries.ast import Bool, DisjunctionMax, MatchAll, Term
 from lucene_spark.queries.planner import Searcher
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
-_IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_idx")
+_IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_idx_v2")
 
 # ---------------------------------------------------------------------------
 # index management (cached per sf_dir)
@@ -63,7 +63,8 @@ def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
             .write.mode("overwrite").parquet(src)
         )
         build_index(spark, src, d, analyzer="whitespace",
-                    target_docs_per_seg=2000, store_positions=True)
+                    target_docs_per_seg=2000, store_positions=True,
+                    keyword_fields=("lang",))
         merge_index(spark, d)
     return IndexReader(spark, d)
 
@@ -170,6 +171,19 @@ def _q_ft_min_should(spark, sf_dir):
 def _q_ft_disjmax(spark, sf_dir):
     q = DisjunctionMax([Term("data"), Term("spark")], tie_breaker=0.3)
     return _topk(spark, sf_dir, q)
+
+
+def _q_ft_facets(spark, sf_dir):
+    """Facet counts over docs matching 'data' (the Exposed-fork use case)."""
+    return _searcher(spark, sf_dir).facets("data", top_n=10)
+
+
+def _q_ft_sorted(spark, sf_dir):
+    """Top-k matching docs sorted by a stored field (TopFieldCollector)."""
+    top = _searcher(spark, sf_dir).search_sorted("data", by="doclen",
+                                                 k=10, ascending=False)
+    return top.select(F.col("url").cast("long").alias("doc_id"), "lang",
+                      F.col("doclen").cast("long").alias("dl"))
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": ft("s*"),
         "ft_wildcard": ft("s?an"),
         "ft_fuzzy": ft("datq~1"),
+        "ft_range": ft("[order TO row]"),
+        "ft_range_excl": ft("{order TO row}"),
+        "ft_field_filter": ft("data AND lang:es"),
         "ft_count": _q_ft_count,
+        "ft_facets": _q_ft_facets,
+        "ft_sorted": _q_ft_sorted,
         # --- index build artifacts (SURVEY §2.1) ---
         "ft_term_stats": _q_ft_term_stats,
         "ft_doclens": _q_ft_doclens,
@@ -657,14 +676,40 @@ ORDER BY max(s) + 0.3 * (sum(s) - max(s)) DESC, doc_id ASC LIMIT 10""",
         "ft_wildcard": _sql_expand("regexp_matches(term, '^s.an$')"),
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
+        "ft_range": _sql_expand("term >= 'order' AND term <= 'row'"),
+        "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
+        "ft_field_filter": f"""WITH {_PRELUDE}
+SELECT doc_id, round(s, 4) AS score FROM scored
+WHERE term = 'data'
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'es')
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        "ft_facets": f"""WITH {_PRELUDE},
+m AS (SELECT DISTINCT doc_id FROM tfs WHERE term = 'data'),
+allt AS (
+  SELECT doc_id, term FROM tfs
+  UNION ALL SELECT doc_id, 'lang:' || lang FROM documents
+)
+SELECT t.term, CAST(count(*) AS BIGINT) AS n_docs
+FROM allt t JOIN m USING (doc_id)
+GROUP BY t.term ORDER BY count(*) DESC, t.term ASC LIMIT 10""",
+        "ft_sorted": f"""WITH {_PRELUDE}
+SELECT d.doc_id, d.lang, CAST(l.dl AS BIGINT) AS dl
+FROM dls l JOIN documents d USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'data')
+ORDER BY l.dl DESC, d.doc_id ASC LIMIT 10""",
         "ft_count": f"""WITH {_PRELUDE}
 SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
   SELECT doc_id FROM tfs WHERE term IN ('data', 'spark')
   GROUP BY doc_id HAVING count(*) = 2
 )""",
         "ft_term_stats": f"""WITH {_PRELUDE}
-SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-FROM tfs GROUP BY term ORDER BY term""",
+SELECT term, df, cf FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tfs GROUP BY term
+  UNION ALL
+  SELECT 'lang:' || lang, CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM documents GROUP BY lang
+) ORDER BY term""",
         "ft_doclens": f"""WITH {_PRELUDE}
 SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
 ORDER BY doc_id""",

@@ -55,7 +55,8 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool):
+def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
+                   keyword_fields: tuple = ()):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -95,12 +96,27 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool):
                     agg.setdefault(term, []).append(pos)
                 c_seg.append(seg)
                 c_docid.append(int(base) + int(ris.iloc[i]))
-                c_url.append(urls.iloc[i])
-                c_lang.append(langs.iloc[i] if langs is not None else None)
+                url = urls.iloc[i]
+                lang = langs.iloc[i] if langs is not None else None
+                c_url.append(url)
+                c_lang.append(lang)
                 c_dl.append(len(pairs))
-                c_terms.append(list(agg.keys()))
-                c_tfs.append([len(v) for v in agg.values()])
-                c_pos.append(list(agg.values()) if store_positions else empty_pos)
+                terms = list(agg.keys())
+                tfs = [len(v) for v in agg.values()]
+                pos = list(agg.values()) if store_positions else list(empty_pos)
+                # NOT_ANALYZED keyword fields → namespaced single terms with
+                # tf=1, no positions, excluded from doclen (reference
+                # Field.Index.NOT_ANALYZED + omitNorms, document/Field.java:83)
+                for kf in keyword_fields:
+                    val = {"lang": lang, "url": url}.get(kf)
+                    if val is not None:
+                        terms.append(f"{kf}:{val}")
+                        tfs.append(1)
+                        if store_positions:
+                            pos.append([])
+                c_terms.append(terms)
+                c_tfs.append(tfs)
+                c_pos.append(pos)
             yield pd.DataFrame({
                 "seg": c_seg, "docid": c_docid, "url": c_url, "lang": c_lang,
                 "doclen": c_dl, "terms": c_terms, "tfs": c_tfs,
@@ -251,6 +267,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     segs_per_job: int | None = None,
+    keyword_fields: tuple = (),
 ) -> dict:
     """Build (or resume) the index for parquet pages at input_path.
 
@@ -279,7 +296,7 @@ def build_index(
     for ci in range(0, len(pending), chunk):
         segs = pending[ci : ci + chunk]
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
-                     max_postings_per_row, block_size)
+                     max_postings_per_row, block_size, keyword_fields)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -287,7 +304,8 @@ def build_index(
 
 def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  analyzer: str, store_positions: bool,
-                 max_postings_per_row: int, block_size: int) -> None:
+                 max_postings_per_row: int, block_size: int,
+                 keyword_fields: tuple = ()) -> None:
     import pyarrow.parquet as pq
 
     t0 = time.time()
@@ -318,18 +336,18 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     )
 
     tokens = pages.mapInPandas(
-        _tokenize_iter(plan.base_by_path(), analyzer, store_positions),
+        _tokenize_iter(plan.base_by_path(), analyzer, store_positions, keyword_fields),
         schema=TOKENS_SCHEMA,
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
     # twice (docmap + postings) without re-tokenizing
-    tokens.write.mode("overwrite").partitionBy("seg").parquet(os.path.join(out_dir, "tokens"))
+    tokens.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg").parquet(os.path.join(out_dir, "tokens"))
 
     tok = spark.read.parquet(os.path.join(out_dir, "tokens")).where(F.col("seg").isin(segs))
 
     # docmap: one row per doc already — pure column projection, no shuffle
     (tok.select("seg", "docid", "url", "lang", "doclen")
-        .write.mode("overwrite").partitionBy("seg")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "docmap")))
 
     # postings: ONE corpus shuffle (repartition by seg — bounded groups, the
@@ -352,7 +370,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         .sortWithinPartitions("seg", "term", "docid")
         .mapInPandas(_encode_stream(max_postings_per_row, block_size, store_positions),
                      schema=POSTINGS_SCHEMA)
-        .write.mode("overwrite").partitionBy("seg")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
 
     # commit point: per-seg manifest with lineage + metrics (written last).

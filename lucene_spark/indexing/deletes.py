@@ -1,0 +1,171 @@
+"""Deletes — tombstone side-car + physical expunge.
+
+Reference semantics reproduced (all cites /root/reference):
+- Buffered deletes by term or query resolve to per-segment deleted-doc sets
+  (index/BufferedDeletes.java:36, applied in
+  index/DocumentsWriter.java:268-272,884).
+- The deleted set is a SIDE-CAR per segment (the ``.del`` BitVector,
+  util/BitVector.java:35): queries exclude tombstoned docs, but docIDs keep
+  their slots and corpus/df statistics stay unchanged until a merge rewrites
+  the segment — exactly Lucene's numDocs-vs-maxDoc behaviour.
+- ``expunge_deletes`` is the physical rewrite (IndexWriter.expungeDeletes,
+  index/IndexWriter.java — merge path drops deleted docs). Unlike Lucene we
+  keep docID holes instead of remapping, so docIDs stay stable for
+  rank-identity across rewrites; stats.json is refreshed afterwards.
+
+Representation: ``deleted/seg=k/`` holds POSTINGS_SCHEMA rows under the
+reserved term ``\\x00deleted`` — the docid blob reuses the VByte block codec,
+so the tombstone set rides the same IO path as postings and the per-segment
+kernel can subtract it without any driver-side collection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import BLOCK_SIZE
+from ..codec import decode_postings
+from .build import POSTINGS_SCHEMA, _encode_stream
+
+DELETED_TERM = "\x00deleted"
+
+
+def deleted_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deleted")
+
+
+def deleted_rows(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Tombstone rows (POSTINGS_SCHEMA) or None if no deletes exist."""
+    p = deleted_path(index_dir)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def deleted_docids(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Decoded view → DataFrame(seg int, docid long), for docmap anti-joins."""
+    rows = deleted_rows(spark, index_dir)
+    if rows is None:
+        return None
+
+    def decode(batches):
+        for pdf in batches:
+            segs, ids = [], []
+            for rec in pdf.to_dict("records"):
+                d, _t, _dl = decode_postings(rec, BLOCK_SIZE)
+                segs.append(np.full(d.size, rec["seg"], dtype=np.int64))
+                ids.append(d)
+            if ids:
+                yield pd.DataFrame({
+                    "seg": np.concatenate(segs),
+                    "docid": np.concatenate(ids),
+                })
+
+    return rows.mapInPandas(decode, schema="seg long, docid long").distinct()
+
+
+def delete_by_docids(spark: SparkSession, index_dir: str,
+                     docs: DataFrame) -> None:
+    """Append tombstones for DataFrame(seg, docid). Encoded per segment via
+    the streaming posting encoder (docids sorted, block metadata intact)."""
+    crafted = (
+        docs.select(
+            F.col("seg").cast("int").alias("seg"),
+            F.lit(DELETED_TERM).alias("term"),
+            F.col("docid").cast("long").alias("docid"),
+            F.lit(1).alias("tf"),
+            F.lit(0).alias("doclen"),
+            F.array().cast("array<int>").alias("positions"),
+        )
+        .distinct()
+        .repartition("seg")
+        .sortWithinPartitions("seg", "term", "docid")
+    )
+    (crafted.mapInPandas(_encode_stream(1 << 62, BLOCK_SIZE, False),
+                         schema=POSTINGS_SCHEMA)
+        .write.mode("append").partitionBy("seg")
+        .parquet(deleted_path(index_dir)))
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, query) -> int:
+    """Delete all docs matching a query (term string, query string, or AST)
+    — the reference deleteDocuments(Term|Query), index/IndexWriter.java:2118.
+    Returns the number of newly tombstoned docs."""
+    from ..queries.planner import Searcher
+    from .reader import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    searcher = Searcher(reader)
+    m = searcher.matching(query).select("docid")
+    docs = reader.docmap().join(m, "docid").select("seg", "docid")
+    n = docs.count()
+    if n:
+        delete_by_docids(spark, index_dir, docs)
+    return n
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str,
+                    block_size: int = BLOCK_SIZE,
+                    max_postings_per_row: int = 250_000) -> dict:
+    """Physically drop tombstoned docs from the affected segments by
+    rebuilding their tables from the forward index (tokens), then refresh
+    global stats. DocIDs keep their slots (holes allowed)."""
+    import shutil
+
+    from .merge import merge_index
+
+    dels = deleted_docids(spark, index_dir)
+    if dels is None:
+        return {"expunged": 0, "segments": []}
+    segs = [int(r["seg"]) for r in dels.select("seg").distinct().collect()]
+    if not segs:
+        return {"expunged": 0, "segments": []}
+    n_del = dels.count()
+    del_ids = dels.select("docid")
+
+    tokens_p = os.path.join(index_dir, "tokens")
+    tok = (spark.read.parquet(tokens_p).where(F.col("seg").isin(segs))
+           .join(del_ids, "docid", "left_anti"))
+
+    # rewrite tokens → docmap → postings for the affected segments, staged
+    # then swapped (rename-commit, same as the build's manifest protocol)
+    store_positions = "positions" in tok.columns
+    # tokens is rewritten LAST: docmap/postings lineage reads the old tokens
+    # files, which must still exist when those stages execute
+    stages = {
+        "docmap": tok.select("seg", "docid", "url", "lang", "doclen"),
+        "postings": (
+            tok.select(
+                "seg", "docid", "doclen",
+                F.explode(F.arrays_zip(
+                    F.col("terms").alias("term"),
+                    F.col("tfs").alias("tf"),
+                    F.col("positions").alias("positions"))).alias("z"))
+            .select("seg", F.col("z.term").alias("term"), "docid",
+                    F.col("z.tf").alias("tf"), "doclen",
+                    F.col("z.positions").alias("positions"))
+            .repartition(len(segs), "seg")
+            .sortWithinPartitions("seg", "term", "docid")
+            .mapInPandas(_encode_stream(max_postings_per_row, block_size,
+                                        store_positions),
+                         schema=POSTINGS_SCHEMA)),
+        "tokens": tok,
+    }
+    for name, df in stages.items():
+        src = os.path.join(index_dir, name)
+        tmp = os.path.join(index_dir, f"_expunge_tmp_{name}")
+        df.write.mode("overwrite").partitionBy("seg").parquet(tmp)
+        for s in segs:
+            shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
+            staged = os.path.join(tmp, f"seg={s}")
+            if os.path.isdir(staged):
+                os.replace(staged, os.path.join(src, f"seg={s}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    shutil.rmtree(deleted_path(index_dir), ignore_errors=True)
+    stats = merge_index(spark, index_dir)
+    return {"expunged": int(n_del), "segments": sorted(segs), "stats": stats}

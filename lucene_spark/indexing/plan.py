@@ -86,6 +86,42 @@ def make_build_plan(input_path: str, target_docs_per_seg: int = 50_000) -> Build
                      n_segments=(seg + 1) if files else 0, files=files)
 
 
+def extend_build_plan(plan: BuildPlan, input_path: str,
+                      target_docs_per_seg: int = 50_000) -> list[int]:
+    """Append new parquet files to an existing plan as NEW segments (docid
+    bases continue after plan.n_docs; existing entries never change — the
+    incremental-ingest / NRT-append path). Returns the new segment ids;
+    files already in the plan are skipped (idempotent re-run)."""
+    paths: list[str] = []
+    if os.path.isdir(input_path):
+        for root, _dirs, names in os.walk(input_path):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    paths.append(os.path.abspath(os.path.join(root, n)))
+    else:
+        paths.append(os.path.abspath(input_path))
+    known = {f.path for f in plan.files}
+    paths = sorted(p for p in paths if p not in known)
+    if not paths:
+        return []
+    base = plan.n_docs
+    seg = max((f.seg for f in plan.files), default=-1) + 1
+    seg_rows = 0
+    new_segs = [seg]
+    for p in paths:
+        rows = pq.ParquetFile(p).metadata.num_rows
+        if seg_rows and seg_rows + rows > target_docs_per_seg:
+            seg += 1
+            new_segs.append(seg)
+            seg_rows = 0
+        plan.files.append(FileEntry(path=p, rows=rows, seg=seg, docid_base=base))
+        base += rows
+        seg_rows += rows
+    plan.n_docs = base
+    plan.n_segments = len({f.seg for f in plan.files})
+    return new_segs
+
+
 def write_build_plan(plan: BuildPlan, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "build_plan.json"), "w") as f:

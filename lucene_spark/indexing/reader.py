@@ -67,8 +67,12 @@ class IndexReader:
         elif kind == "wildcard_regex":
             df = td.where(F.col("term").rlike(arg))
         elif kind == "range":
-            lo, hi = arg
-            df = td.where(F.col("term").between(lo, hi))
+            lo, hi, inc_lo, inc_hi = arg
+            df = td
+            if lo is not None:
+                df = df.where(F.col("term") >= lo if inc_lo else F.col("term") > lo)
+            if hi is not None:
+                df = df.where(F.col("term") <= hi if inc_hi else F.col("term") < hi)
         else:
             raise ValueError(kind)
         # reference caps BooleanQuery at 1024 clauses (search/BooleanQuery.java:34)

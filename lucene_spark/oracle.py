@@ -26,6 +26,7 @@ from .queries.ast import (
     Prefix,
     Query,
     Term,
+    TermRange,
     Wildcard,
 )
 from .scoring import bm25_idf, bm25_tf_weight, levenshtein, phrase_freq, wildcard_to_regex
@@ -125,6 +126,14 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
             and abs(len(t) - len(q.term)) <= q.max_edits
             and levenshtein(t, q.term) <= q.max_edits
         ]
+    if isinstance(q, TermRange):
+        def ok(t: str) -> bool:
+            if q.lo is not None and (t < q.lo or (t == q.lo and not q.include_lo)):
+                return False
+            if q.hi is not None and (t > q.hi or (t == q.hi and not q.include_hi)):
+                return False
+            return True
+        return [t for t in idx_terms if ok(t)]
     raise TypeError(type(q))
 
 
@@ -133,7 +142,7 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_term(idx, q)
     if isinstance(q, Phrase):
         return _eval_phrase(idx, q)
-    if isinstance(q, (Prefix, Wildcard, Fuzzy)):
+    if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange)):
         terms = expand_multiterm(idx.terms_sorted, q)
         b = Bool(should=[Term(t) for t in terms], boost=q.boost)
         return _eval(idx, b)

@@ -81,6 +81,19 @@ class Wildcard(Query):
 
 
 @dataclass
+class TermRange(Query):
+    """Term range [lo TO hi] / {lo TO hi} (reference search/TermRangeQuery.java:40);
+    None bound = open. Rewrites to a scoring boolean disjunction over the
+    dictionary slice, like the other MultiTermQueries."""
+
+    lo: str | None
+    hi: str | None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class Fuzzy(Query):
     term: str
     max_edits: int = 2

@@ -35,16 +35,30 @@ from .ast import Bool, ConstantScore, DisjunctionMax, MatchAll, Phrase, Query, T
 _SAFETY = 1.0 + 1e-9  # pruning bound slack: ties always fall back to full eval
 
 
+_DELETED_TERM = "\x00deleted"  # tombstone side-car rows (indexing/deletes.py)
+
+
 class SegmentPostings:
-    """Lazy decoded view of one segment's posting rows for the query terms."""
+    """Lazy decoded view of one segment's posting rows for the query terms.
+    Tombstone rows (term == \\x00deleted) are split out into ``deleted`` —
+    the per-segment ``.del`` bitmap analog (util/BitVector.java:35)."""
 
     def __init__(self, pdf: pd.DataFrame, block_size: int = BLOCK_SIZE):
         self.block_size = block_size
         self.rows: dict[str, list[dict]] = {}
+        del_rows: list[dict] = []
         for rec in pdf.to_dict("records"):
-            self.rows.setdefault(rec["term"], []).append(rec)
+            if rec["term"] == _DELETED_TERM:
+                del_rows.append(rec)
+            else:
+                self.rows.setdefault(rec["term"], []).append(rec)
         for term in self.rows:
             self.rows[term].sort(key=lambda r: r["salt"])
+        if del_rows:
+            parts = [decode_postings(r, block_size)[0] for r in del_rows]
+            self.deleted: np.ndarray | None = np.unique(np.concatenate(parts))
+        else:
+            self.deleted = None
         self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def has(self, term: str) -> bool:
@@ -346,6 +360,9 @@ def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_
     per-segment bounded heap, search/TopScoreDocCollector.java:46-66)."""
     sp = SegmentPostings(pdf, block_size)
     ids, sc = eval_query(sp, ctx, q)
+    if sp.deleted is not None and ids.size:
+        keep = ~np.isin(ids, sp.deleted, assume_unique=False)
+        ids, sc = ids[keep], sc[keep]
     if ids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})

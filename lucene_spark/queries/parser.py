@@ -16,13 +16,25 @@ from __future__ import annotations
 import re
 
 from ..analysis import analyze
-from .ast import Bool, Fuzzy, MatchAll, Phrase, Prefix, Query, Term, Wildcard
+from .ast import (
+    Bool,
+    ConstantScore,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Query,
+    Term,
+    TermRange,
+    Wildcard,
+)
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()
       | (?P<rpar>\))
       | (?P<quoted>"[^"]*"(?:~\d+)?)
+      | (?P<range>[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?)
       | (?P<and>AND\b)
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
@@ -32,6 +44,13 @@ _TOKEN_RE = re.compile(
     )""",
     re.VERBOSE,
 )
+
+# keyword (NOT_ANALYZED) fields — indexed as namespaced terms "field:value"
+# (the reference Field.Index.NOT_ANALYZED design, document/Field.java:83);
+# query position `field:value` is filter-style: constant score 0 unless an
+# explicit ^boost is given (reference FilteredQuery semantics,
+# search/FilteredQuery.java:40 — the filter side contributes no score)
+KEYWORD_FIELDS = ("lang", "url")
 
 
 class _Lexer:
@@ -67,8 +86,27 @@ def _split_boost(word: str) -> tuple[str, float]:
     return word, 1.0
 
 
+def _range_query(tok: str) -> Query | None:
+    m = re.match(
+        r"^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])(?:\^(\d+(?:\.\d+)?))?$", tok)
+    if not m:
+        return None
+    lo = None if m.group(2) == "*" else m.group(2).lower()
+    hi = None if m.group(3) == "*" else m.group(3).lower()
+    return TermRange(lo, hi, include_lo=m.group(1) == "[",
+                     include_hi=m.group(4) == "]",
+                     boost=float(m.group(5) or 1.0))
+
+
 def _word_query(word: str) -> Query | None:
     word, boost = _split_boost(word)
+    fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
+    if fm and fm.group(1) in KEYWORD_FIELDS:
+        # explicit ^boost → constant-score that value; bare → pure filter (0)
+        const = boost if boost != 1.0 else 0.0
+        return ConstantScore(Term(f"{fm.group(1)}:{fm.group(2)}"), boost=const)
+    if fm and fm.group(1) == "text":  # the default analyzed field, explicit
+        word = fm.group(2)
     # fuzzy: trailing ~ or ~n / ~0.x (classic similarity form → edits)
     m = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", word)
     if m and not word.endswith("\\~"):
@@ -130,6 +168,9 @@ def _parse_atom(lx: _Lexer) -> tuple[Query | None, str]:
     if t[0] == "quoted":
         lx.next()
         return _quoted_query(t[1]), occur
+    if t[0] == "range":
+        lx.next()
+        return _range_query(t[1]), occur
     if t[0] == "word":
         lx.next()
         return _word_query(t[1]), occur

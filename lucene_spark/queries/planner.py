@@ -33,6 +33,7 @@ from .ast import (
     Prefix,
     Query,
     Term,
+    TermRange,
     Wildcard,
 )
 from .kernel import Ctx, segment_topk
@@ -44,6 +45,23 @@ MAX_CLAUSES = 1024  # reference BooleanQuery.maxClauseCount (search/BooleanQuery
 class Searcher:
     def __init__(self, reader: IndexReader):
         self.reader = reader
+
+    # ------------------------------------------------------------------ #
+    def _with_deleted(self, rows: DataFrame) -> DataFrame:
+        """Union the tombstone side-car rows into the kernel input so each
+        segment kernel can subtract its deleted set (the per-segment .del
+        bitmap, util/BitVector.java:35; see indexing/deletes.py)."""
+        from ..indexing.deletes import deleted_rows
+
+        dr = deleted_rows(self.reader.spark, self.reader.index_dir)
+        return rows if dr is None else rows.unionByName(dr)
+
+    def _live_docmap(self) -> DataFrame:
+        from ..indexing.deletes import deleted_docids
+
+        dd = deleted_docids(self.reader.spark, self.reader.index_dir)
+        dm = self.reader.docmap()
+        return dm if dd is None else dm.join(dd.select("docid"), "docid", "left_anti")
 
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:
@@ -58,6 +76,10 @@ class Searcher:
             return Bool(should=[Term(t) for t in terms], boost=q.boost)
         if isinstance(q, Fuzzy):
             terms = self._expand_fuzzy(q)
+            return Bool(should=[Term(t) for t in terms], boost=q.boost)
+        if isinstance(q, TermRange):
+            terms = self.reader.expand_terms(
+                "range", (q.lo, q.hi, q.include_lo, q.include_hi), MAX_CLAUSES)
             return Bool(should=[Term(t) for t in terms], boost=q.boost)
         if isinstance(q, Bool):
             return Bool(
@@ -99,7 +121,7 @@ class Searcher:
         q = self.rewrite(q)
 
         if isinstance(q, MatchAll):
-            out = (self.reader.docmap()
+            out = (self._live_docmap()
                    .select("docid", F.lit(float(q.boost)).alias("score"))
                    .orderBy(F.asc("docid")).limit(k))
             return self._hydrate(out) if hydrate else out
@@ -113,7 +135,8 @@ class Searcher:
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k)
 
         qterms = [t for t in terms if t in dfs]
-        rows = self.reader.postings().where(F.col("term").isin(qterms))
+        rows = self._with_deleted(
+            self.reader.postings().where(F.col("term").isin(qterms)))
 
         def run(pdf):
             return segment_topk(pdf, q, ctx)
@@ -122,21 +145,65 @@ class Searcher:
         out = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._hydrate(out) if hydrate else out
 
-    def count(self, query: Query | str) -> int:
-        """Total hits (reference TopDocs.totalHits)."""
+    def matching(self, query: Query | str) -> DataFrame:
+        """ALL matching docids (no top-k truncation) → DataFrame(docid, score).
+        The per-segment kernel still runs distributed; only the heap bound is
+        lifted (reference Collector-without-limit / totalHits path)."""
         q = parse_query(query) if isinstance(query, str) else query
         q = self.rewrite(q)
         if isinstance(q, MatchAll):
-            return self.reader.N
+            return self._live_docmap().select(
+                "docid", F.lit(float(q.boost)).alias("score"))
         terms = sorted(set(q.terms()))
         dfs = self.reader.doc_freqs(terms)
+        if not dfs:
+            return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62)
-        rows = self.reader.postings().where(F.col("term").isin(list(dfs)))
+        rows = self._with_deleted(
+            self.reader.postings().where(F.col("term").isin(list(dfs))))
 
         def run(pdf):
             return segment_topk(pdf, q, ctx)
 
-        return rows.groupBy("seg").applyInPandas(run, schema="docid long, score double").count()
+        return rows.groupBy("seg").applyInPandas(run, schema="docid long, score double")
+
+    def facets(self, query: Query | str | None = None, top_n: int = 10) -> DataFrame:
+        """Facet counts → DataFrame(term, n_docs), count desc / term asc.
+
+        The reference fork's whole contribution (LUCENE-2335 "Exposed":
+        index/ExposedSegmentReader.java:18 builds collator-sorted term ords
+        so facet counting walks packed ordinals). Spark-first the same
+        answer is a groupBy over the forward index: for the corpus facet it
+        is the term dictionary itself; for a query facet, semi-join the
+        matching docids into the term-vector table and count — dictionary
+        encoding + shuffle sort subsume the ordinal machinery."""
+        if query is None:
+            return (self.reader.term_dict()
+                    .select("term", F.col("df").cast("long").alias("n_docs"))
+                    .orderBy(F.desc("n_docs"), F.asc("term")).limit(top_n))
+        m = self.matching(query).select("docid")
+        tok = self.reader.tokens().select("docid", F.explode("terms").alias("term"))
+        return (tok.join(m, "docid")
+                .groupBy("term").agg(F.count("*").cast("long").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc("term")).limit(top_n))
+
+    def search_sorted(self, query: Query | str, by: str, k: int = 10,
+                      ascending: bool = True) -> DataFrame:
+        """Top-k by a stored field (reference TopFieldCollector /
+        Sort(SortField), search/TopFieldCollector.java:904; the Exposed
+        comparator source search/ExposedFieldComparatorSource.java:23).
+        FieldCache un-inversion is a no-op here — the docmap column IS the
+        per-doc value array; `orderBy(col).limit(k)` is the distributed
+        bounded field-heap."""
+        m = self.matching(query).select("docid")
+        dm = self.reader.docmap().join(m, "docid")
+        order = F.asc(by) if ascending else F.desc(by)
+        return (dm.select("docid", "url", "lang", "doclen")
+                .orderBy(order, F.asc("docid")).limit(k))
+
+    def count(self, query: Query | str) -> int:
+        """Total hits (reference TopDocs.totalHits)."""
+        return self.matching(query).count()
 
     # ------------------------------------------------------------------ #
     def _hydrate(self, topk: DataFrame) -> DataFrame:
