@@ -173,6 +173,21 @@ def _q_ft_disjmax(spark, sf_dir):
     return _topk(spark, sf_dir, q)
 
 
+def _q_ft_mlt(spark, sf_dir):
+    """MoreLikeThis: docs similar to doc_id 0 (top tf-idf terms of its term
+    vector → scoring disjunction, source excluded)."""
+    r = _index(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    src = int(r.docmap().where(F.col("url") == "0")
+              .select("docid").collect()[0][0])
+    out = s.more_like_this(src, max_terms=8, k=10, min_df=2)
+    dm = r.docmap().select("docid", "url")
+    return (dm.join(F.broadcast(out), "docid")
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def _q_ft_facets(spark, sf_dir):
     """Facet counts over docs matching 'data' (the Exposed-fork use case)."""
     return _searcher(spark, sf_dir).facets("data", top_n=10)
@@ -510,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": _q_ft_count,
         "ft_facets": _q_ft_facets,
         "ft_sorted": _q_ft_sorted,
+        "ft_mlt": _q_ft_mlt,
         # --- index build artifacts (SURVEY §2.1) ---
         "ft_term_stats": _q_ft_term_stats,
         "ft_doclens": _q_ft_doclens,
@@ -697,6 +713,18 @@ SELECT d.doc_id, d.lang, CAST(l.dl AS BIGINT) AS dl
 FROM dls l JOIN documents d USING (doc_id)
 WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'data')
 ORDER BY l.dl DESC, d.doc_id ASC LIMIT 10""",
+        "ft_mlt": f"""WITH {_PRELUDE},
+sel AS (
+  SELECT s.term
+  FROM (SELECT term, tf FROM tfs WHERE doc_id = 0) s
+  JOIN dfs d USING (term) CROSS JOIN corpus c
+  WHERE d.df >= 2
+  ORDER BY s.tf * ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) DESC, s.term ASC
+  LIMIT 8
+)
+SELECT doc_id, round(sum(s), 4) AS score FROM scored
+WHERE term IN (SELECT term FROM sel) AND doc_id != 0
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10""",
         "ft_count": f"""WITH {_PRELUDE}
 SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
   SELECT doc_id FROM tfs WHERE term IN ('data', 'spark')

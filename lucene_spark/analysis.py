@@ -299,3 +299,218 @@ def doc_term_stats(text: str) -> tuple[list[str], list[int], list[list[int]], in
         [agg[t] for t in terms],
         len(pairs),
     )
+
+
+# ---------------------------------------------------------------------------
+# Optional token filters (SURVEY.md §2.2): Porter stemmer
+# (analysis/PorterStemFilter.java:49 — Lucene ports Martin Porter's canonical
+# C implementation, including its two marked departures from the 1980 paper:
+# step2 bli→ble and logi→log), ASCIIFoldingFilter (analysis/ASCIIFoldingFilter
+# .java:60, approximated via NFKD + combining-mark strip), LengthFilter
+# (analysis/LengthFilter.java:27), ShingleFilter (contrib shingle/
+# ShingleFilter.java), NGramTokenizer (contrib ngram/NGramTokenizer.java).
+# ---------------------------------------------------------------------------
+
+
+def _p_is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _p_is_cons(w, i - 1)
+    return True
+
+
+def _p_measure(w: str, j: int) -> int:
+    """Number of VC sequences in w[:j+1] (Porter's m)."""
+    m = 0
+    i = 0
+    n = j + 1
+    while True:
+        if i >= n:
+            return m
+        if not _p_is_cons(w, i):
+            break
+        i += 1
+    i += 1
+    while True:
+        while True:
+            if i >= n:
+                return m
+            if _p_is_cons(w, i):
+                break
+            i += 1
+        i += 1
+        m += 1
+        while True:
+            if i >= n:
+                return m
+            if not _p_is_cons(w, i):
+                break
+            i += 1
+        i += 1
+
+
+def _p_has_vowel(w: str, j: int) -> bool:
+    return any(not _p_is_cons(w, i) for i in range(j + 1))
+
+
+def _p_double_cons(w: str, j: int) -> bool:
+    return j >= 1 and w[j] == w[j - 1] and _p_is_cons(w, j)
+
+
+def _p_cvc(w: str, j: int) -> bool:
+    if j < 2 or not _p_is_cons(w, j) or _p_is_cons(w, j - 1) or not _p_is_cons(w, j - 2):
+        return False
+    return w[j] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    """Porter stemmer, Martin Porter's canonical variant (what the reference
+    PorterStemFilter ships). Lowercase ASCII input assumed."""
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _p_measure(w, len(w) - 4) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _p_has_vowel(w, len(w) - 3):
+            w = w[:-2]
+            flag = True
+    elif w.endswith("ing"):
+        if _p_has_vowel(w, len(w) - 4):
+            w = w[:-3]
+            flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _p_double_cons(w, len(w) - 1) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _p_measure(w, len(w) - 1) == 1 and _p_cvc(w, len(w) - 1):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w, len(w) - 2):
+        w = w[:-1] + "i"
+
+    def replace(suffixes: list[tuple[str, str]], min_m: int = 1) -> None:
+        nonlocal w
+        for suf, rep in suffixes:
+            if w.endswith(suf):
+                stem_j = len(w) - len(suf) - 1
+                if stem_j >= 0 and _p_measure(w, stem_j) >= min_m:
+                    w = w[: len(w) - len(suf)] + rep
+                return
+
+    # step 2 (m>0) — canonical variant: bli→ble, logi→log departures
+    replace([
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+        ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+        ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"), ("logi", "log"),
+    ])
+
+    # step 3 (m>0)
+    replace([
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ])
+
+    # step 4 (m>1)
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem_j = len(w) - len(suf) - 1
+            if stem_j >= 0 and _p_measure(w, stem_j) > 1:
+                if suf == "ion" and w[stem_j] not in "st":
+                    pass  # ion only drops after s/t
+                else:
+                    w = w[: len(w) - len(suf)]
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        m = _p_measure(w, len(w) - 2)
+        if m > 1 or (m == 1 and not _p_cvc(w, len(w) - 2)):
+            w = w[:-1]
+    # step 5b
+    if w.endswith("ll") and _p_measure(w, len(w) - 1) > 1:
+        w = w[:-1]
+    return w
+
+
+def ascii_fold(text: str) -> str:
+    """Fold accented/extended-Latin characters to ASCII (reference
+    ASCIIFoldingFilter semantics for the Latin ranges, approximated via
+    Unicode NFKD decomposition + combining-mark removal)."""
+    import unicodedata
+
+    out = []
+    for ch in text:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        dec = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in dec if not unicodedata.combining(c)
+                       and ord(c) < 128)
+        # a few common non-decomposable Latin letters
+        kept = kept or {"ß": "ss", "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O",
+                        "đ": "d", "Đ": "D", "þ": "th", "Þ": "TH",
+                        "ł": "l", "Ł": "L", "œ": "oe", "Œ": "OE"}.get(ch, "")
+        out.append(kept)
+    return "".join(out)
+
+
+def length_filter(tokens: list[str], min_len: int = 1,
+                  max_len: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """Drop tokens outside [min_len, max_len] (analysis/LengthFilter.java:27)."""
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def shingles(tokens: list[str], max_shingle: int = 2, sep: str = " ",
+             output_unigrams: bool = True) -> list[str]:
+    """Token shingles (word n-grams), unigrams included by default —
+    contrib shingle/ShingleFilter.java behaviour."""
+    out = list(tokens) if output_unigrams else []
+    for n in range(2, max_shingle + 1):
+        for i in range(len(tokens) - n + 1):
+            out.append(sep.join(tokens[i:i + n]))
+    return out
+
+
+def ngram_tokenize(text: str, min_n: int = 2, max_n: int = 3) -> list[str]:
+    """Character n-grams (contrib ngram/NGramTokenizer.java): all n-grams of
+    each length, shorter-first, left-to-right."""
+    out = []
+    for n in range(min_n, max_n + 1):
+        for i in range(len(text) - n + 1):
+            out.append(text[i:i + n])
+    return out
+
+
+def analyze_english(text: str) -> list[tuple[str, int]]:
+    """StandardAnalyzer chain + PorterStemFilter — the classic English
+    analysis chain (StandardAnalyzer → ... → StopFilter → PorterStemFilter,
+    the usual reference composition for English corpora)."""
+    return [(porter_stem(t), p) for t, p in analyze(text)]
+
+
+ANALYZERS["english"] = lambda text: [t for t, _ in analyze_english(text)]
+POSITIONAL_ANALYZERS = {"standard": analyze, "english": analyze_english}

@@ -65,9 +65,10 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
     O(doc×term): the per-(doc, term) flattening happens JVM-side via
     explode(arrays_zip(...)) in the postings job.
     """
+    from ..analysis import POSITIONAL_ANALYZERS
     from .plan import _norm
 
-    analyze_fn = analyze if analyzer == "standard" else None
+    analyze_fn = POSITIONAL_ANALYZERS.get(analyzer)
     simple_fn = ANALYZERS.get(analyzer)
     empty_pos: list[list[int]] = []
 

@@ -55,7 +55,16 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         pq.ParquetFile(os.path.join(r, n)).metadata.num_rows
         for r, _d, names in os.walk(td_dir) for n in names
         if n.endswith(".parquet"))
+    analyzer = None
+    mdir = os.path.join(out_dir, "manifests")
+    if os.path.isdir(mdir):
+        for n in sorted(os.listdir(mdir)):
+            if n.endswith(".json"):
+                with open(os.path.join(mdir, n)) as f:
+                    analyzer = json.load(f).get("analyzer")
+                break
     stats = {
+        "analyzer": analyzer or "standard",
         "N": int(row["N"]),
         "avgdl": float(row["avgdl"] or 0.0),
         "total_tokens": int(row["total_tokens"] or 0),

@@ -18,6 +18,9 @@ class IndexReader:
             self.stats = json.load(f)
         self.N: int = self.stats["N"]
         self.avgdl: float = self.stats["avgdl"]
+        # the analyzer the index was built with — query text must run
+        # through the SAME chain (reference QueryParser.java:513)
+        self.analyzer: str = self.stats.get("analyzer", "standard")
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on

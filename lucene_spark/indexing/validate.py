@@ -38,8 +38,12 @@ def _check_rows(block_size: int):
                         errs.append("ids not strictly increasing")
                     if (tfs <= 0).any():
                         errs.append("tf<=0")
-                    if (dls <= 0).any():
-                        errs.append("dl<=0")
+                    if (dls < 0).any():
+                        errs.append("dl<0")
+                    elif (dls == 0).any() and ":" not in (rec["term"] or ""):
+                        # dl==0 is legal only for keyword-field terms of
+                        # empty-text docs (doclen counts analyzed tokens)
+                        errs.append("dl==0 for analyzed term")
                     nb = (ids.size + block_size - 1) // block_size
                     if len(rec["block_last_ids"]) != nb:
                         errs.append("bad block count")

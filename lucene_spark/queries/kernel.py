@@ -151,6 +151,33 @@ def _eval_term_full(sp: SegmentPostings, ctx: Ctx, q: Term):
     return ids, sc
 
 
+_DOC_OFFSET = np.int64(1) << 24  # > max position (maxTokenLength-bounded docs)
+
+
+def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact-phrase matching across ALL docs at once: fold
+    (docid, position) into one int64 key `docid*OFFSET + (pos - qpos_i)`;
+    a phrase occurrence is a key present in every term's key set, and the
+    per-doc phrase freq is the key-match count per docid — no per-candidate
+    Python loop (the scalar PhraseScorer PQ walk of the reference,
+    search/ExactPhraseScorer.java:31, becomes three numpy set ops)."""
+    # rebase docids segment-locally so docid*OFFSET stays within int64 even
+    # for very large global docid spaces
+    base = min(int(ids[0]) for ids, _ in per_term if ids.size)
+    keys = None
+    for i, (ids, pos_lists) in enumerate(per_term):
+        lens = np.fromiter((p.size for p in pos_lists), count=len(pos_lists),
+                           dtype=np.int64)
+        flat = (np.concatenate(pos_lists) if pos_lists else
+                np.empty(0, dtype=np.int64))
+        k = flat - np.int64(qpos[i]) + np.repeat((ids - base) * _DOC_OFFSET, lens)
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs, counts = np.unique(keys // _DOC_OFFSET, return_counts=True)
+    return docs + base, counts.astype(np.float64)
+
+
 def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if any(not sp.has(t) for t in q.phrase_terms):
@@ -159,14 +186,25 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
         sp.positions(t) for t in q.phrase_terms
     ]
+    idf = float(sum(ctx.idf(t) for t in dict.fromkeys(q.phrase_terms)))
+
+    if q.slop == 0:
+        ids_arr, frs = _exact_phrase_freqs(per_term, qpos)
+        if ids_arr.size == 0:
+            return empty
+        l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids_arr)
+        dls = l_dls[np.searchsorted(l_ids, ids_arr)]
+        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+        return ids_arr, sc
+
     cand = per_term[0][0]
     for ids, _ in per_term[1:]:
         cand = np.intersect1d(cand, ids, assume_unique=True)
         if cand.size == 0:
             return empty
-    idf = float(sum(ctx.idf(t) for t in dict.fromkeys(q.phrase_terms)))
-    # per-candidate phrase_freq (python loop over candidates only — candidate
-    # sets are small after intersection; positions math inside is numpy)
+    # sloppy: per-candidate greedy window walk (python loop over candidates
+    # only — candidate sets are small after intersection; positions math
+    # inside is numpy)
     out_ids, out_fr = [], []
     idx_maps = [
         {int(d): i for i, d in enumerate(ids)} for ids, _ in per_term

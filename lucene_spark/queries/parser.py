@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-from ..analysis import analyze
+from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS, analyze
 from .ast import (
     Bool,
     ConstantScore,
@@ -98,7 +98,17 @@ def _range_query(tok: str) -> Query | None:
                      boost=float(m.group(5) or 1.0))
 
 
-def _word_query(word: str) -> Query | None:
+def _analyze_pairs(text: str, analyzer: str) -> list[tuple[str, int]]:
+    """Run query text through the INDEX's analyzer (QueryParser.java:513:
+    getFieldQuery analyzes the query string with the field analyzer)."""
+    fn = POSITIONAL_ANALYZERS.get(analyzer)
+    if fn is not None:
+        return fn(text)
+    toks = ANALYZERS.get(analyzer, ANALYZERS["whitespace"])(text)
+    return list(zip(toks, range(len(toks))))
+
+
+def _word_query(word: str, analyzer: str = "standard") -> Query | None:
     word, boost = _split_boost(word)
     fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
     if fm and fm.group(1) in KEYWORD_FIELDS:
@@ -118,7 +128,7 @@ def _word_query(word: str) -> Query | None:
                 f = float(sim)
                 # reference FuzzyQuery minimumSimilarity in [0,1) → edit budget
                 edits = int(f) if f >= 1 else max(1, int(round((1.0 - f) * len(base))))
-            terms = analyze(base)
+            terms = _analyze_pairs(base, analyzer)
             if terms:
                 return Fuzzy(terms[0][0], max_edits=min(edits, 2), boost=boost)
             return None
@@ -128,7 +138,7 @@ def _word_query(word: str) -> Query | None:
         return Prefix(word[:-1].lower(), boost=boost)
     if "*" in word or "?" in word:
         return Wildcard(word.lower(), boost=boost)
-    pairs = analyze(word)
+    pairs = _analyze_pairs(word, analyzer)
     if not pairs:
         return None  # analyzed away (stopword / punctuation)
     if len(pairs) == 1:
@@ -136,11 +146,11 @@ def _word_query(word: str) -> Query | None:
     return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=0, boost=boost)
 
 
-def _quoted_query(tok: str) -> Query | None:
+def _quoted_query(tok: str, analyzer: str = "standard") -> Query | None:
     m = re.match(r'^"([^"]*)"(?:~(\d+))?$', tok)
     assert m
     body, slop = m.group(1), int(m.group(2) or 0)
-    pairs = analyze(body)
+    pairs = _analyze_pairs(body, analyzer)
     if not pairs:
         return None
     if len(pairs) == 1:
@@ -148,7 +158,7 @@ def _quoted_query(tok: str) -> Query | None:
     return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop)
 
 
-def _parse_atom(lx: _Lexer) -> tuple[Query | None, str]:
+def _parse_atom(lx: _Lexer, analyzer: str) -> tuple[Query | None, str]:
     """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}."""
     occur = "SHOULD"
     t = lx.peek()
@@ -160,27 +170,27 @@ def _parse_atom(lx: _Lexer) -> tuple[Query | None, str]:
         return None, occur
     if t[0] == "lpar":
         lx.next()
-        q = _parse_or(lx)
+        q = _parse_or(lx, analyzer)
         nxt = lx.peek()
         if nxt and nxt[0] == "rpar":
             lx.next()
         return q, occur
     if t[0] == "quoted":
         lx.next()
-        return _quoted_query(t[1]), occur
+        return _quoted_query(t[1], analyzer), occur
     if t[0] == "range":
         lx.next()
         return _range_query(t[1]), occur
     if t[0] == "word":
         lx.next()
-        return _word_query(t[1]), occur
+        return _word_query(t[1], analyzer), occur
     lx.next()
     return None, occur
 
 
-def _parse_and(lx: _Lexer) -> Query | None:
+def _parse_and(lx: _Lexer, analyzer: str) -> Query | None:
     clauses: list[tuple[Query, str]] = []
-    q, occur = _parse_atom(lx)
+    q, occur = _parse_atom(lx, analyzer)
     if q is not None or occur != "SHOULD":
         if q is not None:
             clauses.append((q, occur))
@@ -188,7 +198,7 @@ def _parse_and(lx: _Lexer) -> Query | None:
         t = lx.peek()
         if t and t[0] == "and":
             lx.next()
-            q, occur = _parse_atom(lx)
+            q, occur = _parse_atom(lx, analyzer)
             if q is not None:
                 clauses.append((q, "MUST" if occur == "SHOULD" else occur))
                 # retroactively promote the left neighbour to MUST
@@ -223,9 +233,9 @@ def _merge_should(parts: list[Query]) -> Query:
     return b
 
 
-def _parse_or(lx: _Lexer) -> Query | None:
+def _parse_or(lx: _Lexer, analyzer: str) -> Query | None:
     parts: list[Query] = []
-    q = _parse_and(lx)
+    q = _parse_and(lx, analyzer)
     if q is not None:
         parts.append(q)
     while True:
@@ -235,7 +245,7 @@ def _parse_or(lx: _Lexer) -> Query | None:
         if t[0] == "or":
             lx.next()
             continue
-        q = _parse_and(lx)
+        q = _parse_and(lx, analyzer)
         if q is None:
             if lx.peek() is t:  # no progress — bail
                 lx.next()
@@ -246,10 +256,10 @@ def _parse_or(lx: _Lexer) -> Query | None:
     return _merge_should(parts)
 
 
-def parse_query(s: str) -> Query:
+def parse_query(s: str, analyzer: str = "standard") -> Query:
     lx = _Lexer(s)
     had_tokens = bool(lx.tokens)
-    q = _parse_or(lx)
+    q = _parse_or(lx, analyzer)
     if q is None:
         # blank input → MatchAll (lenient); input that analyzed away entirely
         # (e.g. all stopwords) → empty boolean, matches nothing (reference

@@ -63,6 +63,11 @@ class Searcher:
         dm = self.reader.docmap()
         return dm if dd is None else dm.join(dd.select("docid"), "docid", "left_anti")
 
+    def parse(self, query: str) -> Query:
+        """Parse query text with the index's own analyzer
+        (reference QueryParser.java:513)."""
+        return parse_query(query, analyzer=self.reader.analyzer)
+
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:
         """Expand MultiTermQueries against the term dictionary (pinned
@@ -117,7 +122,7 @@ class Searcher:
     def search(self, query: Query | str, k: int = 10, hydrate: bool = False) -> DataFrame:
         """→ DataFrame(docid long, score double[, url, lang]) — global top-k,
         tie-break docid asc."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self.parse(query) if isinstance(query, str) else query
         q = self.rewrite(q)
 
         if isinstance(q, MatchAll):
@@ -149,7 +154,7 @@ class Searcher:
         """ALL matching docids (no top-k truncation) → DataFrame(docid, score).
         The per-segment kernel still runs distributed; only the heap bound is
         lifted (reference Collector-without-limit / totalHits path)."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self.parse(query) if isinstance(query, str) else query
         q = self.rewrite(q)
         if isinstance(q, MatchAll):
             return self._live_docmap().select(
@@ -204,6 +209,36 @@ class Searcher:
     def count(self, query: Query | str) -> int:
         """Total hits (reference TopDocs.totalHits)."""
         return self.matching(query).count()
+
+    def more_like_this(self, docid: int, *, max_terms: int = 8, k: int = 10,
+                       min_tf: int = 1, min_df: int = 2) -> DataFrame:
+        """Similar docs (reference contrib MoreLikeThis,
+        contrib/queries/.../similar/MoreLikeThis.java): take the source
+        doc's term vector (one pushed-down forward-index row), keep its
+        top ``max_terms`` terms by tf·idf (ties → term asc), run them as a
+        scoring disjunction, and drop the source doc from the results."""
+        row = (self.reader.tokens().where(F.col("docid") == docid)
+               .select("terms", "tfs").collect())
+        if not row:
+            return self._empty()
+        pairs = [(t, tf) for t, tf in zip(row[0]["terms"], row[0]["tfs"])
+                 if ":" not in t and tf >= min_tf]
+        dfs = self.reader.doc_freqs([t for t, _ in pairs])
+        import math as _math
+
+        N = self.reader.N
+        scored = [
+            (tf * _math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)), t)
+            for t, tf in pairs if dfs.get(t, 0) >= min_df
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        terms = [t for _, t in scored[:max_terms]]
+        if not terms:
+            return self._empty()
+        q = Bool(should=[Term(t) for t in terms])
+        out = self.search(q, k=k + 1)
+        return (out.where(F.col("docid") != docid)
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k))
 
     # ------------------------------------------------------------------ #
     def _hydrate(self, topk: DataFrame) -> DataFrame:

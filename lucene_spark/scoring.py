@@ -70,7 +70,26 @@ def phrase_freq(position_lists: list[np.ndarray], qpos: list[int], slop: int) ->
         # distinct-position guard: with distinct terms, equal shifted values
         # at distinct qpos are distinct positions by construction
         return float(common.size)
-    # sloppy: greedy minimal-window enumeration over the merged candidates
+    # sloppy: greedy minimal-window enumeration over the merged candidates.
+    # Two-term fast path: identical greedy semantics, plain-int two-pointer
+    # walk (numpy scalar indexing dominates the generic loop's cost).
+    if m == 2:
+        a, b = shifted[0].tolist(), shifted[1].tolist()
+        la, lb = len(a), len(b)
+        i = j = 0
+        total = 0.0
+        while i < la and j < lb:
+            av, bv = a[i], b[j]
+            d = av - bv if av >= bv else bv - av
+            if d <= slop:
+                total += 1.0 / (d + 1.0)
+                i += 1
+                j += 1
+            elif av < bv:
+                i += 1
+            else:
+                j += 1
+        return total
     total = 0.0
     cursors = [0] * m
     lens = [len(s) for s in shifted]

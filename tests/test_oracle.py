@@ -148,3 +148,43 @@ def test_parse_end_to_end_matches_manual():
     got = oracle_search(IDX, parse_query("seven AND forty"), 10)
     manual = oracle_search(IDX, Bool(must=[Term("seven"), Term("forty")]), 10)
     assert got == manual
+
+
+def test_phrase_freq_two_term_fast_path_matches_generic():
+    """The m==2 int fast path must equal the generic greedy enumeration
+    (independent re-implementation here, randomized inputs)."""
+    import random
+
+    import numpy as np
+
+    from lucene_spark.scoring import phrase_freq
+
+    def generic(position_lists, qpos, slop):
+        m = len(position_lists)
+        shifted = [np.asarray(p, dtype=np.int64) - qpos[i]
+                   for i, p in enumerate(position_lists)]
+        total = 0.0
+        cursors = [0] * m
+        lens = [len(s) for s in shifted]
+        while all(cursors[i] < lens[i] for i in range(m)):
+            vals = [int(shifted[i][cursors[i]]) for i in range(m)]
+            lo, hi = min(vals), max(vals)
+            if hi - lo <= slop:
+                total += 1.0 / (hi - lo + 1.0)
+                for i in range(m):
+                    cursors[i] += 1
+            else:
+                i_min = min(range(m), key=lambda i: shifted[i][cursors[i]])
+                cursors[i_min] += 1
+        return total
+
+    rng = random.Random(7)
+    for trial in range(300):
+        n1, n2 = rng.randint(1, 8), rng.randint(1, 8)
+        p1 = np.array(sorted(rng.sample(range(40), n1)), dtype=np.int64)
+        p2 = np.array(sorted(rng.sample(range(40), n2)), dtype=np.int64)
+        qpos = [0, rng.randint(1, 3)]
+        slop = rng.randint(1, 5)
+        got = phrase_freq([p1, p2], qpos, slop)
+        exp = generic([p1, p2], qpos, slop)
+        assert got == exp, (trial, p1, p2, qpos, slop, got, exp)
