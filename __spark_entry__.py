@@ -464,6 +464,52 @@ def _q_ann_lsh_buckets(spark, sf_dir):
     return emb.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
 
 
+def _q_ft_explain(spark, sf_dir):
+    """Score decomposition (Weight.explain analog) for 'data spark' over the
+    first 30 docs — every BM25 component exposed and oracle-checked."""
+    ex = _searcher(spark, sf_dir).explain("data spark")
+    dm = _index(spark, sf_dir).docmap().select(
+        "docid", F.col("url").cast("long").alias("doc_id"))
+    return (ex.join(dm, "docid").where(F.col("doc_id") < 30)
+            .select("doc_id", "term", "tf", "dl", "df",
+                    F.round("idf", 4).alias("idf"),
+                    F.round("tf_weight", 4).alias("tf_weight"),
+                    F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "term"))
+
+
+def _q_ann_lsh_search(spark, sf_dir):
+    """LSH-bucketed ANN search (the scale path): multi-probe candidates =
+    vectors whose 8-bit hyperplane signature is within hamming distance 2 of
+    the query's, then exact cosine re-rank of the candidate set."""
+    emb = _emb(spark, sf_dir)
+    planes = _lsh_planes()
+
+    def bucket_expr():
+        bucket = None
+        for j, p in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in p])
+            dot = F.aggregate(F.zip_with("embedding", arr,
+                                         lambda x, y: x.cast("double") * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+            bucket = bit if bucket is None else bucket + bit
+        return bucket
+
+    with_b = emb.select("vec_id", "embedding", bucket_expr().alias("bucket"))
+    qrow = with_b.where(F.col("vec_id") == 0).collect()[0]
+    qvec, qb = qrow["embedding"], int(qrow["bucket"])
+    lit_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    cand = with_b.where(
+        (F.col("vec_id") != 0)
+        & (F.bit_count(F.expr(f"bucket ^ {qb}")) <= 2))
+    return (cand.select("vec_id",
+                        F.round(_cosine(F.col("embedding"), lit_arr), 4)
+                        .alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+
 def _q_mm_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → typed metadata via
     mapInPandas (Arrow batches). The real decode (image/audio libs absent in
@@ -541,9 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         # --- similarity search ---
+        "ft_explain": _q_ft_explain,
+        # --- similarity search ---
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_knn_join": _q_ann_knn_join,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "ann_lsh_search": _q_ann_lsh_search,
         # --- multimodal plumbing ---
         "mm_binary_meta": _q_mm_binary_meta,
     }
@@ -631,6 +680,31 @@ GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10"""
 
 _H60_SQL = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
+_LSH_BUCKETS_CTE = f"""planes AS (
+  SELECT j.j, d.d,
+         CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || '_'
+                                      || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 - 0.5 AS p
+  FROM (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) j
+  CROSS JOIN (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS d) d
+),
+lex AS (
+  SELECT vec_id, unnest(embedding) AS ev,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+ldots AS (
+  SELECT e.vec_id, p.j, sum(CAST(e.ev AS DOUBLE) * p.p) AS dot
+  FROM lex e JOIN planes p ON p.d = e.d
+  GROUP BY e.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM ldots GROUP BY vec_id
+)"""
+
 _SHINGLES_SQL = """
 sh AS (
   SELECT DISTINCT a.doc_id, (a.term || ' ' || b.term || ' ' || c.term) AS shingle
@@ -713,6 +787,21 @@ SELECT d.doc_id, d.lang, CAST(l.dl AS BIGINT) AS dl
 FROM dls l JOIN documents d USING (doc_id)
 WHERE d.doc_id IN (SELECT doc_id FROM tfs WHERE term = 'data')
 ORDER BY l.dl DESC, d.doc_id ASC LIMIT 10""",
+        "ft_explain": f"""WITH {_PRELUDE}
+SELECT t.doc_id, t.term,
+       CAST(t.tf AS BIGINT) AS tf, CAST(l.dl AS BIGINT) AS dl,
+       CAST(d.df AS BIGINT) AS df,
+       round(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)), 4) AS idf,
+       round((1.2 + 1.0) * t.tf
+             / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)), 4)
+         AS tf_weight,
+       round(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * ((1.2 + 1.0) * t.tf
+                / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl))), 4)
+         AS score
+FROM tfs t JOIN dfs d USING (term) JOIN dls l USING (doc_id) CROSS JOIN corpus c
+WHERE t.term IN ('data', 'spark') AND t.doc_id < 30
+ORDER BY t.doc_id, t.term""",
         "ft_mlt": f"""WITH {_PRELUDE},
 sel AS (
   SELECT s.term
@@ -855,28 +944,30 @@ ranked AS (
 SELECT query_id, vec_id, round(c, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""",
         "ann_lsh_buckets": f"""
-WITH planes AS (
-  SELECT j.j, d.d,
-         CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || '_'
-                                      || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT)
-           / 4294967296.0 - 0.5 AS p
-  FROM (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) j
-  CROSS JOIN (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS d) d
+WITH {_LSH_BUCKETS_CTE}
+SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
+        "ann_lsh_search": f"""
+WITH {_LSH_BUCKETS_CTE},
+qb AS (SELECT bucket AS b0 FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM buckets b CROSS JOIN qb
+  WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qb.b0)) <= 2
 ),
-ex AS (
-  SELECT vec_id, unnest(embedding) AS ev,
-         generate_subscripts(embedding, 1) - 1 AS d
-  FROM embeddings
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cx AS (
+  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
 ),
-dots AS (
-  SELECT e.vec_id, p.j, sum(CAST(e.ev AS DOUBLE) * p.p) AS dot
-  FROM ex e JOIN planes p ON p.d = e.d
-  GROUP BY e.vec_id, p.j
+cdots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM cx GROUP BY vec_id
 )
-SELECT vec_id,
-       CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-            AS BIGINT) AS bucket
-FROM dots GROUP BY vec_id ORDER BY vec_id""",
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+FROM cdots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
         # --- multimodal ---
         "mm_binary_meta": """
 SELECT doc_id,

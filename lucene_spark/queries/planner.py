@@ -210,6 +210,52 @@ class Searcher:
         """Total hits (reference TopDocs.totalHits)."""
         return self.matching(query).count()
 
+    def explain(self, query: Query | str) -> DataFrame:
+        """Per-(doc, term) score decomposition for the query's terms —
+        DataFrame(docid, term, tf, dl, df, idf, tf_weight, score). The
+        reference Weight.explain / Explanation tree (search/Weight.java:59,
+        search/Explanation.java) as a flat DataFrame; the arithmetic runs
+        JVM-side from decoded postings."""
+        import pandas as pd
+
+        q = self.parse(query) if isinstance(query, str) else query
+        q = self.rewrite(q)
+        terms = sorted(t for t in set(q.terms()) if ":" not in t)
+        dfs = self.reader.doc_freqs(terms)
+        if not dfs:
+            return self.reader.spark.createDataFrame(
+                [], "docid long, term string, tf long, dl long, df long, "
+                    "idf double, tf_weight double, score double")
+        rows = self.reader.postings().where(F.col("term").isin(list(dfs)))
+
+        def decode(batches):
+            import numpy as np
+
+            from ..codec import decode_postings
+            for pdf in batches:
+                out = []
+                for rec in pdf.to_dict("records"):
+                    ids, tfs, dls = decode_postings(rec)
+                    out.append(pd.DataFrame({
+                        "docid": ids, "term": rec["term"],
+                        "tf": tfs, "dl": dls}))
+                if out:
+                    yield pd.concat(out)
+
+        flat = rows.mapInPandas(
+            decode, schema="docid long, term string, tf long, dl long")
+        td = self.reader.term_dict().where(F.col("term").isin(list(dfs))) \
+            .select("term", F.col("df").cast("long").alias("df"))
+        N, avgdl = float(self.reader.N), float(self.reader.avgdl)
+        idf = F.log(F.lit(1.0) + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        w = ((F.lit(1.2 + 1.0) * F.col("tf"))
+             / (F.col("tf") + 1.2 * ((1.0 - 0.75) + (0.75 * F.col("dl")) / F.lit(avgdl))))
+        return (flat.join(F.broadcast(td), "term")
+                .select("docid", "term", "tf", "dl", "df",
+                        idf.alias("idf"), w.alias("tf_weight"),
+                        (idf * w).alias("score"))
+                .orderBy("docid", "term"))
+
     def more_like_this(self, docid: int, *, max_terms: int = 8, k: int = 10,
                        min_tf: int = 1, min_df: int = 2) -> DataFrame:
         """Similar docs (reference contrib MoreLikeThis,
