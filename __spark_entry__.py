@@ -36,7 +36,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from lucene_spark.indexing.build import build_index
 from lucene_spark.indexing.merge import merge_index
 from lucene_spark.indexing.reader import IndexReader
-from lucene_spark.queries.ast import Bool, DisjunctionMax, MatchAll, Term
+from lucene_spark.queries.ast import (
+    Bool,
+    DisjunctionMax,
+    MatchAll,
+    MultiPhrase,
+    SpanFirst,
+    SpanNear,
+    SpanTerm,
+    Term,
+)
 from lucene_spark.queries.planner import Searcher
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -171,6 +180,54 @@ def _q_ft_min_should(spark, sf_dir):
 def _q_ft_disjmax(spark, sf_dir):
     q = DisjunctionMax([Term("data"), Term("spark")], tie_breaker=0.3)
     return _topk(spark, sf_dir, q)
+
+
+def _q_ft_span_near(spark, sf_dir):
+    """SpanNearQuery ordered, slop 2 (spans/SpanNearQuery.java:37): 'key'
+    followed by 'order' within ≤2 intervening tokens, sloppy-span scored."""
+    q = SpanNear([SpanTerm("key"), SpanTerm("order")], slop=2, in_order=True)
+    return _topk(spark, sf_dir, q)
+
+
+def _q_ft_span_first(spark, sf_dir):
+    """SpanFirstQuery (spans/SpanFirstQuery.java:32): 'the' within the first
+    3 positions of the doc."""
+    q = SpanFirst(SpanTerm("the"), end=3)
+    return _topk(spark, sf_dir, q)
+
+
+def _q_ft_multiphrase(spark, sf_dir):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:39): ("order"|"sort")
+    immediately followed by ("table"|"scan")."""
+    q = MultiPhrase([["order", "sort"], ["table", "scan"]])
+    return _topk(spark, sf_dir, q)
+
+
+def _hydrate_hits(spark, sf_dir, out):
+    """(docid, score) → (doc_id, score) via the docmap, driver-contract
+    ordering + rounding."""
+    dm = _index(spark, sf_dir).docmap().select("docid", "url")
+    return (dm.join(F.broadcast(out), "docid")
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def _q_ft_filtered_range(spark, sf_dir):
+    """FilteredQuery + numeric range as a native column predicate
+    (search/FilteredQuery.java:40, NumericRangeQuery.java:155 — the trie
+    terms collapse to parquet-stat-pruned `BETWEEN`)."""
+    out = _searcher(spark, sf_dir).search_filtered(
+        "data", "doclen BETWEEN 40 AND 60", k=10)
+    return _hydrate_hits(spark, sf_dir, out)
+
+
+def _q_ft_custom_score(spark, sf_dir):
+    """CustomScoreQuery: BM25 score × value-source expression over a stored
+    column (search/function/CustomScoreQuery.java:47)."""
+    out = _searcher(spark, sf_dir).custom_score(
+        "data", "1.0 + 100.0 / doclen", k=10)
+    return _hydrate_hits(spark, sf_dir, out)
 
 
 def _q_ft_mlt(spark, sf_dir):
@@ -562,12 +619,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_disjmax": _q_ft_disjmax,
         "ft_phrase": ft('"batch batch"'),
         "ft_phrase2": ft('"order sort"'),
+        "ft_multiphrase": _q_ft_multiphrase,
+        "ft_span_near": _q_ft_span_near,
+        "ft_span_first": _q_ft_span_first,
         "ft_prefix": ft("s*"),
         "ft_wildcard": ft("s?an"),
         "ft_fuzzy": ft("datq~1"),
         "ft_range": ft("[order TO row]"),
         "ft_range_excl": ft("{order TO row}"),
         "ft_field_filter": ft("data AND lang:es"),
+        "ft_filtered_range": _q_ft_filtered_range,
+        "ft_custom_score": _q_ft_custom_score,
         "ft_count": _q_ft_count,
         "ft_facets": _q_ft_facets,
         "ft_sorted": _q_ft_sorted,
@@ -671,6 +733,62 @@ ORDER BY ({idf_sum}) * ((1.2 + 1.0) * p.pf)
 LIMIT 10"""
 
 
+def _sql_idf_sum(terms: list[str]) -> str:
+    return " + ".join(
+        f"ln(1.0 + (c.n - (SELECT df FROM dfs WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM dfs WHERE term = '{t}') + 0.5))" for t in terms)
+
+
+def _sql_pf_score(pf_cte: str, idf_sum: str) -> str:
+    """Shared tail: a CTE `sf(doc_id, pf)` → BM25 top-10 with Σidf."""
+    w = ("((1.2 + 1.0) * p.pf) "
+         "/ (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl))")
+    return f"""WITH {_PRELUDE},
+{pf_cte}
+SELECT p.doc_id, round(({idf_sum}) * {w}, 4) AS score
+FROM sf p JOIN dls l USING (doc_id) CROSS JOIN corpus c
+ORDER BY ({idf_sum}) * {w} DESC, p.doc_id ASC
+LIMIT 10"""
+
+
+def _sql_span_near(t1: str, t2: str, slop: int) -> str:
+    """Ordered 2-term span near: each occurrence of t1 chains to the
+    earliest following t2; match iff gap ≤ slop, weight 1/(1+gap) — the
+    deterministic-greedy semantics of lucene_spark/spans.py."""
+    pf = f"""spanm AS (
+  SELECT a.doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id, a.pos
+),
+sf AS (
+  SELECT doc_id, sum(1.0 / (bpos - apos)) AS pf
+  FROM spanm WHERE bpos - apos - 1 <= {slop} GROUP BY doc_id
+)"""
+    return _sql_pf_score(pf, _sql_idf_sum([t1, t2]))
+
+
+def _sql_span_first(t: str, end: int) -> str:
+    pf = f"""sf AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM tok WHERE term = '{t}' AND pos + 1 <= {end} GROUP BY doc_id
+)"""
+    return _sql_pf_score(pf, _sql_idf_sum([t]))
+
+
+def _sql_multiphrase(alts1: list[str], alts2: list[str]) -> str:
+    in1 = ", ".join(f"'{t}'" for t in alts1)
+    in2 = ", ".join(f"'{t}'" for t in alts2)
+    pf = f"""sf AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS pf
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({in1}) AND b.term IN ({in2})
+  GROUP BY a.doc_id
+)"""
+    uniq = list(dict.fromkeys(alts1 + alts2))
+    return _sql_pf_score(pf, _sql_idf_sum(uniq))
+
+
 def _sql_expand(term_pred: str) -> str:
     return f"""WITH {_PRELUDE}
 SELECT doc_id, round(sum(s), 4) AS score FROM scored
@@ -762,6 +880,19 @@ WHERE term IN ('data', 'spark') GROUP BY doc_id
 ORDER BY max(s) + 0.3 * (sum(s) - max(s)) DESC, doc_id ASC LIMIT 10""",
         "ft_phrase": _sql_phrase("batch", "batch"),
         "ft_phrase2": _sql_phrase("order", "sort"),
+        "ft_multiphrase": _sql_multiphrase(["order", "sort"], ["table", "scan"]),
+        "ft_filtered_range": f"""WITH {_PRELUDE}
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scored s JOIN dls l USING (doc_id)
+WHERE s.term = 'data' AND l.dl BETWEEN 40 AND 60
+ORDER BY s.s DESC, s.doc_id ASC LIMIT 10""",
+        "ft_custom_score": f"""WITH {_PRELUDE}
+SELECT s.doc_id, round(s.s * (1.0 + 100.0 / l.dl), 4) AS score
+FROM scored s JOIN dls l USING (doc_id)
+WHERE s.term = 'data'
+ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
+        "ft_span_near": _sql_span_near("key", "order", 2),
+        "ft_span_first": _sql_span_first("the", 3),
         "ft_prefix": _sql_expand("term LIKE 's%'"),
         "ft_wildcard": _sql_expand("regexp_matches(term, '^s.an$')"),
         "ft_fuzzy": _sql_expand(

@@ -22,9 +22,11 @@ from .queries.ast import (
     DisjunctionMax,
     Fuzzy,
     MatchAll,
+    MultiPhrase,
     Phrase,
     Prefix,
     Query,
+    SpanQuery,
     Term,
     TermRange,
     Wildcard,
@@ -108,6 +110,61 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     }
 
 
+def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
+    """MultiPhraseQuery: per-slot union of alternative-term positions, then
+    the shared phrase_freq; idf sums over all unique terms."""
+    slot_pos: list[dict[int, np.ndarray]] = []
+    for slot in q.slots:
+        per_doc: dict[int, list[list[int]]] = {}
+        for t in slot:
+            for d, pl in idx.postings.get(t, {}).items():
+                per_doc.setdefault(d, []).append(pl)
+        if not per_doc:
+            return {}
+        slot_pos.append({
+            d: np.unique(np.concatenate([np.asarray(p, dtype=np.int64)
+                                         for p in parts]))
+            for d, parts in per_doc.items()
+        })
+    cand = set(slot_pos[0])
+    for sp in slot_pos[1:]:
+        cand &= sp.keys()
+    qpos = q.qpositions()
+    uniq = list(dict.fromkeys(q.terms()))
+    # absent terms (df=0) contribute no idf — matches the kernel's Ctx.idf
+    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    out: dict[int, float] = {}
+    for d in cand:
+        f = phrase_freq([sp[d] for sp in slot_pos], qpos, q.slop)
+        if f > 0:
+            out[d] = q.boost * idf * float(
+                bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+    return out
+
+
+def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
+    """Span family via the shared span algebra (lucene_spark/spans.py)."""
+    from .spans import eval_spans, span_freq, span_width_min
+
+    def pos_of(term: str) -> dict[int, np.ndarray]:
+        return {d: np.asarray(pl, dtype=np.int64)
+                for d, pl in idx.postings.get(term, {}).items()}
+
+    spans = eval_spans(q, pos_of)
+    if not spans:
+        return {}
+    wmin = span_width_min(q)
+    uniq = list(dict.fromkeys(q.terms()))
+    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    out: dict[int, float] = {}
+    for d, sp_arr in spans.items():
+        f = span_freq(sp_arr, wmin)
+        if f > 0:
+            out[d] = q.boost * idf * float(
+                bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+    return out
+
+
 def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary
     (reference search/MultiTermQuery.java:98-146 rewrite; pinned rewrite mode:
@@ -142,6 +199,10 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_term(idx, q)
     if isinstance(q, Phrase):
         return _eval_phrase(idx, q)
+    if isinstance(q, MultiPhrase):
+        return _eval_multiphrase(idx, q)
+    if isinstance(q, SpanQuery):
+        return _eval_span(idx, q)
     if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange)):
         terms = expand_multiterm(idx.terms_sorted, q)
         b = Bool(should=[Term(t) for t in terms], boost=q.boost)

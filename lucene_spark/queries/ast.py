@@ -49,6 +49,25 @@ class Phrase(Query):
 
 
 @dataclass
+class MultiPhrase(Query):
+    """Phrase with term alternatives per slot (reference
+    search/MultiPhraseQuery.java:39) — e.g. slots [["app","apps"],["store"]]
+    matches "app store" and "apps store". Scored like Phrase with per-slot
+    position union; idf = Σ idf over all unique terms (MultiPhraseWeight)."""
+
+    slots: list[list[str]]
+    positions: list[int] | None = None  # defaults to 0..m-1
+    slop: int = 0
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [t for slot in self.slots for t in slot]
+
+    def qpositions(self) -> list[int]:
+        return self.positions if self.positions is not None else list(range(len(self.slots)))
+
+
+@dataclass
 class Bool(Query):
     must: list[Query] = field(default_factory=list)
     should: list[Query] = field(default_factory=list)
@@ -113,6 +132,74 @@ class ConstantScore(Query):
 
     def terms(self) -> list[str]:
         return self.query.terms() if self.query else []
+
+
+# --- span family (reference search/spans/; algebra in lucene_spark/spans.py) ---
+
+
+class SpanQuery(Query):
+    """Marker base: evaluates to per-doc (start, end) spans, scored with
+    sloppy span frequency (spans/SpanScorer.java)."""
+
+
+@dataclass
+class SpanTerm(SpanQuery):
+    """spans/SpanTermQuery.java:28 — one unit span per occurrence."""
+
+    term: str
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass
+class SpanNear(SpanQuery):
+    """spans/SpanNearQuery.java:37 — clauses within `slop` positions,
+    in document order when `in_order`."""
+
+    clauses: list[Query] = field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass
+class SpanOr(SpanQuery):
+    """spans/SpanOrQuery.java:35 — union of clause spans."""
+
+    clauses: list[Query] = field(default_factory=list)
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass
+class SpanNot(SpanQuery):
+    """spans/SpanNotQuery.java:31 — include-spans not overlapping exclude."""
+
+    include: Query = None  # type: ignore[assignment]
+    exclude: Query = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.include.terms() + self.exclude.terms()
+
+
+@dataclass
+class SpanFirst(SpanQuery):
+    """spans/SpanFirstQuery.java:32 — match-spans with end ≤ `end`."""
+
+    match: Query = None  # type: ignore[assignment]
+    end: int = 1
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
 
 
 @dataclass

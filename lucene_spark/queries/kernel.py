@@ -30,7 +30,17 @@ import pandas as pd
 from .. import BLOCK_SIZE
 from ..codec import decode_block, decode_positions, decode_postings
 from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
-from .ast import Bool, ConstantScore, DisjunctionMax, MatchAll, Phrase, Query, Term
+from .ast import (
+    Bool,
+    ConstantScore,
+    DisjunctionMax,
+    MatchAll,
+    MultiPhrase,
+    Phrase,
+    Query,
+    SpanQuery,
+    Term,
+)
 
 _SAFETY = 1.0 + 1e-9  # pruning bound slack: ties always fall back to full eval
 
@@ -226,6 +236,113 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     return ids, sc
 
 
+def _dl_map(sp: SegmentPostings, terms: list[str], ids: np.ndarray) -> np.ndarray:
+    """doclen for each docid in sorted `ids`, sourced from whichever of
+    `terms` carries the doc (any posting row of a doc stores its dl)."""
+    out = np.zeros(ids.size, dtype=np.int64)
+    found = np.zeros(ids.size, dtype=bool)
+    for t in terms:
+        if found.all():
+            break
+        if not sp.has(t):
+            continue
+        t_ids, _, t_dls = sp.lookup(t, ids)
+        pos = np.searchsorted(ids, t_ids)
+        out[pos] = t_dls
+        found[pos] = True
+    return out
+
+
+def _merged_slot(per_term: list[tuple[np.ndarray, list[np.ndarray]]]
+                 ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Union alternative terms of one MultiPhrase slot into a single
+    (docids, per-doc sorted position arrays) stream."""
+    if len(per_term) == 1:
+        return per_term[0]
+    merged: dict[int, list[np.ndarray]] = {}
+    for ids, pos_lists in per_term:
+        for d, pl in zip(ids, pos_lists):
+            merged.setdefault(int(d), []).append(pl)
+    docs = np.asarray(sorted(merged), dtype=np.int64)
+    pls = [np.unique(np.concatenate(merged[int(d)])) for d in docs]
+    return docs, pls
+
+
+def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:39): per-slot position
+    union, then the same vectorized exact / sloppy phrase kernels."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    slot_streams = []
+    for slot in q.slots:
+        alts = [sp.positions(t) for t in slot if sp.has(t)]
+        if not alts:
+            return empty
+        slot_streams.append(_merged_slot(alts))
+    qpos = q.qpositions()
+    uniq = list(dict.fromkeys(q.terms()))
+    idf = float(sum(ctx.idf(t) for t in uniq))
+
+    if q.slop == 0:
+        ids_arr, frs = _exact_phrase_freqs(slot_streams, qpos)
+    else:
+        cand = slot_streams[0][0]
+        for ids, _ in slot_streams[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return empty
+        out_ids, out_fr = [], []
+        idx_maps = [{int(d): i for i, d in enumerate(ids)}
+                    for ids, _ in slot_streams]
+        for d in cand:
+            pls = [slot_streams[i][1][idx_maps[i][int(d)]]
+                   for i in range(len(slot_streams))]
+            f = phrase_freq(pls, qpos, q.slop)
+            if f > 0:
+                out_ids.append(int(d))
+                out_fr.append(f)
+        ids_arr = np.asarray(out_ids, dtype=np.int64)
+        frs = np.asarray(out_fr, dtype=np.float64)
+    if ids_arr.size == 0:
+        return empty
+    dls = _dl_map(sp, uniq, ids_arr)
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    return ids_arr, sc
+
+
+def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
+    """Span family (spans/SpanScorer.java): spans via the shared algebra,
+    freq = sloppy span frequency, scored like a phrase (Σ unique-term idf)."""
+    from ..spans import eval_spans, span_freq, span_width_min
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    pos_cache: dict[str, dict[int, np.ndarray]] = {}
+
+    def pos_of(term: str) -> dict[int, np.ndarray]:
+        if term not in pos_cache:
+            if not sp.has(term):
+                pos_cache[term] = {}
+            else:
+                ids, pls = sp.positions(term)
+                pos_cache[term] = {int(d): pl for d, pl in zip(ids, pls)}
+        return pos_cache[term]
+
+    spans = eval_spans(q, pos_of)
+    if not spans:
+        return empty
+    wmin = span_width_min(q)
+    docs = np.asarray(sorted(spans), dtype=np.int64)
+    frs = np.asarray([span_freq(spans[int(d)], wmin) for d in docs])
+    sel = frs > 0
+    docs, frs = docs[sel], frs[sel]
+    if docs.size == 0:
+        return empty
+    uniq = list(dict.fromkeys(q.terms()))
+    idf = float(sum(ctx.idf(t) for t in uniq))
+    dls = _dl_map(sp, uniq, docs)
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    return docs, sc
+
+
 def _is_term_disjunction(q: Bool) -> bool:
     return (
         not q.must
@@ -289,6 +406,10 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query):
         return _eval_term_full(sp, ctx, q)
     if isinstance(q, Phrase):
         return _eval_phrase(sp, ctx, q)
+    if isinstance(q, MultiPhrase):
+        return _eval_multiphrase(sp, ctx, q)
+    if isinstance(q, SpanQuery):
+        return _eval_span(sp, ctx, q)
     if isinstance(q, ConstantScore):
         ids, _ = eval_query(sp, ctx, q.query)
         return ids, np.full(ids.size, q.boost, dtype=np.float64)

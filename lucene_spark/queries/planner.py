@@ -206,6 +206,34 @@ class Searcher:
         return (dm.select("docid", "url", "lang", "doclen")
                 .orderBy(order, F.asc("docid")).limit(k))
 
+    def search_filtered(self, query: Query | str, predicate: str, k: int = 10) -> DataFrame:
+        """FilteredQuery (search/FilteredQuery.java:40): query ∧ filter, the
+        filter being a Spark SQL predicate over docmap columns (url, lang,
+        doclen). NumericRangeQuery collapses to a native `between` here —
+        the reference's trie terms (search/NumericRangeQuery.java:155) exist
+        only because Lucene must express ranges as term matches; a columnar
+        store gets min/max pruning from parquet stats for free. Scores are
+        the unfiltered query scores (reference leapfrog keeps the scorer's
+        score, IndexSearcher.java:221-260)."""
+        m = self.matching(query)
+        dm = self.reader.docmap().where(predicate).select("docid")
+        return (m.join(dm, "docid")
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k))
+
+    def custom_score(self, query: Query | str, expr: str, k: int = 10) -> DataFrame:
+        """CustomScoreQuery / ValueSourceQuery (search/function/
+        CustomScoreQuery.java:47, ValueSourceQuery.java:42): final score =
+        subquery score × a column expression over the docmap. The reference
+        needs FieldCache un-inversion (search/FieldCacheImpl.java:280-335)
+        to read a per-doc value; here the value source IS the column, and
+        the arithmetic stays in whole-stage codegen."""
+        m = self.matching(query)
+        dm = self.reader.docmap().select("docid", "url", "lang", "doclen")
+        return (m.join(dm, "docid")
+                .select("docid",
+                        (F.col("score") * F.expr(expr)).alias("score"))
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k))
+
     def count(self, query: Query | str) -> int:
         """Total hits (reference TopDocs.totalHits)."""
         return self.matching(query).count()
