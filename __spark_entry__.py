@@ -505,20 +505,26 @@ def _lsh_planes() -> list[list[float]]:
     ]
 
 
-def _q_ann_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH: 8 sign bits → bucket id per vector (the
-    scale path for ANN: candidate generation via bucket equality join)."""
-    emb = _emb(spark, sf_dir)
-    planes = _lsh_planes()
+def _bucket_col():
+    """8-bit random-hyperplane signature of the `embedding` column (sign of
+    dot with each md5-derived plane) — shared by LSH search + blocked dedup."""
     bucket = None
-    for j, p in enumerate(planes):
+    for j, p in enumerate(_lsh_planes()):
         arr = F.array(*[F.lit(v) for v in p])
         dot = F.aggregate(F.zip_with("embedding", arr,
                                      lambda x, y: x.cast("double") * y),
                           F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
-    return emb.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
+    return bucket
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 sign bits → bucket id per vector (the
+    scale path for ANN: candidate generation via bucket equality join)."""
+    emb = _emb(spark, sf_dir)
+    return emb.select("vec_id", _bucket_col().alias("bucket")).orderBy("vec_id")
 
 
 def _q_ft_explain(spark, sf_dir):
@@ -540,21 +546,7 @@ def _q_ann_lsh_search(spark, sf_dir):
     vectors whose 8-bit hyperplane signature is within hamming distance 2 of
     the query's, then exact cosine re-rank of the candidate set."""
     emb = _emb(spark, sf_dir)
-    planes = _lsh_planes()
-
-    def bucket_expr():
-        bucket = None
-        for j, p in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in p])
-            dot = F.aggregate(F.zip_with("embedding", arr,
-                                         lambda x, y: x.cast("double") * y),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long"))
-            bucket = bit if bucket is None else bucket + bit
-        return bucket
-
-    with_b = emb.select("vec_id", "embedding", bucket_expr().alias("bucket"))
+    with_b = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
     qrow = with_b.where(F.col("vec_id") == 0).collect()[0]
     qvec, qb = qrow["embedding"], int(qrow["bucket"])
     lit_arr = F.array(*[F.lit(float(v)) for v in qvec])
@@ -565,6 +557,108 @@ def _q_ann_lsh_search(spark, sf_dir):
                         F.round(_cosine(F.col("embedding"), lit_arr), 4)
                         .alias("cos"))
             .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+
+_N_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def _q_ann_ivf_search(spark, sf_dir):
+    """IVF ANN (the classic scale path beside LSH): coarse-quantize every
+    vector to its nearest centroid cell, probe only the query's top-P cells,
+    exact cosine re-rank inside them. Centroids here are the first K vectors
+    (deterministic stand-in for an offline k-means — reproducible across
+    engines); at scale the assignment is one broadcast-join + argmax over
+    K centroids, and each cell is a co-partitioned posting of vectors."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = (emb.where(F.col("vec_id") < _N_IVF_CELLS)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("embedding").alias("cvec")))
+    pairs = emb.crossJoin(F.broadcast(cents))
+    cos = _cosine(F.col("embedding"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
+    assign = (pairs.select("vec_id", "embedding", "cell", cos.alias("c"))
+              .withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") == 1)
+              .select("vec_id", "embedding", "cell"))
+
+    qrow = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0]
+    qvec = qrow["embedding"]
+    lit_q = F.array(*[F.lit(float(v)) for v in qvec])
+    probe = [int(r["cell"]) for r in
+             cents.select("cell", _cosine(F.col("cvec"), lit_q).alias("c"))
+             .orderBy(F.desc("c"), F.asc("cell")).limit(_IVF_NPROBE).collect()]
+    return (assign.where(F.col("cell").isin(probe) & (F.col("vec_id") != 1))
+            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                    F.round(_cosine(F.col("embedding"), lit_q), 4).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-blocked: candidates are pairs in
+    the SAME 8-bit hyperplane bucket (an equality self-join — no O(n²)
+    cross-join at scale), verified with exact cosine ≥ 0.35. The blocking
+    join shuffles on bucket; skewed buckets are bounded by the 2^8 signature
+    space and AQE skew splitting."""
+    emb = _emb(spark, sf_dir)
+    wb = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    a = wb.select(F.col("vec_id").alias("a"),
+                  F.col("embedding").alias("ea"), "bucket")
+    b = wb.select(F.col("vec_id").alias("b"),
+                  F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (pairs.select("a", "b", F.round(cos, 4).alias("cos"))
+            .where(F.col("cos") >= 0.35)
+            .orderBy("a", "b"))
+
+
+def _q_text_token_count(spark, sf_dir):
+    """Token counting, JVM-side (no UDF): whitespace tokens plus a
+    BPE-ish subword segmentation (letter runs / digit runs / single
+    punctuation — the GPT-2 pre-tokenizer shape on ASCII text)."""
+    docs = _docs(spark, sf_dir)
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return (docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("long").alias("n_subword"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id"))
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: binary payload → one row per
+    sampled frame via mapInPandas (the real video decode is stubbed with
+    deterministic md5-derived frame count/hashes; the Spark-side explode
+    shape, Arrow batching, and partition-preserving schema are real)."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                cmd5 = hashlib.md5(b).hexdigest()
+                n_frames = (len(b) % 91) + 10  # decode stub
+                for idx in range(0, n_frames, 7):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_hash.append(
+                        hashlib.md5(f"{cmd5}:{idx}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": out_doc,
+                                "frame_idx": out_idx,
+                                "frame_hash": out_hash})
+
+    return (docs.mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, frame_hash string")
+        .orderBy("doc_id", "frame_idx"))
 
 
 def _q_mm_binary_meta(spark, sf_dir):
@@ -644,10 +738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         # --- text analysis ---
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_token_count": _q_text_token_count,
         # --- similarity search ---
         "ft_explain": _q_ft_explain,
         # --- similarity search ---
@@ -655,8 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": _q_ann_knn_join,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh_search": _q_ann_lsh_search,
+        "ann_ivf_search": _q_ann_ivf_search,
         # --- multimodal plumbing ---
         "mm_binary_meta": _q_mm_binary_meta,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -1099,6 +1197,83 @@ cdots AS (
 )
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
 FROM cdots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
+        "ann_ivf_search": """
+WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+               WHERE vec_id < 8),
+ax AS (
+  SELECT e.vec_id, c.cell, unnest(e.embedding) AS ev, unnest(c.cvec) AS cv
+  FROM embeddings e CROSS JOIN cents c
+),
+adots AS (
+  SELECT vec_id, cell,
+         sum(CAST(ev AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS nb
+  FROM ax GROUP BY vec_id, cell
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC,
+                                     cell ASC) AS rnk
+  FROM adots
+),
+probe AS (SELECT cell FROM assign WHERE vec_id = 1 AND rnk <= 2),
+cand AS (
+  SELECT vec_id, cell FROM assign
+  WHERE rnk = 1 AND vec_id != 1 AND cell IN (SELECT cell FROM probe)
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+cx AS (
+  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+),
+cdots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM cx GROUP BY vec_id
+)
+SELECT d.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       round(d.dot / (sqrt(d.na) * sqrt(d.nb)), 4) AS cos
+FROM cdots d JOIN cand c USING (vec_id)
+ORDER BY d.dot / (sqrt(d.na) * sqrt(d.nb)) DESC, d.vec_id ASC LIMIT 10""",
+        "dedup_embedding_cosine": f"""
+WITH {_LSH_BUCKETS_CTE},
+ex AS (SELECT vec_id, unnest(embedding) AS ev,
+              generate_subscripts(embedding, 1) AS d
+       FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sum(CAST(a.ev AS DOUBLE) * CAST(b.ev AS DOUBLE)) AS dot,
+         sqrt(sum(CAST(a.ev AS DOUBLE) * CAST(a.ev AS DOUBLE)))
+           * sqrt(sum(CAST(b.ev AS DOUBLE) * CAST(b.ev AS DOUBLE))) AS nn
+  FROM ex a
+  JOIN ex b ON a.d = b.d AND a.vec_id < b.vec_id
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+)
+SELECT a, b, round(dot / nn, 4) AS cos FROM p
+WHERE round(dot / nn, 4) >= 0.35 ORDER BY a, b""",
+        "text_token_count": r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS n_subword,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id""",
+        "mm_frame_sample": """
+WITH f AS (
+  SELECT doc_id, md5(text) AS cmd5,
+         unnest(range(0, (octet_length(encode(text)) % 91) + 10, 7)) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       md5(cmd5 || ':' || CAST(fi AS VARCHAR)) AS frame_hash
+FROM f ORDER BY doc_id, frame_idx""",
         # --- multimodal ---
         "mm_binary_meta": """
 SELECT doc_id,

@@ -79,6 +79,14 @@ def main() -> None:
         searcher.search(q, k=10).collect()
         queries[name] = round(time.time() - t0, 3)
 
+    # --- 2b. the same query set BATCHED into one Spark job -----------------
+    # (serving-throughput path: one dictionary probe + one postings scan +
+    # one applyInPandas for the whole set; per-term decodes shared)
+    t0 = time.time()
+    batch = {f"q{i:02d}": q for i, q in enumerate(REFERENCE_QUERIES)}
+    searcher.search_many(batch, k=10).collect()
+    batch_all_sec = time.time() - t0
+
     # --- 3. pipeline operators over the sf_dir tables ----------------------
     import __spark_entry__ as entry
 
@@ -100,6 +108,8 @@ def main() -> None:
         "cores": CPUS,
         "query_set_sec": round(sum(v for k, v in queries.items()
                                    if k.startswith("q")), 2),
+        "batch_all_sec": round(batch_all_sec, 2),
+        "batch_qps": round(len(REFERENCE_QUERIES) / batch_all_sec, 1),
     }
     print(json.dumps(out))
     spark.stop()

@@ -513,6 +513,36 @@ def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
     return cand, sc
 
 
+def segment_topk_many(pdf: pd.DataFrame, qs: dict[str, Query], ctx_by: dict[str, Ctx],
+                      block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """Batched entry point: ALL queries of a batch against one segment in a
+    single applyInPandas call → (qid, docid, score) per-segment top-k rows.
+    One postings scan + one decode per term serves every query that mentions
+    it (SegmentPostings caches decodes) — the per-query Spark job scheduling
+    floor is paid once per batch instead of once per query. This is the
+    batch-serving analog of MultiSearcher fan-out (MultiSearcher.java:48):
+    same per-segment scorers, shared readers."""
+    sp = SegmentPostings(pdf, block_size)
+    frames = []
+    for qid, q in qs.items():
+        ctx = ctx_by[qid]
+        ids, sc = eval_query(sp, ctx, q)
+        if sp.deleted is not None and ids.size:
+            keep = ~np.isin(ids, sp.deleted, assume_unique=False)
+            ids, sc = ids[keep], sc[keep]
+        if ids.size == 0:
+            continue
+        k = min(ctx.k, ids.size)
+        order = np.lexsort((ids, -sc))[:k]
+        frames.append(pd.DataFrame({"qid": qid, "docid": ids[order],
+                                    "score": sc[order]}))
+    if not frames:
+        return pd.DataFrame({"qid": pd.Series(dtype="object"),
+                             "docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.concat(frames, ignore_index=True)
+
+
 def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
     """Entry point for applyInPandas: one segment's query-term posting rows →
     per-segment top-k (docid, score) with docid-asc tie-break (the reference

@@ -36,7 +36,7 @@ from .ast import (
     TermRange,
     Wildcard,
 )
-from .kernel import Ctx, segment_topk
+from .kernel import Ctx, segment_topk, segment_topk_many
 from .parser import parse_query
 
 MAX_CLAUSES = 1024  # reference BooleanQuery.maxClauseCount (search/BooleanQuery.java:34)
@@ -149,6 +149,59 @@ class Searcher:
         per_seg = rows.groupBy("seg").applyInPandas(run, schema="docid long, score double")
         out = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._hydrate(out) if hydrate else out
+
+    def search_many(self, queries: dict[str, Query | str], k: int = 10) -> DataFrame:
+        """Batched search: the whole query set in ONE Spark job →
+        DataFrame(qid, docid, score), per-qid top-k, tie-break docid asc.
+
+        Plan: one dictionary probe for the union of all query terms, one
+        postings scan filtered to that union (pushed-down parquet predicate),
+        one applyInPandas per segment running every query against shared
+        decoded postings, then a per-qid window top-k. Amortizes the
+        scheduler + scan floor across the batch — the serving-throughput
+        path; single-query latency path is `search`."""
+        from pyspark.sql import Window
+
+        qs: dict[str, Query] = {}
+        for qid, q in queries.items():
+            q = self.parse(q) if isinstance(q, str) else q
+            qs[qid] = self.rewrite(q)
+
+        match_all = {qid for qid, q in qs.items() if isinstance(q, MatchAll)}
+        all_terms = sorted({t for qid, q in qs.items()
+                            if qid not in match_all for t in q.terms()})
+        dfs = self.reader.doc_freqs(all_terms)
+        ctx_by = {qid: Ctx(self.reader.N, self.reader.avgdl, dfs, k)
+                  for qid in qs}
+        kernel_qs = {qid: q for qid, q in qs.items() if qid not in match_all}
+
+        parts = []
+        if kernel_qs and dfs:
+            qterms = [t for t in all_terms if t in dfs]
+            rows = self._with_deleted(
+                self.reader.postings().where(F.col("term").isin(qterms)))
+
+            def run(pdf):
+                return segment_topk_many(pdf, kernel_qs, ctx_by)
+
+            per_seg = rows.groupBy("seg").applyInPandas(
+                run, schema="qid string, docid long, score double")
+            w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+            parts.append(per_seg.withColumn("rn", F.row_number().over(w))
+                         .where(F.col("rn") <= k).drop("rn"))
+        for qid in match_all:
+            parts.append(
+                self._live_docmap()
+                .select(F.lit(qid).alias("qid"), "docid",
+                        F.lit(float(qs[qid].boost)).alias("score"))
+                .orderBy(F.asc("docid")).limit(k))
+        if not parts:
+            return self.reader.spark.createDataFrame(
+                [], "qid string, docid long, score double")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("qid", F.desc("score"), F.asc("docid"))
 
     def matching(self, query: Query | str) -> DataFrame:
         """ALL matching docids (no top-k truncation) → DataFrame(docid, score).

@@ -96,6 +96,47 @@ def test_multiphrase_superset_of_phrase(searcher):
     assert mp == ph
 
 
+def test_random_span_trees(searcher, oracle_index):
+    """Randomized span trees (the TestBoolean2.java:214 randomized-tree
+    pattern applied to the span algebra), batched through search_many so 25
+    trees cost one Spark job; seed logged for reproducibility."""
+    import random
+
+    seed = 24242
+    rng = random.Random(seed)
+    vocab = ["one", "two", "seven", "forty", "hundred", "twenty",
+             "seventeen", "ninety", "missingterm"]
+
+    def rand_span(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.40:
+            return SpanTerm(rng.choice(vocab))
+        if r < 0.65:
+            return SpanNear([rand_span(depth + 1)
+                             for _ in range(rng.randint(2, 3))],
+                            slop=rng.choice([0, 1, 3]),
+                            in_order=rng.random() < 0.5)
+        if r < 0.85:
+            return SpanOr([rand_span(depth + 1)
+                           for _ in range(rng.randint(2, 3))])
+        if r < 0.95:
+            return SpanNot(rand_span(depth + 1), rand_span(depth + 1))
+        return SpanFirst(rand_span(depth + 1), end=rng.randint(2, 30))
+
+    trees = {f"t{i:02d}": rand_span() for i in range(25)}
+    batched = searcher.search_many(trees, k=K).collect()
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["qid"], []).append(
+            (int(r["docid"]), float(r["score"])))
+    for qid, q in trees.items():
+        o_hits = oracle_search(oracle_index, q, K)
+        try:
+            assert_rank_identical(by_qid.get(qid, []), o_hits)
+        except AssertionError as e:
+            raise AssertionError(f"seed={seed} {qid} query={q}") from e
+
+
 # ---------------------------------------------------------------------------
 # direct span-algebra semantics on a tiny hand corpus
 # ---------------------------------------------------------------------------
