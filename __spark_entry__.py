@@ -213,6 +213,14 @@ def _hydrate_hits(spark, sf_dir, out):
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def _q_ft_regex(spark, sf_dir):
+    """Regex term query (contrib/regex RegexQuery): anchored full-term
+    regex enumerated against the dictionary → scoring disjunction."""
+    from lucene_spark.queries.ast import Regexp
+
+    return _topk(spark, sf_dir, Regexp("s.*n"))
+
+
 def _q_ft_filtered_range(spark, sf_dir):
     """FilteredQuery + numeric range as a native column predicate
     (search/FilteredQuery.java:40, NumericRangeQuery.java:155 — the trie
@@ -719,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": ft("s*"),
         "ft_wildcard": ft("s?an"),
         "ft_fuzzy": ft("datq~1"),
+        "ft_regex": _q_ft_regex,
         "ft_range": ft("[order TO row]"),
         "ft_range_excl": ft("{order TO row}"),
         "ft_field_filter": ft("data AND lang:es"),
@@ -995,6 +1004,7 @@ ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
         "ft_wildcard": _sql_expand("regexp_matches(term, '^s.an$')"),
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
+        "ft_regex": _sql_expand("regexp_full_match(term, 's.*n')"),
         "ft_range": _sql_expand("term >= 'order' AND term <= 'row'"),
         "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
         "ft_field_filter": f"""WITH {_PRELUDE}

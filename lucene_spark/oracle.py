@@ -26,6 +26,7 @@ from .queries.ast import (
     Phrase,
     Prefix,
     Query,
+    Regexp,
     SpanQuery,
     Term,
     TermRange,
@@ -174,6 +175,9 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
     if isinstance(q, Wildcard):
         rx = re.compile(wildcard_to_regex(q.pattern))
         return [t for t in idx_terms if rx.match(t)]
+    if isinstance(q, Regexp):
+        rx = re.compile(q.pattern)
+        return [t for t in idx_terms if rx.fullmatch(t)]
     if isinstance(q, Fuzzy):
         pre = q.term[: q.prefix_length]
         return [
@@ -203,7 +207,7 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_multiphrase(idx, q)
     if isinstance(q, SpanQuery):
         return _eval_span(idx, q)
-    if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange)):
+    if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange, Regexp)):
         terms = expand_multiterm(idx.terms_sorted, q)
         b = Bool(should=[Term(t) for t in terms], boost=q.boost)
         return _eval(idx, b)

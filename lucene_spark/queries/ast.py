@@ -113,6 +113,16 @@ class TermRange(Query):
 
 
 @dataclass
+class Regexp(Query):
+    """Regex term query (reference contrib/regex/.../RegexQuery.java —
+    a MultiTermQuery whose FilteredTermEnum matches terms by regex).
+    Anchored full-term match, like the reference's RegexTermEnum."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
 class Fuzzy(Query):
     term: str
     max_edits: int = 2

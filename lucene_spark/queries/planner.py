@@ -32,6 +32,7 @@ from .ast import (
     Phrase,
     Prefix,
     Query,
+    Regexp,
     Term,
     TermRange,
     Wildcard,
@@ -81,6 +82,11 @@ class Searcher:
             return Bool(should=[Term(t) for t in terms], boost=q.boost)
         if isinstance(q, Fuzzy):
             terms = self._expand_fuzzy(q)
+            return Bool(should=[Term(t) for t in terms], boost=q.boost)
+        if isinstance(q, Regexp):
+            # contrib/regex RegexQuery: anchored full-term regex enumeration
+            terms = self.reader.expand_terms(
+                "wildcard_regex", f"^(?:{q.pattern})$", MAX_CLAUSES)
             return Bool(should=[Term(t) for t in terms], boost=q.boost)
         if isinstance(q, TermRange):
             terms = self.reader.expand_terms(

@@ -43,6 +43,16 @@ def test_term_range_rank_identity(searcher, oracle_index, qs):
     assert_rank_identical(topk(searcher, qs), oracle_search(oracle_index, q, K))
 
 
+def test_regexp_rank_identity(searcher, oracle_index):
+    """contrib/regex RegexQuery: anchored full-term regex → disjunction."""
+    from lucene_spark.queries.ast import Regexp
+
+    for pat in ["s.*n", "(seven|eight)ty", "fi[fv]ty?e?"]:
+        q = Regexp(pat)
+        assert_rank_identical(topk(searcher, q),
+                              oracle_search(oracle_index, q, K))
+
+
 def test_range_parse():
     q = parse_query("[alpha TO beta]^2")
     assert isinstance(q, TermRange)
