@@ -49,7 +49,7 @@ from lucene_spark.queries.ast import (
 from lucene_spark.queries.planner import Searcher
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
-_IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_idx_v2")
+_IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_idx_v3")
 
 # ---------------------------------------------------------------------------
 # index management (cached per sf_dir)

@@ -43,7 +43,8 @@ from .plan import BuildPlan, make_build_plan, read_build_plan, write_build_plan
 
 TOKENS_SCHEMA = (
     "seg int, docid long, url string, lang string, doclen int, "
-    "terms array<string>, tfs array<int>, positions array<array<int>>"
+    "terms array<string>, tfs array<int>, positions array<array<int>>, "
+    "dls array<int>, fdl map<string,int>"
 )
 
 POSTINGS_SCHEMA = (
@@ -56,7 +57,7 @@ POSTINGS_SCHEMA = (
 
 
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
-                   keyword_fields: tuple = ()):
+                   keyword_fields: tuple = (), analyzed_fields: tuple = ()):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -64,6 +65,12 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
     Doc-major rows keep Python-side materialization O(docs), not
     O(doc×term): the per-(doc, term) flattening happens JVM-side via
     explode(arrays_zip(...)) in the postings job.
+
+    `analyzed_fields`: extra ANALYZED source columns (the reference
+    multi-field document model, document/Field.java:60 Index.ANALYZED per
+    field) — terms namespaced ``field:term``, own position stream, own
+    per-doc length (per-field norms, index/NormsWriter.java:61) carried in
+    the per-term ``dls`` array and the per-doc ``fdl`` map.
     """
     from ..analysis import POSITIONAL_ANALYZERS
     from .plan import _norm
@@ -72,26 +79,29 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
     simple_fn = ANALYZERS.get(analyzer)
     empty_pos: list[list[int]] = []
 
+    def analyze_pairs(text):
+        if analyze_fn is not None:
+            return analyze_fn(text or "")
+        toks = simple_fn(text or "")
+        return list(zip(toks, range(len(toks))))
+
     def fn(batches):
         for pdf in batches:
             c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
-            c_terms, c_tfs, c_pos = [], [], []
+            c_terms, c_tfs, c_pos, c_dls, c_fdl = [], [], [], [], []
             fps = pdf["fp"].map(lambda p: base_by_path[_norm(p)])
             texts = pdf["text"] if "text" in pdf else None
             htmls = pdf["html"] if "html" in pdf else None
             urls = pdf["url"]
             langs = pdf["lang"] if "lang" in pdf else None
+            afields = {f: pdf[f] for f in analyzed_fields if f in pdf}
             ris = pdf["ri"]
             for i in range(len(pdf)):
                 base, seg = fps.iloc[i]
                 text = texts.iloc[i] if texts is not None else None
                 if text is None and htmls is not None:
                     text = extract_text(htmls.iloc[i])
-                if analyze_fn is not None:
-                    pairs = analyze_fn(text or "")
-                else:
-                    toks = simple_fn(text or "")
-                    pairs = list(zip(toks, range(len(toks))))
+                pairs = analyze_pairs(text)
                 agg: dict[str, list[int]] = {}
                 for term, pos in pairs:
                     agg.setdefault(term, []).append(pos)
@@ -105,6 +115,21 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 terms = list(agg.keys())
                 tfs = [len(v) for v in agg.values()]
                 pos = list(agg.values()) if store_positions else list(empty_pos)
+                dls = [len(pairs)] * len(terms)
+                fdl: dict[str, int] = {}
+                # extra ANALYZED fields: own term namespace, positions, and
+                # field length (per-field postings + norms)
+                for af, col in afields.items():
+                    f_pairs = analyze_pairs(col.iloc[i])
+                    f_agg: dict[str, list[int]] = {}
+                    for term, p in f_pairs:
+                        f_agg.setdefault(f"{af}:{term}", []).append(p)
+                    fdl[af] = len(f_pairs)
+                    terms.extend(f_agg.keys())
+                    tfs.extend(len(v) for v in f_agg.values())
+                    dls.extend([len(f_pairs)] * len(f_agg))
+                    if store_positions:
+                        pos.extend(f_agg.values())
                 # NOT_ANALYZED keyword fields → namespaced single terms with
                 # tf=1, no positions, excluded from doclen (reference
                 # Field.Index.NOT_ANALYZED + omitNorms, document/Field.java:83)
@@ -113,15 +138,18 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                     if val is not None:
                         terms.append(f"{kf}:{val}")
                         tfs.append(1)
+                        dls.append(len(pairs))
                         if store_positions:
                             pos.append([])
                 c_terms.append(terms)
                 c_tfs.append(tfs)
                 c_pos.append(pos)
+                c_dls.append(dls)
+                c_fdl.append(fdl)
             yield pd.DataFrame({
                 "seg": c_seg, "docid": c_docid, "url": c_url, "lang": c_lang,
                 "doclen": c_dl, "terms": c_terms, "tfs": c_tfs,
-                "positions": c_pos,
+                "positions": c_pos, "dls": c_dls, "fdl": c_fdl,
             })
 
     return fn
@@ -269,6 +297,7 @@ def build_index(
     resume: bool = True,
     segs_per_job: int | None = None,
     keyword_fields: tuple = (),
+    analyzed_fields: tuple = (),
 ) -> dict:
     """Build (or resume) the index for parquet pages at input_path.
 
@@ -297,7 +326,8 @@ def build_index(
     for ci in range(0, len(pending), chunk):
         segs = pending[ci : ci + chunk]
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
-                     max_postings_per_row, block_size, keyword_fields)
+                     max_postings_per_row, block_size, keyword_fields,
+                     analyzed_fields)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -306,7 +336,7 @@ def build_index(
 def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  analyzer: str, store_positions: bool,
                  max_postings_per_row: int, block_size: int,
-                 keyword_fields: tuple = ()) -> None:
+                 keyword_fields: tuple = (), analyzed_fields: tuple = ()) -> None:
     import pyarrow.parquet as pq
 
     t0 = time.time()
@@ -320,6 +350,9 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         cols.insert(1, F.col("text"))
     if "html" in src_schema:
         cols.insert(1, F.col("html"))
+    for af in analyzed_fields:
+        if af in src_schema:
+            cols.insert(1, F.col(af))
     pages = spark.read.parquet(*paths).select(*cols)
 
     # co-locate each segment's pages in one task BEFORE tokenizing, so the
@@ -337,7 +370,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     )
 
     tokens = pages.mapInPandas(
-        _tokenize_iter(plan.base_by_path(), analyzer, store_positions, keyword_fields),
+        _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
+                       keyword_fields, analyzed_fields),
         schema=TOKENS_SCHEMA,
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
@@ -347,7 +381,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     tok = spark.read.parquet(os.path.join(out_dir, "tokens")).where(F.col("seg").isin(segs))
 
     # docmap: one row per doc already — pure column projection, no shuffle
-    (tok.select("seg", "docid", "url", "lang", "doclen")
+    (tok.select("seg", "docid", "url", "lang", "doclen", "fdl")
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "docmap")))
 
@@ -359,13 +393,15 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     # seek of the reference (.tii/.tis, index/TermInfosWriter.java:59) falls
     # out of the storage layout.
     (tok.select(
-            "seg", "docid", "doclen",
+            "seg", "docid",
             F.explode(F.arrays_zip(
                 F.col("terms").alias("term"),
                 F.col("tfs").alias("tf"),
-                F.col("positions").alias("positions"))).alias("z"))
+                F.col("positions").alias("positions"),
+                F.col("dls").alias("dl"))).alias("z"))
         .select("seg", F.col("z.term").alias("term"), "docid",
-                F.col("z.tf").alias("tf"), "doclen",
+                F.col("z.tf").alias("tf"),
+                F.col("z.dl").alias("doclen"),  # per-term FIELD length
                 F.col("z.positions").alias("positions"))
         .repartition(len(segs), "seg")
         .sortWithinPartitions("seg", "term", "docid")
@@ -414,6 +450,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "wall_ms": int(wall * 1000),
             "attempt": 1,
             "analyzer": analyzer,
+            "analyzed_fields": list(analyzed_fields),
             "block_size": block_size,
         }
         mp = _manifest_path(out_dir, seg)

@@ -134,19 +134,25 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     # rewrite tokens → docmap → postings for the affected segments, staged
     # then swapped (rename-commit, same as the build's manifest protocol)
     store_positions = "positions" in tok.columns
+    # per-term field lengths (multi-field indexes); pre-multifield token
+    # layouts fall back to the doc-level doclen
+    has_dls = "dls" in tok.columns
+    dm_cols = ["seg", "docid", "url", "lang", "doclen"] + (
+        ["fdl"] if "fdl" in tok.columns else [])
+    zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf"),
+                F.col("positions").alias("positions")] + (
+        [F.col("dls").alias("dl")] if has_dls else [])
+    dl_col = F.col("z.dl") if has_dls else F.col("doclen")
     # tokens is rewritten LAST: docmap/postings lineage reads the old tokens
     # files, which must still exist when those stages execute
     stages = {
-        "docmap": tok.select("seg", "docid", "url", "lang", "doclen"),
+        "docmap": tok.select(*dm_cols),
         "postings": (
             tok.select(
                 "seg", "docid", "doclen",
-                F.explode(F.arrays_zip(
-                    F.col("terms").alias("term"),
-                    F.col("tfs").alias("tf"),
-                    F.col("positions").alias("positions"))).alias("z"))
+                F.explode(F.arrays_zip(*zip_cols)).alias("z"))
             .select("seg", F.col("z.term").alias("term"), "docid",
-                    F.col("z.tf").alias("tf"), "doclen",
+                    F.col("z.tf").alias("tf"), dl_col.alias("doclen"),
                     F.col("z.positions").alias("positions"))
             .repartition(len(segs), "seg")
             .sortWithinPartitions("seg", "term", "docid")

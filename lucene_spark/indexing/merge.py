@@ -56,17 +56,29 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         for r, _d, names in os.walk(td_dir) for n in names
         if n.endswith(".parquet"))
     analyzer = None
+    analyzed_fields: list = []
     mdir = os.path.join(out_dir, "manifests")
     if os.path.isdir(mdir):
         for n in sorted(os.listdir(mdir)):
             if n.endswith(".json"):
                 with open(os.path.join(mdir, n)) as f:
-                    analyzer = json.load(f).get("analyzer")
+                    m = json.load(f)
+                analyzer = m.get("analyzer")
+                analyzed_fields = m.get("analyzed_fields", [])
                 break
+    # per-field average length (per-field norms stats — the avgdl of each
+    # extra ANALYZED field, reference index/NormsWriter.java:61 per-field)
+    avgdl_fields: dict = {}
+    if analyzed_fields and "fdl" in docmap.columns:
+        rows_f = (docmap.select(F.explode("fdl").alias("field", "dl"))
+                  .groupBy("field").agg(F.avg("dl").alias("avgdl")).collect())
+        avgdl_fields = {r["field"]: float(r["avgdl"]) for r in rows_f}
     stats = {
         "analyzer": analyzer or "standard",
         "N": int(row["N"]),
         "avgdl": float(row["avgdl"] or 0.0),
+        "avgdl_fields": avgdl_fields,
+        "analyzed_fields": analyzed_fields,
         "total_tokens": int(row["total_tokens"] or 0),
         "n_terms": int(n_terms),
         "n_segments": int(row["n_segments"]),

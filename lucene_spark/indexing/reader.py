@@ -21,6 +21,10 @@ class IndexReader:
         # the analyzer the index was built with — query text must run
         # through the SAME chain (reference QueryParser.java:513)
         self.analyzer: str = self.stats.get("analyzer", "standard")
+        # extra ANALYZED fields (multi-field model): per-field avgdl for
+        # BM25 length normalization (per-field norms)
+        self.analyzed_fields: tuple = tuple(self.stats.get("analyzed_fields", []))
+        self.avgdl_fields: dict = self.stats.get("avgdl_fields", {})
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on

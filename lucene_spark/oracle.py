@@ -42,6 +42,9 @@ class OracleIndex:
     doclen: dict[int, int] = field(default_factory=dict)
     # term → {docid → positions list}
     postings: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    # multi-field: per-field avgdl and per-(field, doc) length
+    avgdl_fields: dict[str, float] = field(default_factory=dict)
+    field_doclen: dict[str, dict[int, int]] = field(default_factory=dict)
 
     @property
     def terms_sorted(self) -> list[str]:
@@ -50,8 +53,26 @@ class OracleIndex:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
 
+    def avgdl_of(self, term: str) -> float:
+        if self.avgdl_fields and ":" in term:
+            return self.avgdl_fields.get(term.split(":", 1)[0], self.avgdl)
+        return self.avgdl
 
-def build_oracle_index(docs: list[tuple[int, str]]) -> OracleIndex:
+    def dl_of(self, term: str, docid: int) -> int:
+        """Per-field doc length (per-field norms, index/NormsWriter.java:61)."""
+        if self.field_doclen and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self.field_doclen:
+                return self.field_doclen[f].get(docid, 0)
+        return self.doclen[docid]
+
+
+def build_oracle_index(docs: list[tuple[int, str]],
+                       extra_fields: dict[str, dict[int, str]] | None = None
+                       ) -> OracleIndex:
+    """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
+    terms namespaced field:term with their own length stats (the reference
+    multi-field document model)."""
     idx = OracleIndex()
     total = 0
     for docid, text in docs:
@@ -62,6 +83,17 @@ def build_oracle_index(docs: list[tuple[int, str]]) -> OracleIndex:
             idx.postings.setdefault(term, {}).setdefault(docid, []).append(pos)
     idx.N = len(docs)
     idx.avgdl = total / idx.N if idx.N else 0.0
+    for f, by_doc in (extra_fields or {}).items():
+        ftotal = 0
+        idx.field_doclen[f] = {}
+        for docid, _ in docs:
+            pairs = analyze(by_doc.get(docid) or "")
+            idx.field_doclen[f][docid] = len(pairs)
+            ftotal += len(pairs)
+            for term, pos in pairs:
+                idx.postings.setdefault(f"{f}:{term}", {}).setdefault(
+                    docid, []).append(pos)
+        idx.avgdl_fields[f] = ftotal / idx.N if idx.N else 0.0
     return idx
 
 
@@ -77,7 +109,8 @@ def _eval_term(idx: OracleIndex, q: Term) -> dict[int, float]:
     idf = float(bm25_idf(idx.N, df))
     out = {}
     for docid, positions in plist.items():
-        w = float(bm25_tf_weight(len(positions), idx.doclen[docid], idx.avgdl))
+        w = float(bm25_tf_weight(len(positions), idx.dl_of(q.term, docid),
+                                 idx.avgdl_of(q.term)))
         out[docid] = q.boost * idf * w
     return out
 
@@ -105,8 +138,10 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     # needs only global term stats (segment-local kernels can't know global
     # phrase df)
     idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in dict.fromkeys(q.phrase_terms)))
+    t0 = q.phrase_terms[0]
     return {
-        d: q.boost * idf * float(bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+        d: q.boost * idf * float(
+            bm25_tf_weight(f, idx.dl_of(t0, d), idx.avgdl_of(t0)))
         for d, f in freqs.items()
     }
 
@@ -139,7 +174,7 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
         f = phrase_freq([sp[d] for sp in slot_pos], qpos, q.slop)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+                bm25_tf_weight(f, idx.dl_of(uniq[0], d), idx.avgdl_of(uniq[0])))
     return out
 
 
@@ -162,7 +197,7 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
         f = span_freq(sp_arr, wmin)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.doclen[d], idx.avgdl))
+                bm25_tf_weight(f, idx.dl_of(uniq[0], d), idx.avgdl_of(uniq[0])))
     return out
 
 

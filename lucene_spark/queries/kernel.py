@@ -128,15 +128,26 @@ class SegmentPostings:
 
 
 class Ctx:
-    def __init__(self, N: int, avgdl: float, dfs: dict[str, int], k: int):
+    def __init__(self, N: int, avgdl: float, dfs: dict[str, int], k: int,
+                 avgdl_fields: dict[str, float] | None = None):
         self.N = N
         self.avgdl = avgdl
         self.dfs = dfs
         self.k = k
+        self.avgdl_fields = avgdl_fields or {}
 
     def idf(self, term: str) -> float:
         df = self.dfs.get(term, 0)
         return float(bm25_idf(self.N, df)) if df else 0.0
+
+    def avgdl_of(self, term: str) -> float:
+        """Per-field average length (the per-field norms of the reference,
+        index/NormsWriter.java:61): a `field:term` from an extra ANALYZED
+        field normalizes against ITS field's avgdl; default field and
+        keyword terms use the corpus text avgdl."""
+        if self.avgdl_fields and ":" in term:
+            return self.avgdl_fields.get(term.split(":", 1)[0], self.avgdl)
+        return self.avgdl
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +168,7 @@ def _eval_term_full(sp: SegmentPostings, ctx: Ctx, q: Term):
     if not sp.has(q.term):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ids, tfs, dls = sp.full(q.term)
-    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(q.term))
     return ids, sc
 
 
@@ -204,7 +215,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
             return empty
         l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids_arr)
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
-        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
         return ids_arr, sc
 
     cand = per_term[0][0]
@@ -232,7 +243,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     # need dl per candidate: take from any term's postings via lookup
     l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids)
     dls = l_dls[np.searchsorted(l_ids, ids)]
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
     return ids, sc
 
 
@@ -305,7 +316,7 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
     if ids_arr.size == 0:
         return empty
     dls = _dl_map(sp, uniq, ids_arr)
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
     return ids_arr, sc
 
 
@@ -339,7 +350,7 @@ def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
     uniq = list(dict.fromkeys(q.terms()))
     idf = float(sum(ctx.idf(t) for t in uniq))
     dls = _dl_map(sp, uniq, docs)
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl)
+    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
     return docs, sc
 
 
@@ -360,7 +371,7 @@ def _topk_theta(ids: np.ndarray, sc: np.ndarray, k: int) -> float:
 
 def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
     """MaxScore over a pure term disjunction (see module docstring)."""
-    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl) * c.boost)
+    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl_of(c.term)) * c.boost)
              for c in q.should if sp.has(c.term)]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -385,7 +396,7 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
             ids, tfs, dls = sp.lookup(c.term, acc_ids)
         else:
             ids, tfs, dls = sp.full(c.term)
-        sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+        sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))
         clause_results[oi] = (ids, sc)
         acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, ids, sc)
         theta = _topk_theta(acc_ids, acc_sc, ctx.k)
@@ -464,7 +475,7 @@ def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
                 if not sp.has(c.term):
                     return empty
                 ids, tfs, dls = sp.lookup(c.term, cand)
-                sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl)
+                sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))
             else:
                 ids, sc = eval_query(sp, ctx, c)
             if ids.size == 0:

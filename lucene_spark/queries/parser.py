@@ -108,9 +108,22 @@ def _analyze_pairs(text: str, analyzer: str) -> list[tuple[str, int]]:
     return list(zip(toks, range(len(toks))))
 
 
-def _word_query(word: str, analyzer: str = "standard") -> Query | None:
+def _word_query(word: str, analyzer: str = "standard",
+                fields: tuple = ()) -> Query | None:
     word, boost = _split_boost(word)
     fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
+    if fm and fm.group(1) in fields:
+        # extra ANALYZED field: scored field-scoped term/phrase with the
+        # field's own namespace (reference multi-field getFieldQuery,
+        # QueryParser.java:513)
+        af = fm.group(1)
+        pairs = _analyze_pairs(fm.group(2), analyzer)
+        if not pairs:
+            return None
+        if len(pairs) == 1:
+            return Term(f"{af}:{pairs[0][0]}", boost=boost)
+        return Phrase([f"{af}:{t}" for t, _ in pairs],
+                      [p for _, p in pairs], slop=0, boost=boost)
     if fm and fm.group(1) in KEYWORD_FIELDS:
         # explicit ^boost → constant-score that value; bare → pure filter (0)
         const = boost if boost != 1.0 else 0.0
@@ -158,7 +171,7 @@ def _quoted_query(tok: str, analyzer: str = "standard") -> Query | None:
     return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop)
 
 
-def _parse_atom(lx: _Lexer, analyzer: str) -> tuple[Query | None, str]:
+def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = ()) -> tuple[Query | None, str]:
     """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}."""
     occur = "SHOULD"
     t = lx.peek()
@@ -170,7 +183,7 @@ def _parse_atom(lx: _Lexer, analyzer: str) -> tuple[Query | None, str]:
         return None, occur
     if t[0] == "lpar":
         lx.next()
-        q = _parse_or(lx, analyzer)
+        q = _parse_or(lx, analyzer, fields)
         nxt = lx.peek()
         if nxt and nxt[0] == "rpar":
             lx.next()
@@ -183,14 +196,14 @@ def _parse_atom(lx: _Lexer, analyzer: str) -> tuple[Query | None, str]:
         return _range_query(t[1]), occur
     if t[0] == "word":
         lx.next()
-        return _word_query(t[1], analyzer), occur
+        return _word_query(t[1], analyzer, fields), occur
     lx.next()
     return None, occur
 
 
-def _parse_and(lx: _Lexer, analyzer: str) -> Query | None:
+def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
     clauses: list[tuple[Query, str]] = []
-    q, occur = _parse_atom(lx, analyzer)
+    q, occur = _parse_atom(lx, analyzer, fields)
     if q is not None or occur != "SHOULD":
         if q is not None:
             clauses.append((q, occur))
@@ -198,7 +211,7 @@ def _parse_and(lx: _Lexer, analyzer: str) -> Query | None:
         t = lx.peek()
         if t and t[0] == "and":
             lx.next()
-            q, occur = _parse_atom(lx, analyzer)
+            q, occur = _parse_atom(lx, analyzer, fields)
             if q is not None:
                 clauses.append((q, "MUST" if occur == "SHOULD" else occur))
                 # retroactively promote the left neighbour to MUST
@@ -233,9 +246,9 @@ def _merge_should(parts: list[Query]) -> Query:
     return b
 
 
-def _parse_or(lx: _Lexer, analyzer: str) -> Query | None:
+def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
     parts: list[Query] = []
-    q = _parse_and(lx, analyzer)
+    q = _parse_and(lx, analyzer, fields)
     if q is not None:
         parts.append(q)
     while True:
@@ -245,7 +258,7 @@ def _parse_or(lx: _Lexer, analyzer: str) -> Query | None:
         if t[0] == "or":
             lx.next()
             continue
-        q = _parse_and(lx, analyzer)
+        q = _parse_and(lx, analyzer, fields)
         if q is None:
             if lx.peek() is t:  # no progress — bail
                 lx.next()
@@ -256,10 +269,11 @@ def _parse_or(lx: _Lexer, analyzer: str) -> Query | None:
     return _merge_should(parts)
 
 
-def parse_query(s: str, analyzer: str = "standard") -> Query:
+def parse_query(s: str, analyzer: str = "standard",
+                analyzed_fields: tuple = ()) -> Query:
     lx = _Lexer(s)
     had_tokens = bool(lx.tokens)
-    q = _parse_or(lx, analyzer)
+    q = _parse_or(lx, analyzer, analyzed_fields)
     if q is None:
         # blank input → MatchAll (lenient); input that analyzed away entirely
         # (e.g. all stopwords) → empty boolean, matches nothing (reference

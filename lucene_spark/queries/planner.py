@@ -66,8 +66,10 @@ class Searcher:
 
     def parse(self, query: str) -> Query:
         """Parse query text with the index's own analyzer
-        (reference QueryParser.java:513)."""
-        return parse_query(query, analyzer=self.reader.analyzer)
+        (reference QueryParser.java:513); field-scoped syntax resolves
+        against the index's extra ANALYZED fields."""
+        return parse_query(query, analyzer=self.reader.analyzer,
+                           analyzed_fields=self.reader.analyzed_fields)
 
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:
@@ -143,7 +145,8 @@ class Searcher:
         dfs = self.reader.doc_freqs(terms)
         if not dfs:
             return self._empty()
-        ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k)
+        ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k,
+                  avgdl_fields=self.reader.avgdl_fields)
 
         qterms = [t for t in terms if t in dfs]
         rows = self._with_deleted(
@@ -177,7 +180,8 @@ class Searcher:
         all_terms = sorted({t for qid, q in qs.items()
                             if qid not in match_all for t in q.terms()})
         dfs = self.reader.doc_freqs(all_terms)
-        ctx_by = {qid: Ctx(self.reader.N, self.reader.avgdl, dfs, k)
+        ctx_by = {qid: Ctx(self.reader.N, self.reader.avgdl, dfs, k,
+                           avgdl_fields=self.reader.avgdl_fields)
                   for qid in qs}
         kernel_qs = {qid: q for qid, q in qs.items() if qid not in match_all}
 
@@ -222,7 +226,8 @@ class Searcher:
         dfs = self.reader.doc_freqs(terms)
         if not dfs:
             return self._empty()
-        ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62)
+        ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
+                  avgdl_fields=self.reader.avgdl_fields)
         rows = self._with_deleted(
             self.reader.postings().where(F.col("term").isin(list(dfs))))
 

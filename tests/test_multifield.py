@@ -1,0 +1,113 @@
+"""Multi-field analyzed indexing: a second ANALYZED field (`title`) gets
+its own term namespace, position stream, and per-field length stats
+(the reference multi-field document model, document/Field.java:60 +
+per-field norms index/NormsWriter.java:61) — Spark engine vs oracle."""
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_spark.indexing import IndexReader, build_index, merge_index
+from lucene_spark.oracle import build_oracle_index, oracle_search
+from lucene_spark.queries.ast import Bool, Phrase, SpanNear, SpanTerm, Term
+from lucene_spark.queries.planner import Searcher
+
+K = 10
+N = 240
+
+
+def _rows():
+    """Deterministic corpus: body from number words, short titles reusing a
+    few body words so title/text postings overlap but lengths differ."""
+    from lucene_spark.fixtures import long_to_english
+
+    rows = []
+    for i in range(N):
+        body = " ".join(long_to_english(j % 100) for j in range(i, i + 12))
+        title = f"{long_to_english(i % 20)} report" if i % 3 else "summary"
+        rows.append((str(i), body, title, "en"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def mf(spark, tmp_path_factory):
+    rows = _rows()
+    src = tmp_path_factory.mktemp("mfsrc")
+    for k, (lo, hi) in enumerate(((0, 120), (120, 240))):
+        pdf = pd.DataFrame(rows[lo:hi], columns=["url", "text", "title", "lang"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       str(src / f"part-{k:04d}.parquet"))
+    out = str(tmp_path_factory.mktemp("mfidx"))
+    build_index(spark, str(src), out, target_docs_per_seg=120,
+                analyzed_fields=("title",), keyword_fields=("lang",))
+    merge_index(spark, out)
+    oracle = build_oracle_index(
+        [(i, r[1]) for i, r in enumerate(rows)],
+        extra_fields={"title": {i: r[2] for i, r in enumerate(rows)}})
+    return Searcher(IndexReader(spark, out)), oracle
+
+
+def topk(searcher, q):
+    return [(int(r["docid"]), float(r["score"]))
+            for r in searcher.search(q, k=K).collect()]
+
+
+def assert_rank_identical(spark_hits, oracle_hits):
+    assert [d for d, _ in spark_hits] == [d for d, _ in oracle_hits]
+    for (d1, s1), (_d2, s2) in zip(spark_hits, oracle_hits):
+        assert math.isclose(s1, s2, rel_tol=1e-9), (d1, s1, s2)
+
+
+def test_stats_have_field_avgdl(mf):
+    searcher, oracle = mf
+    r = searcher.reader
+    assert r.analyzed_fields == ("title",)
+    assert math.isclose(r.avgdl_fields["title"], oracle.avgdl_fields["title"],
+                        rel_tol=1e-9)
+    assert r.avgdl_fields["title"] < r.avgdl  # titles much shorter than body
+
+
+@pytest.mark.parametrize("q", [
+    Term("title:report"),
+    Term("title:summary"),
+    Term("title:seven"),
+    Phrase(["title:seven", "title:report"]),
+    Bool(must=[Term("seven"), Term("title:report")]),
+    Bool(should=[Term("title:summary"), Term("nine")]),
+    SpanNear([SpanTerm("title:seven"), SpanTerm("title:report")], 0, True),
+], ids=lambda q: type(q).__name__ + str(abs(hash(str(q))) % 10000))
+def test_field_query_rank_identity(mf, q):
+    searcher, oracle = mf
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle, q, K))
+
+
+def test_parser_field_syntax(mf):
+    searcher, oracle = mf
+    q = searcher.parse("title:report AND seven")
+    got = topk(searcher, q)
+    want = oracle_search(
+        oracle, Bool(must=[Term("title:report"), Term("seven")]), K)
+    assert_rank_identical(got, want)
+    # multi-token field value analyzes to a field-scoped phrase
+    q2 = searcher.parse("title:seven")
+    assert q2 == Term("title:seven")
+
+
+def test_field_length_norm_differs_from_text(mf):
+    """'seven' appears in both fields: the title posting must normalize by
+    the TITLE length/avgdl, not the body's — scores must differ."""
+    searcher, oracle = mf
+    t_hits = dict(topk(searcher, Term("title:seven")))
+    b_hits = dict(topk(searcher, Term("seven")))
+    common = set(t_hits) & set(b_hits)
+    assert common
+    assert all(not math.isclose(t_hits[d], b_hits[d], rel_tol=1e-6)
+               for d in common)
+
+
+def test_keyword_field_still_works(mf):
+    searcher, _ = mf
+    assert searcher.count("lang:en") == N
