@@ -66,14 +66,18 @@ def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
         # range-partition + sort, and the build plan takes files path-sorted
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            .select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+            .select(F.col("doc_id").cast("string").alias("url"), "text", "lang",
+                    # derived title: first 3 body words — a second ANALYZED
+                    # field with its own namespace + per-field norms
+                    F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+                    .alias("title"))
             .repartitionByRange(4, F.col("url").cast("long"))
             .sortWithinPartitions(F.col("url").cast("long"))
             .write.mode("overwrite").parquet(src)
         )
         build_index(spark, src, d, analyzer="whitespace",
                     target_docs_per_seg=2000, store_positions=True,
-                    keyword_fields=("lang",))
+                    keyword_fields=("lang",), analyzed_fields=("title",))
         merge_index(spark, d)
     return IndexReader(spark, d)
 
@@ -211,6 +215,13 @@ def _hydrate_hits(spark, sf_dir, out):
             .select(F.col("url").cast("long").alias("doc_id"),
                     F.round("score", 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def _q_ft_field_title(spark, sf_dir):
+    """Field-scoped query over the second ANALYZED field (`title` = first 3
+    body words): BM25 normalized by the TITLE field's own dl/avgdl — the
+    reference's per-field norms (index/NormsWriter.java:61)."""
+    return _topk(spark, sf_dir, "title:scan")
 
 
 def _q_ft_regex(spark, sf_dir):
@@ -731,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range": ft("[order TO row]"),
         "ft_range_excl": ft("{order TO row}"),
         "ft_field_filter": ft("data AND lang:es"),
+        "ft_field_title": _q_ft_field_title,
         "ft_filtered_range": _q_ft_filtered_range,
         "ft_custom_score": _q_ft_custom_score,
         "ft_count": _q_ft_count,
@@ -1005,6 +1017,27 @@ ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
         "ft_regex": _sql_expand("regexp_full_match(term, 's.*n')"),
+        "ft_field_title": """
+WITH tt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS term FROM documents
+),
+tdl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+tc AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT avg(dl) FROM tdl) AS avgdl),
+ttf AS (SELECT doc_id, count(*) AS tf FROM tt WHERE term = 'scan'
+        GROUP BY doc_id),
+tdf AS (SELECT count(*) AS df FROM ttf)
+SELECT t.doc_id,
+       round(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * ((1.2 + 1.0) * t.tf)
+             / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)),
+             4) AS score
+FROM ttf t JOIN tdl l USING (doc_id) CROSS JOIN tc c CROSS JOIN tdf d
+ORDER BY ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+         * ((1.2 + 1.0) * t.tf)
+         / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl)) DESC,
+         t.doc_id ASC
+LIMIT 10""",
         "ft_range": _sql_expand("term >= 'order' AND term <= 'row'"),
         "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
         "ft_field_filter": f"""WITH {_PRELUDE}
@@ -1065,6 +1098,12 @@ SELECT term, df, cf FROM (
   UNION ALL
   SELECT 'lang:' || lang, CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
   FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'title:' || t.term, CAST(count(DISTINCT t.doc_id) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS term
+        FROM documents) t
+  GROUP BY t.term
 ) ORDER BY term""",
         "ft_doclens": f"""WITH {_PRELUDE}
 SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
