@@ -680,6 +680,41 @@ def _q_mm_frame_sample(spark, sf_dir):
         .orderBy("doc_id", "frame_idx"))
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling event-time window aggregation over the events table (the
+    batch twin of streaming/windows.py's watermarked aggregation)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").cast("timestamp").cast("long")
+                    .alias("win_start"),
+                    "event_type", "n", "total_value")
+            .orderBy("win_start", "event_type"))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min inactivity): lag + running sum of
+    session-break flags — one shuffle on user_id, window functions stay in
+    whole-stage codegen (the applyInPandasWithState-free batch form)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
+    brk = F.when(
+        tsl - F.lag(tsl).over(w) > 1800, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (ev.select("user_id", "event_id", "ts", brk.alias("brk"))
+            .withColumn("sess", F.sum("brk").over(w)))
+    return (sess.groupBy("user_id", "sess")
+            .agg(F.min(tsl).alias("session_start"),
+                 (F.max(tsl) - F.min(tsl)).alias("duration_s"),
+                 F.count("*").cast("long").alias("n_events"))
+            .select("user_id", "session_start", "duration_s", "n_events")
+            .orderBy("user_id", "session_start"))
+
+
 def _q_mm_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → typed metadata via
     mapInPandas (Arrow batches). The real decode (image/audio libs absent in
@@ -773,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh_search": _q_ann_lsh_search,
         "ann_ivf_search": _q_ann_ivf_search,
+        # --- event analytics (batch twins of the streaming ops) ---
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
         # --- multimodal plumbing ---
         "mm_binary_meta": _q_mm_binary_meta,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1323,6 +1361,34 @@ WITH f AS (
 SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
        md5(cmd5 || ':' || CAST(fi AS VARCHAR)) AS frame_hash
 FROM f ORDER BY doc_id, frame_idx""",
+        "events_windowed": """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+        "events_sessionize": """
+WITH te AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse  -- whole seconds (Spark long cast)
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts, tse,
+         CASE WHEN tse - lag(tse) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM te
+),
+sess AS (
+  SELECT user_id, tse,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM lagged
+)
+SELECT user_id, min(tse) AS session_start,
+       max(tse) - min(tse) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sess ORDER BY user_id, session_start""",
         # --- multimodal ---
         "mm_binary_meta": """
 SELECT doc_id,

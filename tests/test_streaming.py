@@ -106,3 +106,54 @@ def test_streaming_ingest(spark, tmp_path):
                                available_now=True)
     q2.awaitTermination(180)
     assert_matches_oracle_by_url(spark, idx, 200, queries)
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+def _write_events(path, name, rows):
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(path, name),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+def test_windowed_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted once the watermark
+    passes it; an event later than the watermark is dropped (the late-data
+    contract of Structured Streaming the brief requires)."""
+    from lucene_spark.streaming import run_windowed_to_memory
+
+    src = str(tmp_path / "events_stream")
+    # wave 1: two events in the 10:00 window, one at 12:00 (advances
+    # watermark to 11:30 with a 30 min delay → 10:00 window closes)
+    _write_events(src, "w1.parquet", [
+        (1, "2026-01-01 10:05:00", 1, "click", 1.0, ""),
+        (2, "2026-01-01 10:20:00", 2, "click", 2.0, ""),
+        (3, "2026-01-01 12:00:00", 3, "view", 5.0, ""),
+    ])
+    q = run_windowed_to_memory(spark, src, query_name="win_t",
+                               window="1 hour", watermark="30 minutes")
+    try:
+        q.processAllAvailable()
+        # wave 2: a LATE click at 10:40 (before watermark 11:30) must be
+        # dropped; a fresh event at 14:00 closes the 12:00 window
+        _write_events(src, "w2.parquet", [
+            (4, "2026-01-01 10:40:00", 4, "click", 100.0, ""),
+            (5, "2026-01-01 14:00:00", 5, "view", 7.0, ""),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["win_start"].hour, r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM win_t").collect()}
+    # 10:00 window: exactly the two on-time clicks — the late one is absent
+    assert rows[(10, "click")] == (2, 3.0)
+    # 12:00 window emitted after wave 2 advanced the watermark
+    assert rows[(12, "view")] == (1, 5.0)
