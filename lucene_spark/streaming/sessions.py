@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+`applyInPandasWithState` — the arbitrary-stateful-processing escape hatch
+the brief calls for when windowed aggregation can't express the semantics
+(a session has no fixed window; it closes `gap_s` after its LAST event).
+
+Per-user state = (session_start, last_ts, n_events). Each micro-batch
+folds its (sorted) events into the open session, emitting a row whenever a
+gap splits it; an event-time timeout (watermark passing last_ts + gap)
+flushes sessions that receive no further events. State size is O(active
+users), bounded by the timeout eviction — this is what a 100 TB/day event
+stream needs: state never grows with event volume, only with concurrent
+user cardinality, and the state store shards on the groupBy key.
+
+Batch twin (same output contract): __spark_entry__._q_events_sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import EVENTS_DDL
+
+OUT_DDL = "user_id long, session_start long, duration_s long, n_events long"
+STATE_DDL = "start long, last long, n long"
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming DataFrame of CLOSED sessions (append): one row per session
+    once its gap has elapsed in event time."""
+    stream = (spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+              .withWatermark("ts", watermark)
+              .select("user_id", "ts"))
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        closed: list[tuple] = []
+        user = int(key[0])
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((user, s, last - s, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(int(v.timestamp()) for v in pdf["ts"])
+            ts.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s, last, n = None, None, 0
+            for t in ts:
+                if s is None:
+                    s, last, n = t, t, 1
+                elif t - last > gap_s:
+                    closed.append((user, s, last - s, n))
+                    s, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            if s is not None:
+                state.update((s, last, n))
+                # flush when the watermark passes last event + gap
+                state.setTimeoutTimestamp((last + gap_s) * 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start",
+                             "duration_s", "n_events"])
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, OUT_DDL, STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout)
+
+
+def run_sessionize_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    query_name: str = "sessions",
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+):
+    df = streaming_sessionize(spark, input_dir, gap_s=gap_s,
+                              watermark=watermark)
+    return (df.writeStream.outputMode("append").format("memory")
+            .queryName(query_name).start())

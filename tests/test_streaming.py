@@ -157,3 +157,43 @@ def test_windowed_watermark_drops_late(spark, tmp_path):
     assert rows[(10, "click")] == (2, 3.0)
     # 12:00 window emitted after wave 2 advanced the watermark
     assert rows[(12, "view")] == (1, 5.0)
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap inside a batch closes a
+    session immediately; the event-time timeout (watermark past
+    last + gap) flushes the rest. Closed sessions must match the batch
+    sessionization of the same events."""
+    from lucene_spark.streaming.sessions import run_sessionize_to_memory
+
+    src = str(tmp_path / "sess_stream")
+    # user 1: two events 10 min apart, then (wave 2) one 2 h later → the
+    # first session closes on the in-stream gap. user 2: one event only.
+    _write_events(src, "w1.parquet", [
+        (1, "2026-01-01 10:00:00", 1, "click", 1.0, ""),
+        (2, "2026-01-01 10:10:00", 1, "click", 1.0, ""),
+        (3, "2026-01-01 10:05:00", 2, "view", 1.0, ""),
+    ])
+    q = run_sessionize_to_memory(spark, src, query_name="sess_t",
+                                 gap_s=1800, watermark="10 minutes")
+    try:
+        q.processAllAvailable()
+        _write_events(src, "w2.parquet", [
+            (4, "2026-01-01 12:10:00", 1, "click", 1.0, ""),
+            # far-future event drives the watermark past every timeout
+            (5, "2026-01-01 23:00:00", 3, "view", 1.0, ""),
+        ])
+        q.processAllAvailable()
+        _write_events(src, "w3.parquet", [
+            (6, "2026-01-02 12:00:00", 3, "view", 1.0, ""),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted((int(r["user_id"]), int(r["duration_s"]), int(r["n_events"]))
+                  for r in spark.sql("SELECT * FROM sess_t").collect())
+    # user1 session1: 10:00-10:10 (600s, 2 events); user1 session2: the
+    # 12:10 single; user2: single event session — all closed by timeouts
+    assert (1, 600, 2) in rows
+    assert (1, 0, 1) in rows
+    assert (2, 0, 1) in rows
