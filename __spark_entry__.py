@@ -217,6 +217,15 @@ def _hydrate_hits(spark, sf_dir, out):
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def _q_ft_boosting(spark, sf_dir):
+    """BoostingQuery (contrib/queries BoostingQuery.java): docs matching
+    'data' with docs also containing 'spark' demoted ×0.3."""
+    from lucene_spark.queries.ast import Boosting
+
+    return _topk(spark, sf_dir, Boosting(Term("data"), Term("spark"),
+                                         demote=0.3))
+
+
 def _q_ft_field_title(spark, sf_dir):
     """Field-scoped query over the second ANALYZED field (`title` = first 3
     body words): BM25 normalized by the TITLE field's own dl/avgdl — the
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_title": _q_ft_field_title,
         "ft_filtered_range": _q_ft_filtered_range,
         "ft_custom_score": _q_ft_custom_score,
+        "ft_boosting": _q_ft_boosting,
         "ft_count": _q_ft_count,
         "ft_facets": _q_ft_facets,
         "ft_sorted": _q_ft_sorted,
@@ -1055,6 +1065,16 @@ ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
         "ft_regex": _sql_expand("regexp_full_match(term, 's.*n')"),
+        "ft_boosting": f"""WITH {_PRELUDE}
+SELECT doc_id,
+       round(s * CASE WHEN doc_id IN (SELECT doc_id FROM tfs
+                                      WHERE term = 'spark')
+                 THEN 0.3 ELSE 1.0 END, 4) AS score
+FROM scored WHERE term = 'data'
+ORDER BY s * CASE WHEN doc_id IN (SELECT doc_id FROM tfs
+                                  WHERE term = 'spark')
+             THEN 0.3 ELSE 1.0 END DESC, doc_id ASC
+LIMIT 10""",
         "ft_field_title": """
 WITH tt AS (
   SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS term FROM documents

@@ -18,6 +18,7 @@ import numpy as np
 from .analysis import analyze
 from .queries.ast import (
     Bool,
+    Boosting,
     ConstantScore,
     DisjunctionMax,
     Fuzzy,
@@ -251,6 +252,11 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
     if isinstance(q, ConstantScore):
         inner = _eval(idx, q.query)
         return {d: q.boost * 1.0 for d in inner}
+    if isinstance(q, Boosting):
+        match = _eval(idx, q.match)
+        ctx_docs = set(_eval(idx, q.context))
+        return {d: q.boost * (s * q.demote if d in ctx_docs else s)
+                for d, s in match.items()}
     if isinstance(q, DisjunctionMax):
         subs = [_eval(idx, s) for s in q.queries]
         out: dict[int, float] = {}

@@ -144,6 +144,21 @@ class ConstantScore(Query):
         return self.query.terms() if self.query else []
 
 
+@dataclass
+class Boosting(Query):
+    """contrib/queries BoostingQuery: matches `match`, but docs ALSO
+    matching `context` have their score multiplied by `demote` (typically
+    < 1) — the context query contributes no score of its own."""
+
+    match: "Query" = None  # type: ignore[assignment]
+    context: "Query" = None  # type: ignore[assignment]
+    demote: float = 0.5
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.match.terms() + self.context.terms()
+
+
 # --- span family (reference search/spans/; algebra in lucene_spark/spans.py) ---
 
 

@@ -32,6 +32,7 @@ from ..codec import decode_block, decode_positions, decode_postings
 from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
 from .ast import (
     Bool,
+    Boosting,
     ConstantScore,
     DisjunctionMax,
     MatchAll,
@@ -424,6 +425,15 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query):
     if isinstance(q, ConstantScore):
         ids, _ = eval_query(sp, ctx, q.query)
         return ids, np.full(ids.size, q.boost, dtype=np.float64)
+    if isinstance(q, Boosting):
+        ids, sc = eval_query(sp, ctx, q.match)
+        if ids.size:
+            cids, _ = eval_query(sp, ctx, q.context)
+            hit = np.isin(ids, cids, assume_unique=True)
+            sc = np.where(hit, sc * q.demote, sc)
+        if q.boost != 1.0:
+            sc = sc * q.boost
+        return ids, sc
     if isinstance(q, DisjunctionMax):
         subs = [eval_query(sp, ctx, s) for s in q.queries]
         all_ids = (np.unique(np.concatenate([i for i, _ in subs]))

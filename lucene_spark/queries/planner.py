@@ -25,6 +25,7 @@ from ..indexing.reader import IndexReader
 from ..scoring import wildcard_to_regex
 from .ast import (
     Bool,
+    Boosting,
     ConstantScore,
     DisjunctionMax,
     Fuzzy,
@@ -107,6 +108,9 @@ class Searcher:
                                   q.tie_breaker, q.boost)
         if isinstance(q, ConstantScore):
             return ConstantScore(self.rewrite(q.query), q.boost)
+        if isinstance(q, Boosting):
+            return Boosting(self.rewrite(q.match), self.rewrite(q.context),
+                            q.demote, q.boost)
         return q
 
     def _expand_fuzzy(self, q: Fuzzy) -> list[str]:
@@ -257,16 +261,24 @@ class Searcher:
                 .orderBy(F.desc("n_docs"), F.asc("term")).limit(top_n))
 
     def search_sorted(self, query: Query | str, by: str, k: int = 10,
-                      ascending: bool = True) -> DataFrame:
+                      ascending: bool = True,
+                      collation: str | None = None) -> DataFrame:
         """Top-k by a stored field (reference TopFieldCollector /
         Sort(SortField), search/TopFieldCollector.java:904; the Exposed
         comparator source search/ExposedFieldComparatorSource.java:23).
         FieldCache un-inversion is a no-op here — the docmap column IS the
         per-doc value array; `orderBy(col).limit(k)` is the distributed
-        bounded field-heap."""
+        bounded field-heap.
+
+        `collation`: a Spark collation name (e.g. "UNICODE_CI") for
+        locale/case-aware string sort — the fork's entire contribution
+        (LUCENE-2335 collator-sorted term ordinals,
+        index/ExposedSegmentReader.java:66) collapses to a collated sort
+        key the shuffle sorts on; no ordinal materialization needed."""
         m = self.matching(query).select("docid")
         dm = self.reader.docmap().join(m, "docid")
-        order = F.asc(by) if ascending else F.desc(by)
+        key = F.collate(F.col(by), collation) if collation else F.col(by)
+        order = F.asc(key) if ascending else F.desc(key)
         return (dm.select("docid", "url", "lang", "doclen")
                 .orderBy(order, F.asc("docid")).limit(k))
 
