@@ -179,9 +179,33 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
     return out
 
 
+def _rewrite_span_multis(idx: OracleIndex, q: Query) -> Query:
+    """Expand SpanMulti wrappers against the oracle dictionary
+    (SpanMultiTermQueryWrapper rewrite)."""
+    from .queries.ast import SpanFirst, SpanMulti, SpanNear, SpanNot, SpanOr, SpanTerm
+
+    if isinstance(q, SpanMulti):
+        terms = expand_multiterm(idx.terms_sorted, q.query)
+        return SpanOr([SpanTerm(t) for t in terms], boost=q.boost)
+    if isinstance(q, SpanNear):
+        return SpanNear([_rewrite_span_multis(idx, c) for c in q.clauses],
+                        q.slop, q.in_order, q.boost)
+    if isinstance(q, SpanOr):
+        return SpanOr([_rewrite_span_multis(idx, c) for c in q.clauses],
+                      q.boost)
+    if isinstance(q, SpanNot):
+        return SpanNot(_rewrite_span_multis(idx, q.include),
+                       _rewrite_span_multis(idx, q.exclude), q.boost)
+    if isinstance(q, SpanFirst):
+        return SpanFirst(_rewrite_span_multis(idx, q.match), q.end, q.boost)
+    return q
+
+
 def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
     """Span family via the shared span algebra (lucene_spark/spans.py)."""
     from .spans import eval_spans, span_freq, span_width_min
+
+    q = _rewrite_span_multis(idx, q)  # type: ignore[assignment]
 
     def pos_of(term: str) -> dict[int, np.ndarray]:
         return {d: np.asarray(pl, dtype=np.int64)

@@ -179,6 +179,20 @@ class SpanTerm(SpanQuery):
 
 
 @dataclass
+class SpanMulti(SpanQuery):
+    """spans/SpanMultiTermQueryWrapper: lets a MultiTermQuery
+    (Prefix/Wildcard/Fuzzy/Regexp/TermRange) appear inside span clauses.
+    Rewrites against the dictionary to a SpanOr of SpanTerms before
+    evaluation (planner.rewrite / oracle pre-pass)."""
+
+    query: Query = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.query.terms() if self.query else []
+
+
+@dataclass
 class SpanNear(SpanQuery):
     """spans/SpanNearQuery.java:37 — clauses within `slop` positions,
     in document order when `in_order`."""

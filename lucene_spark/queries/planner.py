@@ -34,6 +34,12 @@ from .ast import (
     Prefix,
     Query,
     Regexp,
+    SpanFirst,
+    SpanMulti,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
     Term,
     TermRange,
     Wildcard,
@@ -111,6 +117,23 @@ class Searcher:
         if isinstance(q, Boosting):
             return Boosting(self.rewrite(q.match), self.rewrite(q.context),
                             q.demote, q.boost)
+        if isinstance(q, SpanMulti):
+            # SpanMultiTermQueryWrapper: expand the wrapped MultiTermQuery,
+            # lift the resulting term set into a SpanOr of SpanTerms
+            inner = self.rewrite(q.query)
+            terms = ([c.term for c in inner.should if isinstance(c, Term)]
+                     if isinstance(inner, Bool) else inner.terms())
+            return SpanOr([SpanTerm(t) for t in terms], boost=q.boost)
+        if isinstance(q, SpanNear):
+            return SpanNear([self.rewrite(c) for c in q.clauses],
+                            q.slop, q.in_order, q.boost)
+        if isinstance(q, SpanOr):
+            return SpanOr([self.rewrite(c) for c in q.clauses], q.boost)
+        if isinstance(q, SpanNot):
+            return SpanNot(self.rewrite(q.include), self.rewrite(q.exclude),
+                           q.boost)
+        if isinstance(q, SpanFirst):
+            return SpanFirst(self.rewrite(q.match), q.end, q.boost)
         return q
 
     def _expand_fuzzy(self, q: Fuzzy) -> list[str]:

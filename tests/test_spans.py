@@ -224,3 +224,17 @@ def test_width_min_composition():
                           SpanNear([SpanTerm("bb"), SpanTerm("cc")], 0, True)]),
                   SpanTerm("dd")], slop=0, in_order=True)
     assert span_width_min(q) == 2  # min(1, 2) + 1
+
+
+def test_span_multiterm_wrapper(searcher, oracle_index):
+    """SpanMultiTermQueryWrapper: a Prefix inside a SpanNear expands to a
+    SpanOr of dictionary terms on both engines."""
+    from lucene_spark.queries.ast import Prefix, SpanMulti, Wildcard
+
+    for q in [
+        SpanNear([SpanMulti(Prefix("seve")), SpanTerm("hundred")], 1, True),
+        SpanNear([SpanTerm("one"), SpanMulti(Wildcard("hundr?d"))], 0, True),
+        SpanFirst(SpanMulti(Prefix("fif")), end=6),
+    ]:
+        assert_rank_identical(topk(searcher, q),
+                              oracle_search(oracle_index, q, K))
