@@ -91,7 +91,8 @@ def main() -> None:
     import __spark_entry__ as entry
 
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                 "text_quality", "ann_cosine_topk", "ann_knn_join"):
+                 "text_quality", "ann_cosine_topk", "ann_knn_join",
+                 "ann_ivf_search", "events_sessionize"):
         fn = entry.queries()[name]
         t0 = time.time()
         fn(spark, SF_DIR).collect()
