@@ -217,6 +217,20 @@ def _hydrate_hits(spark, sf_dir, out):
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def _q_ft_batch(spark, sf_dir):
+    """Batched multi-query serving (Searcher.search_many): three queries in
+    ONE Spark job — shared dictionary probe, one pushed-down postings scan,
+    per-term decodes reused across queries, per-qid window top-k."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_many({"t1": "join", "t2": "data AND spark",
+                         "t3": '"order sort"'}, k=10)
+    dm = _index(spark, sf_dir).docmap().select("docid", "url")
+    return (dm.join(F.broadcast(out), "docid")
+            .select("qid", F.col("url").cast("long").alias("doc_id"),
+                    F.round("score", 4).alias("score"))
+            .orderBy("qid", F.desc("score"), F.asc("doc_id")))
+
+
 def _q_ft_boosting(spark, sf_dir):
     """BoostingQuery (contrib/queries BoostingQuery.java): docs matching
     'data' with docs also containing 'spark' demoted ×0.3."""
@@ -772,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_or": ft("data spark vector"),
         "ft_bool_not": ft("data -spark"),
         "ft_boost": ft("data^2 spark^0.5"),
+        "ft_batch": _q_ft_batch,
         "ft_min_should": _q_ft_min_should,
         "ft_disjmax": _q_ft_disjmax,
         "ft_phrase": ft('"batch batch"'),
@@ -1065,6 +1080,41 @@ ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
         "ft_regex": _sql_expand("regexp_full_match(term, 's.*n')"),
+        "ft_batch": f"""WITH {_PRELUDE},
+q1 AS (SELECT 't1' AS qid, doc_id, round(s, 4) AS score,
+              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+       FROM scored WHERE term = 'join'),
+q2s AS (SELECT doc_id, sum(s) AS s FROM scored
+        WHERE term IN ('data', 'spark') GROUP BY doc_id
+        HAVING count(*) = 2),
+q2 AS (SELECT 't2' AS qid, doc_id, round(s, 4) AS score,
+              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+       FROM q2s),
+q3p AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'order' AND b.term = 'sort' GROUP BY a.doc_id
+),
+q3idf AS (SELECT
+  ln(1.0 + (c.n - (SELECT df FROM dfs WHERE term = 'order') + 0.5)
+     / ((SELECT df FROM dfs WHERE term = 'order') + 0.5))
+  + ln(1.0 + (c.n - (SELECT df FROM dfs WHERE term = 'sort') + 0.5)
+     / ((SELECT df FROM dfs WHERE term = 'sort') + 0.5)) AS i
+  FROM corpus c),
+q3 AS (SELECT 't3' AS qid, p.doc_id,
+              round(q3idf.i * ((1.2 + 1.0) * p.pf)
+                    / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl)
+                                     / c.avgdl)), 4) AS score,
+              row_number() OVER (
+                ORDER BY q3idf.i * ((1.2 + 1.0) * p.pf)
+                         / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl)
+                                          / c.avgdl)) DESC,
+                         p.doc_id ASC) AS rn
+       FROM q3p p JOIN dls l USING (doc_id)
+       CROSS JOIN corpus c CROSS JOIN q3idf)
+SELECT qid, doc_id, score FROM (
+  SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+) WHERE rn <= 10 ORDER BY qid, score DESC, doc_id ASC""",
         "ft_boosting": f"""WITH {_PRELUDE}
 SELECT doc_id,
        round(s * CASE WHEN doc_id IN (SELECT doc_id FROM tfs

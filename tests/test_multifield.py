@@ -111,3 +111,16 @@ def test_field_length_norm_differs_from_text(mf):
 def test_keyword_field_still_works(mf):
     searcher, _ = mf
     assert searcher.count("lang:en") == N
+
+
+def test_cross_field_span_near(mf):
+    """FieldMaskingSpanQuery equivalence (spans/FieldMaskingSpanQuery.java):
+    our span algebra compares positions as plain ints, so a SpanNear over a
+    title term and a body term matches when their per-field positions line
+    up — exactly what the reference needs the masking wrapper for."""
+    searcher, oracle = mf
+    q = SpanNear([SpanTerm("title:seven"), SpanTerm("seven")], slop=30,
+                 in_order=False)
+    got = topk(searcher, q)
+    assert got, "expected cross-field span matches"
+    assert_rank_identical(got, oracle_search(oracle, q, K))
