@@ -217,6 +217,29 @@ def _hydrate_hits(spark, sf_dir, out):
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def _q_ft_suggest(spark, sf_dir):
+    """Spell suggestion (contrib spellchecker SpellChecker.java): trigram
+    candidate join over the dictionary + JVM levenshtein re-rank."""
+    from lucene_spark.suggest import suggest_similar
+
+    td = _index(spark, sf_dir).term_dict().where(~F.col("term").contains(":"))
+    return suggest_similar(td, "spakr", n=5, max_edits=2)
+
+
+def _q_ft_highlight(spark, sf_dir):
+    """Snippet highlighting (contrib highlighter Highlighter.java): top-5
+    conjunction hits hydrated with an 8-token best fragment, query terms
+    wrapped — all in whole-stage codegen, no UDF."""
+    from lucene_spark.highlight import snippet_col
+
+    top = _topk(spark, sf_dir, "data AND spark", k=5)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (docs.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "score",
+                    snippet_col(F.col("text"), ["data", "spark"]).alias("snippet"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def _q_ft_batch(spark, sf_dir):
     """Batched multi-query serving (Searcher.search_many): three queries in
     ONE Spark job — shared dictionary probe, one pushed-down postings scan,
@@ -787,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_not": ft("data -spark"),
         "ft_boost": ft("data^2 spark^0.5"),
         "ft_batch": _q_ft_batch,
+        "ft_suggest": _q_ft_suggest,
+        "ft_highlight": _q_ft_highlight,
         "ft_min_should": _q_ft_min_should,
         "ft_disjmax": _q_ft_disjmax,
         "ft_phrase": ft('"batch batch"'),
@@ -1080,6 +1105,41 @@ ORDER BY s.s * (1.0 + 100.0 / l.dl) DESC, s.doc_id ASC LIMIT 10""",
         "ft_fuzzy": _sql_expand(
             "abs(length(term) - 4) <= 1 AND levenshtein(term, 'datq') <= 1"),
         "ft_regex": _sql_expand("regexp_full_match(term, 's.*n')"),
+        "ft_suggest": f"""WITH {_PRELUDE},
+marked AS (SELECT term, df, '^' || term || '$' AS m FROM dfs),
+ti AS (SELECT term, df, m, unnest(range(1, length(term) + 1)) AS i
+       FROM marked),
+cand AS (SELECT DISTINCT term, df FROM ti
+         WHERE substr(m, i, 3) IN ({", ".join(
+             repr(g) for g in ["^sp", "spa", "pak", "akr", "kr$"])}))
+SELECT term, CAST(levenshtein(term, 'spakr') AS BIGINT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM cand
+WHERE abs(length(term) - 5) <= 2 AND term != 'spakr'
+  AND levenshtein(term, 'spakr') <= 2
+ORDER BY levenshtein(term, 'spakr') ASC, df DESC, term ASC LIMIT 5""",
+        "ft_highlight": f"""WITH {_PRELUDE},
+hits AS (
+  SELECT doc_id, round(sum(s), 4) AS score FROM scored
+  WHERE term IN ('data', 'spark') GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY sum(s) DESC, doc_id ASC LIMIT 5
+),
+firsts AS (
+  SELECT doc_id, min(pos) + 1 AS first FROM tok
+  WHERE term IN ('data', 'spark') GROUP BY doc_id
+),
+starts AS (
+  SELECT f.doc_id, greatest(1, least(f.first, l.dl - 7)) AS s
+  FROM firsts f JOIN dls l USING (doc_id)
+)
+SELECT h.doc_id, h.score,
+       array_to_string(
+         list_transform(string_split(d.text, ' ')[st.s : st.s + 7],
+                        t -> CASE WHEN t IN ('data', 'spark')
+                             THEN '<b>' || t || '</b>' ELSE t END),
+         ' ') AS snippet
+FROM hits h JOIN documents d USING (doc_id) JOIN starts st USING (doc_id)
+ORDER BY h.score DESC, h.doc_id ASC""",
         "ft_batch": f"""WITH {_PRELUDE},
 q1 AS (SELECT 't1' AS qid, doc_id, round(s, 4) AS score,
               row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn

@@ -1,0 +1,62 @@
+"""Spell suggestion (contrib spellchecker) and snippet highlighting
+(contrib highlighter) — library surfaces over a real index."""
+
+import pytest
+
+from lucene_spark.highlight import highlight, snippet_col
+from lucene_spark.indexing import IndexReader
+from lucene_spark.queries.planner import Searcher
+from lucene_spark.suggest import marked_trigrams, suggest_similar
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+def test_marked_trigrams():
+    assert marked_trigrams("ab") == ["^ab", "ab$"]
+    assert marked_trigrams("seven") == ["^se", "sev", "eve", "ven", "en$"]
+
+
+def test_suggest_corrects_typo(reader):
+    rows = suggest_similar(reader.term_dict(), "sevn", n=5).collect()
+    assert rows, "expected suggestions for 'sevn'"
+    assert rows[0]["term"] == "seven"
+    assert rows[0]["dist"] == 1
+    # ranking: distance asc, then df desc
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_suggest_exact_word_excluded(reader):
+    rows = suggest_similar(reader.term_dict(), "seven", n=5).collect()
+    assert all(r["term"] != "seven" for r in rows)
+
+
+def test_highlight_wraps_terms(spark, reader, pages_dir):
+    searcher = Searcher(reader)
+    top = searcher.search("seven AND forty", k=5, hydrate=True)
+    docs = (spark.read.parquet(pages_dir)
+            .select("url", "text"))
+    out = highlight(top.select("url", "score"), docs,
+                    ["seven", "forty"]).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "<b>" in r["snippet"]
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= 8
+        for t in toks:
+            if t.startswith("<b>"):
+                assert t[3:-4] in ("seven", "forty")
+
+
+def test_snippet_window_starts_at_first_match(spark):
+    df = spark.createDataFrame(
+        [("x y z hit a b c d e f g h",), ("no match here",)], "text string")
+    rows = df.select(snippet_col(df["text"], ["hit"]).alias("s")).collect()
+    # window is clamped so it still spans 8 tokens ending within the doc
+    assert rows[0]["s"].split(" ")[0] in ("x", "y", "z", "<b>hit</b>")
+    assert "<b>hit</b>" in rows[0]["s"]
+    # no match → head window, nothing wrapped
+    assert rows[1]["s"] == "no match here"
