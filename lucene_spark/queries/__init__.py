@@ -10,4 +10,4 @@ from .ast import (  # noqa: F401
     Term,
     Wildcard,
 )
-from .parser import parse_query  # noqa: F401
+from .parser import parse_multi_field, parse_query  # noqa: F401

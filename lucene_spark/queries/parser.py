@@ -19,6 +19,7 @@ from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS, analyze
 from .ast import (
     Bool,
     ConstantScore,
+    DisjunctionMax,
     Fuzzy,
     MatchAll,
     Phrase,
@@ -280,3 +281,42 @@ def parse_query(s: str, analyzer: str = "standard",
         # QueryParser + StopFilter behaviour)
         return Bool() if had_tokens else MatchAll()
     return q
+
+
+def _expand_fields(q: Query, fields: tuple) -> Query:
+    """Rewrite an unscoped term/phrase tree so each leaf searches EVERY
+    field in `fields` (default text field = "" prefix; others namespaced),
+    combined as a SHOULD disjunction per leaf — the reference
+    MultiFieldQueryParser's per-clause expansion
+    (queryParser/MultiFieldQueryParser.java)."""
+    def ns(field: str, term: str) -> str:
+        return term if field == "text" else f"{field}:{term}"
+
+    if isinstance(q, Term) and ":" not in q.term:
+        return Bool(should=[Term(ns(f, q.term)) for f in fields],
+                    boost=q.boost)
+    if isinstance(q, Phrase) and all(":" not in t for t in q.phrase_terms):
+        return Bool(should=[
+            Phrase([ns(f, t) for t in q.phrase_terms],
+                   q.positions, q.slop) for f in fields
+        ], boost=q.boost)
+    if isinstance(q, Bool):
+        return Bool(
+            must=[_expand_fields(c, fields) for c in q.must],
+            should=[_expand_fields(c, fields) for c in q.should],
+            must_not=[_expand_fields(c, fields) for c in q.must_not],
+            min_should=q.min_should, boost=q.boost)
+    if isinstance(q, DisjunctionMax):
+        return DisjunctionMax([_expand_fields(c, fields) for c in q.queries],
+                              q.tie_breaker, q.boost)
+    if isinstance(q, ConstantScore):
+        return ConstantScore(_expand_fields(q.query, fields), q.boost)
+    return q
+
+
+def parse_multi_field(s: str, fields: tuple,
+                      analyzer: str = "standard") -> Query:
+    """MultiFieldQueryParser.parse: the same grammar, every unscoped leaf
+    expanded across `fields` (e.g. ("text", "title"))."""
+    analyzed = tuple(f for f in fields if f != "text")
+    return _expand_fields(parse_query(s, analyzer, analyzed), fields)

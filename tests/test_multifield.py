@@ -124,3 +124,22 @@ def test_cross_field_span_near(mf):
     got = topk(searcher, q)
     assert got, "expected cross-field span matches"
     assert_rank_identical(got, oracle_search(oracle, q, K))
+
+
+def test_multi_field_parser(mf):
+    """MultiFieldQueryParser: unscoped leaves expand across fields as
+    SHOULD disjunctions (queryParser/MultiFieldQueryParser.java)."""
+    from lucene_spark.queries import parse_multi_field
+
+    searcher, oracle = mf
+    q = parse_multi_field("seven AND report", ("text", "title"),
+                          analyzer="standard")
+    want = Bool(must=[
+        Bool(should=[Term("seven"), Term("title:seven")]),
+        Bool(should=[Term("report"), Term("title:report")]),
+    ])
+    assert q == want
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle, q, K))
+    # a doc whose 'report' only appears in the title still matches the AND
+    got_docs = {d for d, _ in topk(searcher, q)}
+    assert got_docs
