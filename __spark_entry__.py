@@ -303,11 +303,7 @@ def _q_ft_mlt(spark, sf_dir):
     src = int(r.docmap().where(F.col("url") == "0")
               .select("docid").collect()[0][0])
     out = s.more_like_this(src, max_terms=8, k=10, min_df=2)
-    dm = r.docmap().select("docid", "url")
-    return (dm.join(F.broadcast(out), "docid")
-            .select(F.col("url").cast("long").alias("doc_id"),
-                    F.round("score", 4).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")))
+    return _hydrate_hits(spark, sf_dir, out)
 
 
 def _q_ft_facets(spark, sf_dir):

@@ -95,6 +95,8 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             urls = pdf["url"]
             langs = pdf["lang"] if "lang" in pdf else None
             afields = {f: pdf[f] for f in analyzed_fields if f in pdf}
+            kfields = {f: pdf[f] for f in keyword_fields
+                       if f in pdf and f not in ("lang", "url")}
             ris = pdf["ri"]
             for i in range(len(pdf)):
                 base, seg = fps.iloc[i]
@@ -134,7 +136,10 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 # tf=1, no positions, excluded from doclen (reference
                 # Field.Index.NOT_ANALYZED + omitNorms, document/Field.java:83)
                 for kf in keyword_fields:
-                    val = {"lang": lang, "url": url}.get(kf)
+                    if kf in kfields:
+                        val = kfields[kf].iloc[i]
+                    else:
+                        val = {"lang": lang, "url": url}.get(kf)
                     if val is not None:
                         terms.append(f"{kf}:{val}")
                         tfs.append(1)
@@ -353,6 +358,9 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     for af in analyzed_fields:
         if af in src_schema:
             cols.insert(1, F.col(af))
+    for kf in keyword_fields:
+        if kf in src_schema and kf not in ("lang", "url"):
+            cols.insert(1, F.col(kf))
     pages = spark.read.parquet(*paths).select(*cols)
 
     # co-locate each segment's pages in one task BEFORE tokenizing, so the
@@ -451,6 +459,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "attempt": 1,
             "analyzer": analyzer,
             "analyzed_fields": list(analyzed_fields),
+            "keyword_fields": list(keyword_fields),
+            "store_positions": store_positions,
             "block_size": block_size,
         }
         mp = _manifest_path(out_dir, seg)

@@ -133,7 +133,20 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
 
     # rewrite tokens → docmap → postings for the affected segments, staged
     # then swapped (rename-commit, same as the build's manifest protocol)
-    store_positions = "positions" in tok.columns
+    # positions column always exists in TOKENS_SCHEMA — whether it holds
+    # data is recorded in the build manifests (store_positions=False builds
+    # write empty arrays whose exploded entries are NULL and must not reach
+    # the encoder's positions path)
+    store_positions = True
+    mdir = os.path.join(index_dir, "manifests")
+    if os.path.isdir(mdir):
+        import json as _json
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    store_positions = bool(
+                        _json.load(f).get("store_positions", True))
+                break
     # per-term field lengths (multi-field indexes); pre-multifield token
     # layouts fall back to the doc-level doclen
     has_dls = "dls" in tok.columns

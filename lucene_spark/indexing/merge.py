@@ -57,6 +57,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         if n.endswith(".parquet"))
     analyzer = None
     analyzed_fields: list = []
+    keyword_fields: list = ["lang", "url"]
     mdir = os.path.join(out_dir, "manifests")
     if os.path.isdir(mdir):
         for n in sorted(os.listdir(mdir)):
@@ -65,6 +66,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
                     m = json.load(f)
                 analyzer = m.get("analyzer")
                 analyzed_fields = m.get("analyzed_fields", [])
+                keyword_fields = m.get("keyword_fields", keyword_fields)
                 break
     # per-field average length (per-field norms stats — the avgdl of each
     # extra ANALYZED field, reference index/NormsWriter.java:61 per-field)
@@ -79,6 +81,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         "avgdl": float(row["avgdl"] or 0.0),
         "avgdl_fields": avgdl_fields,
         "analyzed_fields": analyzed_fields,
+        "keyword_fields": keyword_fields,
         "total_tokens": int(row["total_tokens"] or 0),
         "n_terms": int(n_terms),
         "n_segments": int(row["n_segments"]),

@@ -25,6 +25,8 @@ class IndexReader:
         # BM25 length normalization (per-field norms)
         self.analyzed_fields: tuple = tuple(self.stats.get("analyzed_fields", []))
         self.avgdl_fields: dict = self.stats.get("avgdl_fields", {})
+        self.keyword_fields: tuple = tuple(
+            self.stats.get("keyword_fields", ["lang", "url"]))
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on

@@ -67,6 +67,14 @@ class OracleIndex:
                 return self.field_doclen[f].get(docid, 0)
         return self.doclen[docid]
 
+    def dl_of_any(self, terms: list[str], docid: int) -> int:
+        """dl of the FIRST term (in order) whose postings contain the doc —
+        the pinned mixed-field rule shared with the kernel's _dl_map."""
+        for t in terms:
+            if docid in self.postings.get(t, {}):
+                return self.dl_of(t, docid)
+        return self.dl_of(terms[0], docid)
+
 
 def build_oracle_index(docs: list[tuple[int, str]],
                        extra_fields: dict[str, dict[int, str]] | None = None
@@ -175,7 +183,7 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
         f = phrase_freq([sp[d] for sp in slot_pos], qpos, q.slop)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of(uniq[0], d), idx.avgdl_of(uniq[0])))
+                bm25_tf_weight(f, idx.dl_of_any(uniq, d), idx.avgdl_of(uniq[0])))
     return out
 
 
@@ -222,7 +230,7 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
         f = span_freq(sp_arr, wmin)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of(uniq[0], d), idx.avgdl_of(uniq[0])))
+                bm25_tf_weight(f, idx.dl_of_any(uniq, d), idx.avgdl_of(uniq[0])))
     return out
 
 

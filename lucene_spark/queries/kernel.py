@@ -186,13 +186,18 @@ def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     # rebase docids segment-locally so docid*OFFSET stays within int64 even
     # for very large global docid spaces
     base = min(int(ids[0]) for ids, _ in per_term if ids.size)
+    # shift by max(qpos) so every packed key component is non-negative:
+    # with qpos[0] > 0 (leading stopword hole) pos - qpos[i] can be negative
+    # and floor division would bucket the key into the PREVIOUS docid
+    qshift = np.int64(max(qpos))
     keys = None
     for i, (ids, pos_lists) in enumerate(per_term):
         lens = np.fromiter((p.size for p in pos_lists), count=len(pos_lists),
                            dtype=np.int64)
         flat = (np.concatenate(pos_lists) if pos_lists else
                 np.empty(0, dtype=np.int64))
-        k = flat - np.int64(qpos[i]) + np.repeat((ids - base) * _DOC_OFFSET, lens)
+        k = (flat - np.int64(qpos[i]) + qshift
+             + np.repeat((ids - base) * _DOC_OFFSET, lens))
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if keys.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -249,8 +254,12 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
 
 
 def _dl_map(sp: SegmentPostings, terms: list[str], ids: np.ndarray) -> np.ndarray:
-    """doclen for each docid in sorted `ids`, sourced from whichever of
-    `terms` carries the doc (any posting row of a doc stores its dl)."""
+    """doclen for each docid in sorted `ids`: per doc, the dl of the FIRST
+    term (in `terms` order) whose postings contain it — the pinned rule
+    shared with the oracle (OracleIndex.dl_of_any). Terms of the same field
+    agree on dl; for mixed-field span trees the rule makes both engines
+    deterministic (the reference's FieldMaskingSpanQuery docs call mixed-
+    field scoring semantics undefined — we pin them instead)."""
     out = np.zeros(ids.size, dtype=np.int64)
     found = np.zeros(ids.size, dtype=bool)
     for t in terms:
@@ -260,8 +269,9 @@ def _dl_map(sp: SegmentPostings, terms: list[str], ids: np.ndarray) -> np.ndarra
             continue
         t_ids, _, t_dls = sp.lookup(t, ids)
         pos = np.searchsorted(ids, t_ids)
-        out[pos] = t_dls
-        found[pos] = True
+        new = ~found[pos]
+        out[pos[new]] = t_dls[new]
+        found[pos[new]] = True
     return out
 
 
@@ -412,8 +422,16 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
     return ids, sc
 
 
-def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query):
-    """→ (sorted docids, scores) for this segment."""
+def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
+    """→ (sorted docids, scores) for this segment.
+
+    `top` marks the ROOT query node: MaxScore pruning may drop docs that
+    cannot enter the top-k, which is only sound where the caller consumes
+    the result as a top-k candidate list. Every nested position — Boolean
+    sub-clauses (scoring sums / min_should counting / must_not exclusion),
+    DisjunctionMax legs, ConstantScore and Boosting inners — needs the
+    COMPLETE match set, so recursion always passes top=False and those
+    paths evaluate exactly."""
     if isinstance(q, Term):
         return _eval_term_full(sp, ctx, q)
     if isinstance(q, Phrase):
@@ -453,7 +471,7 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query):
     if isinstance(q, Bool):
         if not q.must and not q.should:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        if _is_term_disjunction(q) and not any(
+        if top and _is_term_disjunction(q) and not any(
             isinstance(c, Term) and c.term == d.term
             for i, c in enumerate(q.should) for d in q.should[:i]
         ):
@@ -547,7 +565,7 @@ def segment_topk_many(pdf: pd.DataFrame, qs: dict[str, Query], ctx_by: dict[str,
     frames = []
     for qid, q in qs.items():
         ctx = ctx_by[qid]
-        ids, sc = eval_query(sp, ctx, q)
+        ids, sc = eval_query(sp, ctx, q, top=True)
         if sp.deleted is not None and ids.size:
             keep = ~np.isin(ids, sp.deleted, assume_unique=False)
             ids, sc = ids[keep], sc[keep]
@@ -569,7 +587,7 @@ def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_
     per-segment top-k (docid, score) with docid-asc tie-break (the reference
     per-segment bounded heap, search/TopScoreDocCollector.java:46-66)."""
     sp = SegmentPostings(pdf, block_size)
-    ids, sc = eval_query(sp, ctx, q)
+    ids, sc = eval_query(sp, ctx, q, top=True)
     if sp.deleted is not None and ids.size:
         keep = ~np.isin(ids, sp.deleted, assume_unique=False)
         ids, sc = ids[keep], sc[keep]

@@ -110,7 +110,8 @@ def _analyze_pairs(text: str, analyzer: str) -> list[tuple[str, int]]:
 
 
 def _word_query(word: str, analyzer: str = "standard",
-                fields: tuple = ()) -> Query | None:
+                fields: tuple = (),
+                kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
     word, boost = _split_boost(word)
     fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
     if fm and fm.group(1) in fields:
@@ -125,7 +126,7 @@ def _word_query(word: str, analyzer: str = "standard",
             return Term(f"{af}:{pairs[0][0]}", boost=boost)
         return Phrase([f"{af}:{t}" for t, _ in pairs],
                       [p for _, p in pairs], slop=0, boost=boost)
-    if fm and fm.group(1) in KEYWORD_FIELDS:
+    if fm and fm.group(1) in kw_fields:
         # explicit ^boost → constant-score that value; bare → pure filter (0)
         const = boost if boost != 1.0 else 0.0
         return ConstantScore(Term(f"{fm.group(1)}:{fm.group(2)}"), boost=const)
@@ -172,7 +173,8 @@ def _quoted_query(tok: str, analyzer: str = "standard") -> Query | None:
     return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop)
 
 
-def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = ()) -> tuple[Query | None, str]:
+def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
+                kw_fields: tuple = KEYWORD_FIELDS) -> tuple[Query | None, str]:
     """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}."""
     occur = "SHOULD"
     t = lx.peek()
@@ -184,7 +186,7 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = ()) -> tuple[Query | 
         return None, occur
     if t[0] == "lpar":
         lx.next()
-        q = _parse_or(lx, analyzer, fields)
+        q = _parse_or(lx, analyzer, fields, kw_fields)
         nxt = lx.peek()
         if nxt and nxt[0] == "rpar":
             lx.next()
@@ -197,14 +199,15 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = ()) -> tuple[Query | 
         return _range_query(t[1]), occur
     if t[0] == "word":
         lx.next()
-        return _word_query(t[1], analyzer, fields), occur
+        return _word_query(t[1], analyzer, fields, kw_fields), occur
     lx.next()
     return None, occur
 
 
-def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
+def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = (),
+               kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
     clauses: list[tuple[Query, str]] = []
-    q, occur = _parse_atom(lx, analyzer, fields)
+    q, occur = _parse_atom(lx, analyzer, fields, kw_fields)
     if q is not None or occur != "SHOULD":
         if q is not None:
             clauses.append((q, occur))
@@ -212,7 +215,7 @@ def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
         t = lx.peek()
         if t and t[0] == "and":
             lx.next()
-            q, occur = _parse_atom(lx, analyzer, fields)
+            q, occur = _parse_atom(lx, analyzer, fields, kw_fields)
             if q is not None:
                 clauses.append((q, "MUST" if occur == "SHOULD" else occur))
                 # retroactively promote the left neighbour to MUST
@@ -247,9 +250,10 @@ def _merge_should(parts: list[Query]) -> Query:
     return b
 
 
-def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
+def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = (),
+              kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
     parts: list[Query] = []
-    q = _parse_and(lx, analyzer, fields)
+    q = _parse_and(lx, analyzer, fields, kw_fields)
     if q is not None:
         parts.append(q)
     while True:
@@ -259,7 +263,7 @@ def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
         if t[0] == "or":
             lx.next()
             continue
-        q = _parse_and(lx, analyzer, fields)
+        q = _parse_and(lx, analyzer, fields, kw_fields)
         if q is None:
             if lx.peek() is t:  # no progress — bail
                 lx.next()
@@ -271,10 +275,11 @@ def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = ()) -> Query | None:
 
 
 def parse_query(s: str, analyzer: str = "standard",
-                analyzed_fields: tuple = ()) -> Query:
+                analyzed_fields: tuple = (),
+                keyword_fields: tuple = KEYWORD_FIELDS) -> Query:
     lx = _Lexer(s)
     had_tokens = bool(lx.tokens)
-    q = _parse_or(lx, analyzer, analyzed_fields)
+    q = _parse_or(lx, analyzer, analyzed_fields, keyword_fields)
     if q is None:
         # blank input → MatchAll (lenient); input that analyzed away entirely
         # (e.g. all stopwords) → empty boolean, matches nothing (reference
@@ -299,6 +304,26 @@ def _expand_fields(q: Query, fields: tuple) -> Query:
         return Bool(should=[
             Phrase([ns(f, t) for t in q.phrase_terms],
                    q.positions, q.slop) for f in fields
+        ], boost=q.boost)
+    # MultiTermQuery leaves: namespaced patterns enumerate within the
+    # field's slice of the dictionary, so per-field copies suffice
+    if isinstance(q, Prefix) and ":" not in q.prefix:
+        return Bool(should=[Prefix(ns(f, q.prefix)) for f in fields],
+                    boost=q.boost)
+    if isinstance(q, Wildcard) and ":" not in q.pattern:
+        return Bool(should=[Wildcard(ns(f, q.pattern)) for f in fields],
+                    boost=q.boost)
+    if isinstance(q, Fuzzy) and ":" not in q.term:
+        return Bool(should=[
+            Fuzzy(ns(f, q.term), q.max_edits, q.prefix_length)
+            for f in fields
+        ], boost=q.boost)
+    if isinstance(q, TermRange) and not any(
+            b and ":" in b for b in (q.lo, q.hi)):
+        return Bool(should=[
+            TermRange(None if q.lo is None else ns(f, q.lo),
+                      None if q.hi is None else ns(f, q.hi),
+                      q.include_lo, q.include_hi) for f in fields
         ], boost=q.boost)
     if isinstance(q, Bool):
         return Bool(

@@ -76,7 +76,8 @@ class Searcher:
         (reference QueryParser.java:513); field-scoped syntax resolves
         against the index's extra ANALYZED fields."""
         return parse_query(query, analyzer=self.reader.analyzer,
-                           analyzed_fields=self.reader.analyzed_fields)
+                           analyzed_fields=self.reader.analyzed_fields,
+                           keyword_fields=self.reader.keyword_fields)
 
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:

@@ -39,6 +39,7 @@ def append_to_index(
     analyzer: str = "standard",
     store_positions: bool = True,
     keyword_fields: tuple = (),
+    analyzed_fields: tuple | None = None,
     max_postings_per_row: int = 250_000,
     block_size: int = BLOCK_SIZE,
     refresh_stats: bool = True,
@@ -60,10 +61,23 @@ def append_to_index(
         write_build_plan(plan, index_dir)
     done = completed_segments(index_dir)
     pending = [s for s in new_segs if s not in done]
+    if analyzed_fields is None:
+        # default to the existing index's field config so appended segments
+        # index the same extra ANALYZED fields as the batch build
+        analyzed_fields = ()
+        mdir = os.path.join(index_dir, "manifests")
+        if os.path.isdir(mdir):
+            import json as _json
+            for name in sorted(os.listdir(mdir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(mdir, name)) as f:
+                        analyzed_fields = tuple(
+                            _json.load(f).get("analyzed_fields", []))
+                    break
     if pending:
         _build_chunk(spark, plan, pending, index_dir, analyzer,
                      store_positions, max_postings_per_row, block_size,
-                     keyword_fields)
+                     keyword_fields, tuple(analyzed_fields))
     if pending and refresh_stats:
         merge_index(spark, index_dir)
     return pending

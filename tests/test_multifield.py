@@ -143,3 +143,16 @@ def test_multi_field_parser(mf):
     # a doc whose 'report' only appears in the title still matches the AND
     got_docs = {d for d, _ in topk(searcher, q)}
     assert got_docs
+
+
+def test_multi_field_parser_multiterm_leaves(mf):
+    """Prefix/wildcard/fuzzy leaves also expand across fields."""
+    from lucene_spark.queries import parse_multi_field
+    from lucene_spark.queries.ast import Prefix
+
+    searcher, oracle = mf
+    q = parse_multi_field("repor*", ("text", "title"), analyzer="standard")
+    assert q == Bool(should=[Prefix("repor"), Prefix("title:repor")])
+    got = topk(searcher, q)
+    assert got, "prefix should match title docs"
+    assert_rank_identical(got, oracle_search(oracle, q, K))

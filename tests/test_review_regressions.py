@@ -1,0 +1,154 @@
+"""Regression tests for the round-1 code-review findings:
+
+1. exact-phrase kernel with a leading query-position hole (qpos[0] > 0)
+   must not shift matches into the previous docid
+2. MaxScore pruning must not leak into nested contexts (must_not /
+   Boosting context / ConstantScore over a disjunction)
+3. expunge_deletes on an index built with store_positions=False
+4. _dl_map first-found-wins rule for mixed-field span trees
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_spark.indexing import IndexReader, build_index, merge_index
+from lucene_spark.oracle import oracle_search
+from lucene_spark.queries import parse_query
+from lucene_spark.queries.ast import Bool, Boosting, ConstantScore, Phrase, Term
+from lucene_spark.queries.kernel import _exact_phrase_freqs
+from lucene_spark.queries.planner import Searcher
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return Searcher(IndexReader(spark, index_dir))
+
+
+def topk(searcher, q, k=K):
+    return [(int(r["docid"]), float(r["score"]))
+            for r in searcher.search(q, k=k).collect()]
+
+
+def assert_rank_identical(spark_hits, oracle_hits):
+    assert [d for d, _ in spark_hits] == [d for d, _ in oracle_hits]
+    for (d1, s1), (_d2, s2) in zip(spark_hits, oracle_hits):
+        assert math.isclose(s1, s2, rel_tol=1e-9), (d1, s1, s2)
+
+
+# --- 1. leading-hole phrase ------------------------------------------------
+
+def test_exact_phrase_negative_offset_unit():
+    """A match at doc start with qpos=[1,2] must stay in ITS doc (the
+    packed-key floor division previously bucketed it into docid-1)."""
+    per_term = [
+        (np.array([7], dtype=np.int64), [np.array([0], dtype=np.int64)]),
+        (np.array([7], dtype=np.int64), [np.array([1], dtype=np.int64)]),
+    ]
+    docs, freqs = _exact_phrase_freqs(per_term, [1, 2])
+    assert docs.tolist() == [7]
+    assert freqs.tolist() == [1.0]
+
+
+def test_leading_stopword_hole_phrase(searcher, oracle_index):
+    """Phrase with a position hole at slot 0 (e.g. parsed '"the one
+    hundred"' under the standard analyzer) — rank identity."""
+    q = Phrase(["one", "hundred"], positions=[1, 2])
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle_index, q, K))
+    # and it matches exactly what the hole-free phrase matches (equal gaps)
+    q0 = Phrase(["one", "hundred"], positions=[0, 1])
+    assert topk(searcher, q) == topk(searcher, q0)
+
+
+# --- 2. pruning must not leak into nested contexts -------------------------
+
+NESTED_DISJUNCTION_CASES = [
+    # big common-term disjunction in must_not: every matching doc must be
+    # excluded, not just the disjunction's own top-k
+    Bool(must=[Term("seven")],
+         must_not=[Bool(should=[Term("one"), Term("two"), Term("three"),
+                                Term("hundred")])]),
+    # Boosting context: ALL context matches demote
+    Boosting(Term("seven"),
+             Bool(should=[Term("one"), Term("two"), Term("hundred")]),
+             demote=0.25),
+    # ConstantScore over a disjunction: the full match set scores 1
+    ConstantScore(Bool(should=[Term("one"), Term("two"), Term("hundred")]),
+                  boost=1.0),
+    # min_should over common terms
+    Bool(should=[Term("one"), Term("two"), Term("hundred"), Term("seven")],
+         min_should=3),
+]
+
+
+@pytest.mark.parametrize("q", NESTED_DISJUNCTION_CASES,
+                         ids=["mustnot", "boost-ctx", "constscore", "minshould"])
+@pytest.mark.parametrize("k", [1, 3])
+def test_nested_disjunction_exactness(searcher, oracle_index, q, k):
+    """k small so top-level theta engages early — nested disjunctions must
+    still evaluate their COMPLETE match sets."""
+    assert_rank_identical(topk(searcher, q, k=k),
+                          oracle_search(oracle_index, q, k))
+
+
+# --- 3. expunge without positions ------------------------------------------
+
+def test_expunge_without_positions(spark, tmp_path_factory):
+    from lucene_spark.indexing.deletes import delete_by_query, expunge_deletes
+
+    src = tmp_path_factory.mktemp("npsrc")
+    pdf = pd.DataFrame({
+        "url": [str(i) for i in range(40)],
+        "text": [f"alpha beta doc{i} {'drop' if i % 4 == 0 else 'keep'}"
+                 for i in range(40)],
+        "lang": ["en"] * 40,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("npidx"))
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=20, store_positions=False)
+    merge_index(spark, out)
+    n = delete_by_query(spark, out, "drop")
+    assert n == 10
+    res = expunge_deletes(spark, out)
+    assert res["expunged"] == 10
+    s = Searcher(IndexReader(spark, out))
+    assert s.count("drop") == 0
+    assert s.count("keep") == 30
+
+
+# --- 4. mixed-field dl rule -------------------------------------------------
+
+def test_mixed_field_span_or_dl_rule(spark, tmp_path_factory):
+    from lucene_spark.oracle import build_oracle_index
+    from lucene_spark.queries.ast import SpanOr, SpanTerm
+
+    rows = []
+    for i in range(60):
+        body = " ".join(["w%d" % (j % 9) for j in range(i % 7 + 4)])
+        body += " shared" if i % 2 else ""
+        title = "shared note" if i % 3 == 0 else "other"
+        rows.append((str(i), body, title, "en"))
+    src = tmp_path_factory.mktemp("mixsrc")
+    pdf = pd.DataFrame(rows, columns=["url", "text", "title", "lang"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("mixidx"))
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=60, analyzed_fields=("title",))
+    merge_index(spark, out)
+    oracle = build_oracle_index(
+        [(i, r[1]) for i, r in enumerate(rows)],
+        extra_fields={"title": {i: r[2] for i, r in enumerate(rows)}})
+    s = Searcher(IndexReader(spark, out))
+    # docs matching only the body term take the body dl; docs with the
+    # title term take the title dl (first-found-wins, title term first)
+    q = SpanOr([SpanTerm("title:shared"), SpanTerm("shared")])
+    assert_rank_identical(topk(s, q), oracle_search(oracle, q, K))
