@@ -67,15 +67,22 @@ def vbyte_decode(blob: bytes, offset: int = 0, count: int | None = None) -> tupl
     Decodes ``count`` values starting at ``offset`` (all remaining if None).
     """
     buf = np.frombuffer(blob, dtype=np.uint8)
-    if offset:
+    if count is not None:
+        # bound the scan to the requested values: a uint64 VByte value is
+        # ≤10 bytes, so block-targeted decodes stay O(block) instead of
+        # scanning the whole remaining blob tail
+        buf = buf[offset:offset + count * 10]
+    elif offset:
         buf = buf[offset:]
-    if buf.size == 0:
+    if buf.size == 0 or count == 0:
         return np.empty(0, dtype=np.uint64), offset
     is_end = (buf & 0x80) == 0
     ends = np.flatnonzero(is_end)
     if count is not None:
         ends = ends[:count]
     n = ends.size
+    if n == 0:  # truncated/corrupt tail: no terminator byte found
+        return np.empty(0, dtype=np.uint64), offset
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

@@ -56,6 +56,22 @@ POSTINGS_SCHEMA = (
 )
 
 
+def _kw_value(v) -> str | None:
+    """Normalize a keyword-field cell to its canonical term text: pandas
+    promotes nullable int columns to float per batch, so 2020 must not
+    index as '2020.0' in some batches and '2020' in others; NaN/None → no
+    term."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return None
+        if v.is_integer():
+            return str(int(v))
+        return str(v)
+    return str(v)
+
+
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                    keyword_fields: tuple = (), analyzed_fields: tuple = ()):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
@@ -137,7 +153,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 # Field.Index.NOT_ANALYZED + omitNorms, document/Field.java:83)
                 for kf in keyword_fields:
                     if kf in kfields:
-                        val = kfields[kf].iloc[i]
+                        val = _kw_value(kfields[kf].iloc[i])
                     else:
                         val = {"lang": lang, "url": url}.get(kf)
                     if val is not None:
@@ -282,11 +298,41 @@ def completed_segments(out_dir: str) -> set[int]:
             try:
                 with open(os.path.join(mdir, n)) as f:
                     m = json.load(f)
-                if m.get("status") == "committed":
+                # "compacted" segments live on inside their destination —
+                # their input files must never be rebuilt on resume
+                if m.get("status") in ("committed", "compacted"):
                     done.add(int(m["seg"]))
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue
     return done
+
+
+def read_manifest_config(out_dir: str) -> dict:
+    """The per-build codec/analysis configuration, validated consistent
+    across every committed segment manifest (maintenance jobs — expunge,
+    compaction — must decode with the SAME block_size/positions the build
+    used; silently mixing configurations corrupts postings)."""
+    mdir = os.path.join(out_dir, "manifests")
+    cfg: dict = {}
+    if not os.path.isdir(mdir):
+        return cfg
+    keys = ("analyzer", "analyzed_fields", "keyword_fields",
+            "store_positions", "block_size")
+    for n in sorted(os.listdir(mdir)):
+        if not (n.startswith("seg_") and n.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, n)) as f:
+            m = json.load(f)
+        if m.get("status") == "compacted":
+            continue
+        this = {k: m[k] for k in keys if k in m}
+        if not cfg:
+            cfg = this
+        elif any(cfg.get(k) != v for k, v in this.items()):
+            raise ValueError(
+                f"inconsistent segment build configs in {out_dir}: "
+                f"{cfg} vs {this} ({n})")
+    return cfg
 
 
 def build_index(
@@ -315,6 +361,21 @@ def build_index(
     if resume and os.path.exists(plan_path):
         plan = read_build_plan(out_dir)
     else:
+        if os.path.exists(plan_path):
+            # fresh build over a previously-built out_dir: clear every
+            # derived table and manifest first — dynamic partition
+            # overwrite only touches the NEW plan's segment ids, and stale
+            # seg=k dirs from a differently-shaped old plan would otherwise
+            # be unioned into every read (duplicated docs, corrupt stats)
+            import shutil as _shutil
+            for sub in ("tokens", "docmap", "postings", "term_dict",
+                        "manifests", "deleted"):
+                _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+            for fn in ("stats.json",):
+                try:
+                    os.remove(os.path.join(out_dir, fn))
+                except FileNotFoundError:
+                    pass
         plan = make_build_plan(input_path, target_docs_per_seg)
         write_build_plan(plan, out_dir)
 

@@ -136,17 +136,14 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     # positions column always exists in TOKENS_SCHEMA — whether it holds
     # data is recorded in the build manifests (store_positions=False builds
     # write empty arrays whose exploded entries are NULL and must not reach
-    # the encoder's positions path)
-    store_positions = True
-    mdir = os.path.join(index_dir, "manifests")
-    if os.path.isdir(mdir):
-        import json as _json
-        for name in sorted(os.listdir(mdir)):
-            if name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    store_positions = bool(
-                        _json.load(f).get("store_positions", True))
-                break
+    # the encoder's positions path). read_manifest_config also validates
+    # the config is CONSISTENT across segments and supplies the build's
+    # block_size (a mismatched codec would scramble re-encoded docids).
+    from .build import read_manifest_config
+
+    cfg = read_manifest_config(index_dir)
+    store_positions = bool(cfg.get("store_positions", True))
+    block_size = int(cfg.get("block_size", block_size))
     # per-term field lengths (multi-field indexes); pre-multifield token
     # layouts fall back to the doc-level doclen
     has_dls = "dls" in tok.columns

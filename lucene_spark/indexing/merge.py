@@ -163,7 +163,27 @@ def compact_segments(
     """
     import shutil
 
+    from .build import read_manifest_config
+    from .deletes import deleted_docids, deleted_path
+
+    # decode with the codec the segments were BUILT with (manifest-recorded;
+    # a mismatched block_size would silently scramble docids)
+    cfg = read_manifest_config(out_dir)
+    block_size = int(cfg.get("block_size", block_size))
+
     dest = min(seg_group)
+
+    # tombstones on absorbed segments must follow their docs into dest:
+    # the kernel groups by seg, so a side-car row keyed to a removed seg id
+    # would never meet the merged postings again (deletes are small — a
+    # driver round-trip re-keys them)
+    dd = deleted_docids(spark, out_dir)
+    moved_tombstones = None
+    if dd is not None:
+        src_segs = [s for s in seg_group if s != dest]
+        moved_tombstones = (dd.where(F.col("seg").isin(src_segs))
+                            .select(F.lit(dest).cast("long").alias("seg"),
+                                    "docid").toPandas())
     # Spark cannot read and overwrite the same path in one job: stage the
     # merged output in a sibling tmp dir, then swap partition dirs (the
     # rename-commit pattern, same as the manifest writes).
@@ -181,10 +201,31 @@ def compact_segments(
             shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
         os.replace(os.path.join(tmp, f"seg={dest}"), os.path.join(src, f"seg={dest}"))
         shutil.rmtree(tmp, ignore_errors=True)
+    if moved_tombstones is not None:
+        from .deletes import delete_by_docids
+
+        for s in seg_group:
+            if s != dest:
+                shutil.rmtree(os.path.join(deleted_path(out_dir), f"seg={s}"),
+                              ignore_errors=True)
+        if len(moved_tombstones):
+            delete_by_docids(spark, out_dir,
+                             spark.createDataFrame(moved_tombstones))
     for s in seg_group:
         if s == dest:
             continue
         mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
         if os.path.exists(mp):
-            os.remove(mp)
+            # keep the manifest as a "compacted" marker: resume must still
+            # treat the segment's input files as done (its docs now live in
+            # dest) — deleting it would make a resumed build re-create the
+            # segment and duplicate every doc
+            with open(mp) as f:
+                m = json.load(f)
+            m["status"] = "compacted"
+            m["into"] = dest
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, mp)
     return dest

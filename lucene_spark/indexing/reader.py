@@ -73,8 +73,10 @@ class IndexReader:
         td = self.term_dict()
         if kind == "prefix":
             df = td.where(F.col("term").startswith(arg))
+            unfielded = ":" not in arg
         elif kind == "wildcard_regex":
             df = td.where(F.col("term").rlike(arg))
+            unfielded = ":" not in arg
         elif kind == "range":
             lo, hi, inc_lo, inc_hi = arg
             df = td
@@ -82,8 +84,14 @@ class IndexReader:
                 df = df.where(F.col("term") >= lo if inc_lo else F.col("term") > lo)
             if hi is not None:
                 df = df.where(F.col("term") <= hi if inc_hi else F.col("term") < hi)
+            unfielded = not any(b and ":" in b for b in (lo, hi))
         else:
             raise ValueError(kind)
+        if unfielded:
+            # default-field enumeration must not sweep up other fields'
+            # namespaced "field:term" entries (e.g. prefix 'u*' matching
+            # every df=1 'url:...' keyword term and dominating the top-k)
+            df = df.where(~F.col("term").contains(":"))
         # reference caps BooleanQuery at 1024 clauses (search/BooleanQuery.java:34)
         return [r["term"] for r in df.select("term").orderBy("term").limit(limit).collect()]
 

@@ -237,16 +237,26 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
 def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary
     (reference search/MultiTermQuery.java:98-146 rewrite; pinned rewrite mode:
-    scoring boolean disjunction)."""
+    scoring boolean disjunction). Unfielded patterns skip namespaced
+    'field:term' entries — the default field must not sweep other fields
+    (mirrors IndexReader.expand_terms)."""
     if isinstance(q, Prefix):
+        if ":" not in q.prefix:
+            idx_terms = [t for t in idx_terms if ":" not in t]
         return [t for t in idx_terms if t.startswith(q.prefix)]
     if isinstance(q, Wildcard):
+        if ":" not in q.pattern:
+            idx_terms = [t for t in idx_terms if ":" not in t]
         rx = re.compile(wildcard_to_regex(q.pattern))
         return [t for t in idx_terms if rx.match(t)]
     if isinstance(q, Regexp):
+        if ":" not in q.pattern:
+            idx_terms = [t for t in idx_terms if ":" not in t]
         rx = re.compile(q.pattern)
         return [t for t in idx_terms if rx.fullmatch(t)]
     if isinstance(q, Fuzzy):
+        if ":" not in q.term:
+            idx_terms = [t for t in idx_terms if ":" not in t]
         pre = q.term[: q.prefix_length]
         return [
             t
@@ -256,6 +266,9 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
             and levenshtein(t, q.term) <= q.max_edits
         ]
     if isinstance(q, TermRange):
+        if not any(b and ":" in b for b in (q.lo, q.hi)):
+            idx_terms = [t for t in idx_terms if ":" not in t]
+
         def ok(t: str) -> bool:
             if q.lo is not None and (t < q.lo or (t == q.lo and not q.include_lo)):
                 return False

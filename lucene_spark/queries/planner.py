@@ -145,6 +145,8 @@ class Searcher:
         cond = (F.length("term") >= len(q.term) - q.max_edits) & (
             F.length("term") <= len(q.term) + q.max_edits
         )
+        if ":" not in q.term:  # default field: skip namespaced entries
+            cond = cond & ~F.col("term").contains(":")
         if q.prefix_length:
             cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
         rows = (

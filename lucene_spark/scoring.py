@@ -78,13 +78,23 @@ def phrase_freq(position_lists: list[np.ndarray], qpos: list[int], slop: int) ->
         la, lb = len(a), len(b)
         i = j = 0
         total = 0.0
+        q0, q1 = qpos[0], qpos[1]
         while i < la and j < lb:
             av, bv = a[i], b[j]
             d = av - bv if av >= bv else bv - av
             if d <= slop:
-                total += 1.0 / (d + 1.0)
-                i += 1
-                j += 1
+                if av + q0 == bv + q1:
+                    # repeated-term guard: ONE token occurrence cannot fill
+                    # both phrase slots (distinct-positions invariant).
+                    # Advance the minimal-shifted cursor — with qpos
+                    # increasing that is always j (same rule as the generic
+                    # leapfrog), so the a-token stays available to pair
+                    # with a LATER b occurrence.
+                    j += 1
+                else:
+                    total += 1.0 / (d + 1.0)
+                    i += 1
+                    j += 1
             elif av < bv:
                 i += 1
             else:
@@ -97,10 +107,17 @@ def phrase_freq(position_lists: list[np.ndarray], qpos: list[int], slop: int) ->
         vals = [int(shifted[i][cursors[i]]) for i in range(m)]
         lo, hi = min(vals), max(vals)
         if hi - lo <= slop:
-            total += 1.0 / (hi - lo + 1.0)
-            # consume all participants of this match (non-overlapping greedy)
-            for i in range(m):
-                cursors[i] += 1
+            abspos = [vals[i] + qpos[i] for i in range(m)]
+            if len(set(abspos)) == m:
+                total += 1.0 / (hi - lo + 1.0)
+                # consume all participants (non-overlapping greedy)
+                for i in range(m):
+                    cursors[i] += 1
+                continue
+            # duplicate token occurrence across slots: not a valid match —
+            # leapfrog the minimal cursor past it
+            i_min = min(range(m), key=lambda i: shifted[i][cursors[i]])
+            cursors[i_min] += 1
         else:
             # advance the minimal cursor (classic leapfrog)
             i_min = min(range(m), key=lambda i: shifted[i][cursors[i]])

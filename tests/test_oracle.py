@@ -169,11 +169,14 @@ def test_phrase_freq_two_term_fast_path_matches_generic():
         while all(cursors[i] < lens[i] for i in range(m)):
             vals = [int(shifted[i][cursors[i]]) for i in range(m)]
             lo, hi = min(vals), max(vals)
-            if hi - lo <= slop:
+            if hi - lo <= slop and len(
+                    {vals[i] + qpos[i] for i in range(m)}) == m:
                 total += 1.0 / (hi - lo + 1.0)
                 for i in range(m):
                     cursors[i] += 1
             else:
+                # leapfrog past non-matches AND duplicate-position windows
+                # (distinct-absolute-positions invariant)
                 i_min = min(range(m), key=lambda i: shifted[i][cursors[i]])
                 cursors[i_min] += 1
         return total

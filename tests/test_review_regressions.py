@@ -152,3 +152,115 @@ def test_mixed_field_span_or_dl_rule(spark, tmp_path_factory):
     # title term take the title dl (first-found-wins, title term first)
     q = SpanOr([SpanTerm("title:shared"), SpanTerm("shared")])
     assert_rank_identical(topk(s, q), oracle_search(oracle, q, K))
+
+
+# --- second review batch -----------------------------------------------------
+
+def test_repeated_term_sloppy_phrase_unit():
+    """One token occurrence cannot fill two slots of "foo foo"~1; two
+    occurrences within the window still match."""
+    from lucene_spark.scoring import phrase_freq
+
+    one = np.array([5], dtype=np.int64)
+    assert phrase_freq([one, one], [0, 1], 1) == 0.0
+    two = np.array([5, 7], dtype=np.int64)
+    assert phrase_freq([two, two], [0, 1], 1) == pytest.approx(0.5)
+    # generic 3-slot path: 'a b a'~2 on doc with a@0 b@1 only — no second a
+    a = np.array([0], dtype=np.int64)
+    b = np.array([1], dtype=np.int64)
+    assert phrase_freq([a, b, a], [0, 1, 2], 2) == 0.0
+
+
+def test_repeated_term_sloppy_rank_identity(searcher, oracle_index):
+    q = parse_query('"one one"~2')
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle_index, q, K))
+
+
+def test_vbyte_decode_truncated_and_empty():
+    from lucene_spark.codec import vbyte_decode, vbyte_encode
+
+    vals, end = vbyte_decode(b"\x81\x82", 0, None)  # no terminator byte
+    assert vals.size == 0 and end == 0
+    vals, end = vbyte_decode(vbyte_encode(np.array([7], dtype=np.uint64)), 0, 0)
+    assert vals.size == 0
+
+
+def test_prefix_does_not_sweep_namespaced_terms(spark, tmp_path_factory):
+    """Default-field multiterm expansion must skip 'field:term' entries —
+    keyword url terms have df=1 and would otherwise dominate."""
+    src = tmp_path_factory.mktemp("nssrc")
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(30)],
+        "text": [f"alpha umbrella{i % 3} beta" for i in range(30)],
+        "lang": ["en"] * 30,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("nsidx"))
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=30, keyword_fields=("url", "lang"))
+    merge_index(spark, out)
+    s = Searcher(IndexReader(spark, out))
+    # 'u*' must expand to umbrella0/1/2 only, never the url: keyword terms
+    expanded = s.rewrite(parse_query("u*"))
+    terms = {c.term for c in expanded.should}
+    assert terms == {"umbrella0", "umbrella1", "umbrella2"}
+    hits = topk(s, "u*", k=30)
+    assert len(hits) == 30  # every doc has an umbrella token
+
+
+def test_compact_preserves_tombstones_and_resume(spark, tmp_path_factory):
+    """Compacting segments must carry pending tombstones into the merged
+    segment, and a resumed build must NOT re-create absorbed segments."""
+    from lucene_spark.indexing.deletes import delete_by_query
+    from lucene_spark.indexing.merge import compact_segments
+
+    src = tmp_path_factory.mktemp("cpsrc")
+    for k, (lo, hi) in enumerate(((0, 20), (20, 40))):
+        pdf = pd.DataFrame({
+            "url": [str(i) for i in range(lo, hi)],
+            "text": [f"alpha token{i} {'zap' if i == 30 else 'keep'}"
+                     for i in range(lo, hi)],
+            "lang": ["en"] * (hi - lo),
+        })
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       str(src / f"part-{k:04d}.parquet"))
+    out = str(tmp_path_factory.mktemp("cpidx"))
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=20)
+    merge_index(spark, out)
+    s = Searcher(IndexReader(spark, out))
+    assert delete_by_query(spark, out, "zap") == 1  # doc 30 lives in seg 1
+    assert s.count("zap") == 0
+    compact_segments(spark, out, [0, 1])
+    s2 = Searcher(IndexReader(spark, out))
+    assert s2.count("zap") == 0, "tombstone lost during compaction"
+    assert s2.count("alpha") == 39
+    # resumed build: every input file is still accounted for
+    summary = build_index(spark, str(src), out, analyzer="whitespace",
+                          target_docs_per_seg=20, resume=True)
+    assert summary["built"] == 0 and summary["skipped"] == 2
+
+
+def test_fresh_rebuild_clears_stale_segments(spark, tmp_path_factory):
+    from lucene_spark.indexing import validate_index
+
+    src = tmp_path_factory.mktemp("frsrc")
+    pdf = pd.DataFrame({
+        "url": [str(i) for i in range(40)],
+        "text": [f"alpha w{i}" for i in range(40)],
+        "lang": ["en"] * 40,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("fridx"))
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=10)  # 4 segments
+    merge_index(spark, out)
+    build_index(spark, str(src), out, analyzer="whitespace",
+                target_docs_per_seg=40, resume=False)  # 1 segment
+    merge_index(spark, out)
+    r = IndexReader(spark, out)
+    assert r.N == 40
+    assert Searcher(r).count("alpha") == 40  # not 80
+    assert validate_index(spark, out)["ok"]
