@@ -216,7 +216,11 @@ def analyze(text: str) -> list[tuple[str, int]]:
     pos = 0
     for typ, raw in standard_tokenize_typed(text):
         if len(raw) > MAX_TOKEN_LENGTH:
-            continue  # StandardTokenizer skips over-long tokens
+            # StandardTokenizer skips over-long tokens but still advances
+            # the position (a position hole, like a stopword) — phrase
+            # adjacency must not collapse across the skipped token
+            pos += 1
+            continue
         term = _standard_filter(typ, raw).lower()
         if term in ENGLISH_STOP_WORDS:
             pos += 1  # hole: position increment carries over

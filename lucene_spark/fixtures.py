@@ -68,10 +68,15 @@ def page_body(i: int) -> str:
     """Zipfian token stream for doc i (seeded per doc — FIXTURES.md §1).
 
     Number spellings < 1000 reuse only ~30 distinct words, so the Zipf draw
-    alone yields no rare tail. Two extra tokens fix that: a df=1 serial token
+    alone yields no rare tail. Two extra tokens fix that: a serial token
     (the compound spelling of i, e.g. ``onehundredtwentyone``) and a
     mid-frequency bucket token (df ≈ N/50) — giving the term dictionary a
     head, a torso, and a tail for WAND/salting/prefix tests (FIXTURES.md §4).
+
+    Caveat: the serial is df=1 only for MULTI-word spellings (i ≥ 21 and
+    not a round ten/hundred); single-word spellings ("five", "forty")
+    collide with ordinary vocabulary draws. Tests that need a guaranteed
+    df=1 term must use a compound serial (the reference query set does).
     """
     rng = random.Random(SEED * 1_000_003 + i)
     n_tokens = 40 + (i * 7919) % 200

@@ -34,14 +34,14 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()
       | (?P<rpar>\))
-      | (?P<quoted>"[^"]*"(?:~\d+)?)
+      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
       | (?P<range>[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?)
       | (?P<and>AND\b)
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
       | (?P<plus>\+)
       | (?P<minus>-)
-      | (?P<word>[^\s()"+-]+)
+      | (?P<word>[^\s()"+-][^\s()"]*)
     )""",
     re.VERBOSE,
 )
@@ -115,11 +115,24 @@ def _word_query(word: str, analyzer: str = "standard",
     word, boost = _split_boost(word)
     fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
     if fm and fm.group(1) in fields:
-        # extra ANALYZED field: scored field-scoped term/phrase with the
-        # field's own namespace (reference multi-field getFieldQuery,
-        # QueryParser.java:513)
-        af = fm.group(1)
-        pairs = _analyze_pairs(fm.group(2), analyzer)
+        # extra ANALYZED field: scored field-scoped query with the field's
+        # own namespace (reference multi-field getFieldQuery,
+        # QueryParser.java:513). Multiterm syntax stays multiterm — the
+        # value must NOT be literalized by the analyzer first.
+        af, val = fm.group(1), fm.group(2)
+        if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
+            return Prefix(f"{af}:{val[:-1].lower()}", boost=boost)
+        if "*" in val or "?" in val:
+            return Wildcard(f"{af}:{val.lower()}", boost=boost)
+        fz = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", val)
+        if fz:
+            base, sim = fz.group(1), fz.group(2)
+            edits = 2 if sim is None else (
+                int(float(sim)) if float(sim) >= 1
+                else max(1, int(round((1.0 - float(sim)) * len(base)))))
+            return Fuzzy(f"{af}:{base.lower()}", max_edits=min(edits, 2),
+                         boost=boost)
+        pairs = _analyze_pairs(val, analyzer)
         if not pairs:
             return None
         if len(pairs) == 1:
@@ -129,7 +142,11 @@ def _word_query(word: str, analyzer: str = "standard",
     if fm and fm.group(1) in kw_fields:
         # explicit ^boost → constant-score that value; bare → pure filter (0)
         const = boost if boost != 1.0 else 0.0
-        return ConstantScore(Term(f"{fm.group(1)}:{fm.group(2)}"), boost=const)
+        val = fm.group(2)
+        if "*" in val or "?" in val:  # wildcard over keyword values
+            return ConstantScore(Wildcard(f"{fm.group(1)}:{val}"),
+                                 boost=const)
+        return ConstantScore(Term(f"{fm.group(1)}:{val}"), boost=const)
     if fm and fm.group(1) == "text":  # the default analyzed field, explicit
         word = fm.group(2)
     # fuzzy: trailing ~ or ~n / ~0.x (classic similarity form → edits)
@@ -162,15 +179,17 @@ def _word_query(word: str, analyzer: str = "standard",
 
 
 def _quoted_query(tok: str, analyzer: str = "standard") -> Query | None:
-    m = re.match(r'^"([^"]*)"(?:~(\d+))?$', tok)
+    m = re.match(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', tok)
     assert m
     body, slop = m.group(1), int(m.group(2) or 0)
+    boost = float(m.group(3) or 1.0)
     pairs = _analyze_pairs(body, analyzer)
     if not pairs:
         return None
     if len(pairs) == 1:
-        return Term(pairs[0][0])
-    return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop)
+        return Term(pairs[0][0], boost=boost)
+    return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=slop,
+                  boost=boost)
 
 
 def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
@@ -190,6 +209,10 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
         nxt = lx.peek()
         if nxt and nxt[0] == "rpar":
             lx.next()
+        if q is not None:
+            # parenthesized groups keep their structure under OR-merge
+            # (only BARE +/- runs fold flat, Lucene's flat clause parse)
+            q._grouped = True  # type: ignore[attr-defined]
         return q, occur
     if t[0] == "quoted":
         lx.next()
@@ -208,9 +231,8 @@ def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = (),
                kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
     clauses: list[tuple[Query, str]] = []
     q, occur = _parse_atom(lx, analyzer, fields, kw_fields)
-    if q is not None or occur != "SHOULD":
-        if q is not None:
-            clauses.append((q, occur))
+    if q is not None:
+        clauses.append((q, occur))
     while True:
         t = lx.peek()
         if t and t[0] == "and":
@@ -238,10 +260,15 @@ def _merge_should(parts: list[Query]) -> Query:
         return parts[0]
     b = Bool()
     for p in parts:
-        if isinstance(p, Bool) and not p.must and not p.must_not and p.boost == 1.0 and not p.min_should:
-            b.should.extend(p.should)
-        elif isinstance(p, Bool) and (p.must_not or p.must):
-            # fold bare +/- groups into the enclosing bool (Lucene flat parse)
+        grouped = getattr(p, "_grouped", False)
+        if (isinstance(p, Bool) and not p.must and not p.must_not
+                and p.boost == 1.0 and not p.min_should):
+            b.should.extend(p.should)  # OR is associative — safe to flatten
+        elif isinstance(p, Bool) and (p.must_not or p.must) and not grouped:
+            # fold bare +/- runs into the enclosing bool (Lucene flat
+            # parse: 'x OR y -z' excludes z at the top level); explicit
+            # (...) groups stay nested — '(a AND b) OR (c AND d)' must NOT
+            # become a four-way conjunction
             b.must.extend(p.must)
             b.should.extend(p.should)
             b.must_not.extend(p.must_not)
@@ -320,11 +347,17 @@ def _expand_fields(q: Query, fields: tuple) -> Query:
         ], boost=q.boost)
     if isinstance(q, TermRange) and not any(
             b and ":" in b for b in (q.lo, q.hi)):
-        return Bool(should=[
-            TermRange(None if q.lo is None else ns(f, q.lo),
-                      None if q.hi is None else ns(f, q.hi),
-                      q.include_lo, q.include_hi) for f in fields
-        ], boost=q.boost)
+        def fr(f: str) -> TermRange:
+            if f == "text":
+                return TermRange(q.lo, q.hi, q.include_lo, q.include_hi)
+            # open bounds must stay INSIDE the field's namespace slice:
+            # a bare None would sweep every field's dictionary entries
+            lo = f"{f}:{q.lo}" if q.lo is not None else f"{f}:"
+            hi = f"{f}:{q.hi}" if q.hi is not None else f"{f}:￿"
+            return TermRange(lo, hi,
+                             q.include_lo if q.lo is not None else True,
+                             q.include_hi if q.hi is not None else True)
+        return Bool(should=[fr(f) for f in fields], boost=q.boost)
     if isinstance(q, Bool):
         return Bool(
             must=[_expand_fields(c, fields) for c in q.must],

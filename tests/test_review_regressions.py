@@ -264,3 +264,75 @@ def test_fresh_rebuild_clears_stale_segments(spark, tmp_path_factory):
     assert r.N == 40
     assert Searcher(r).count("alpha") == 40  # not 80
     assert validate_index(spark, out)["ok"]
+
+
+# --- third review batch: parser + analyzer ----------------------------------
+
+def test_parenthesized_groups_stay_nested():
+    q = parse_query("(one AND two) OR (three AND seven)")
+    assert isinstance(q, Bool)
+    assert not q.must and len(q.should) == 2
+    g1, g2 = q.should
+    assert [t.term for t in g1.must] == ["one", "two"]
+    assert [t.term for t in g2.must] == ["three", "seven"]
+    # bare +/- runs still fold flat (Lucene flat clause parse)
+    q2 = parse_query("one OR seven -hundred")
+    assert [t.term for t in q2.must_not] == ["hundred"]
+    # x OR (y -z): the group keeps its own negation scope
+    q3 = parse_query("one OR (seven -hundred)")
+    assert not q3.must_not
+    assert [t.term for t in q3.should[1].must_not] == ["hundred"]
+
+
+def test_intra_word_hyphen_not_negation():
+    q = parse_query("wi-fi")
+    assert isinstance(q, Phrase)
+    assert q.phrase_terms == ["wi", "fi"]
+    q2 = parse_query("one -seven")  # leading '-' is still the operator
+    assert [t.term for t in q2.must_not] == ["seven"]
+
+
+def test_quoted_phrase_boost():
+    q = parse_query('"one hundred"^2')
+    assert isinstance(q, Phrase) and q.boost == 2.0
+    q2 = parse_query('"one hundred"~1^3')
+    assert q2.slop == 1 and q2.boost == 3.0
+
+
+def test_field_scoped_multiterm_syntax():
+    from lucene_spark.queries.ast import Fuzzy, Prefix, Wildcard
+
+    q = parse_query("title:doc*", analyzed_fields=("title",))
+    assert q == Prefix("title:doc")
+    q = parse_query("title:d?c", analyzed_fields=("title",))
+    assert q == Wildcard("title:d?c")
+    q = parse_query("title:docs~1", analyzed_fields=("title",))
+    assert q == Fuzzy("title:docs", max_edits=1)
+    q = parse_query("url:http*")  # keyword wildcard → constant-score
+    assert isinstance(q, ConstantScore) and isinstance(q.query, Wildcard)
+
+
+def test_overlong_token_leaves_position_hole():
+    from lucene_spark.analysis import analyze
+
+    pairs = analyze("foo " + "x" * 300 + " bar")
+    assert pairs == [("foo", 0), ("bar", 2)]
+
+
+def test_multifield_open_range_stays_in_namespace():
+    from lucene_spark.queries.parser import _expand_fields
+    from lucene_spark.queries.ast import TermRange
+
+    q = _expand_fields(TermRange(None, "five"), ("text", "title"))
+    text_r, title_r = q.should
+    assert text_r.lo is None and text_r.hi == "five"
+    assert title_r.lo == "title:" and title_r.hi == "title:five"
+
+
+def test_rank_identity_still_holds_after_parser_changes(searcher, oracle_index):
+    for qs in ["(one AND two) OR (three AND seven)",
+               '"one hundred"^2',
+               "one OR (seven -hundred)"]:
+        q = parse_query(qs)
+        assert_rank_identical(topk(searcher, q),
+                              oracle_search(oracle_index, q, K))
