@@ -23,24 +23,30 @@ def evaluate(results: DataFrame, judgements: DataFrame, k: int = 10) -> DataFram
     """Per-query metrics → DataFrame(qid, n_rel, n_ret, p_at_k, ap, ndcg).
 
     - p_at_k: |relevant in top k| / k (QualityStats precision-at-N)
-    - ap: average precision over ALL relevant docs (MAP numerator;
-      unretrieved relevant docs count 0 — the TREC convention)
-    - ndcg: DCG/IDCG with log2(rank+1) discount over graded judgements
+    - ap: average precision over the FULL ranking and ALL relevant docs
+      (unretrieved relevant docs count 0 — the TREC convention; results
+      deeper than k still contribute)
+    - ndcg: NDCG@k — DCG/IDCG with log2(rank+1) discount over graded
+      judgements, cut off at k
     """
     j = judgements.withColumn(
         "grade",
         F.col("grade") if "grade" in judgements.columns else F.lit(1.0))
-    res = results.where(F.col("rank") <= k)
-    hits = res.join(j, ["qid", "docid"], "inner")
+    # AP and n_ret use the FULL ranking (TREC convention: a relevant doc at
+    # rank 12 still contributes to AP even when reporting P@10); only
+    # p_at_k and NDCG@k apply the k cutoff
+    hits = results.join(j, ["qid", "docid"], "inner")
 
     w = Window.partitionBy("qid").orderBy("rank")
     # precision at each relevant hit's rank: (#relevant ≤ rank)/rank
     prec = hits.withColumn("n_rel_at", F.count("*").over(w)) \
                .withColumn("p_at", F.col("n_rel_at") / F.col("rank")) \
-               .withColumn("gain", (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
-                           / F.log2(F.col("rank") + 1.0))
+               .withColumn("gain", F.when(
+                   F.col("rank") <= k,
+                   (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                   / F.log2(F.col("rank") + 1.0)).otherwise(F.lit(0.0)))
     per_hit = prec.groupBy("qid").agg(
-        F.count("*").alias("n_hit"),
+        F.sum((F.col("rank") <= k).cast("int")).alias("n_hit"),
         F.sum("p_at").alias("sum_p"),
         F.sum("gain").alias("dcg"))
 
@@ -57,7 +63,7 @@ def evaluate(results: DataFrame, judgements: DataFrame, k: int = 10) -> DataFram
                 / F.log2(r.cast("double") + 1.0)),
             F.lit(0.0), lambda acc, x: acc + x).alias("idcg"))
 
-    n_ret = res.groupBy("qid").agg(F.count("*").alias("n_ret"))
+    n_ret = results.groupBy("qid").agg(F.count("*").alias("n_ret"))
     return (idcg.join(n_ret, "qid", "left")
             .join(per_hit, "qid", "left")
             .select(

@@ -36,12 +36,12 @@ def append_to_index(
     index_dir: str,
     *,
     target_docs_per_seg: int = 50_000,
-    analyzer: str = "standard",
-    store_positions: bool = True,
-    keyword_fields: tuple = (),
+    analyzer: str | None = None,
+    store_positions: bool | None = None,
+    keyword_fields: tuple | None = None,
     analyzed_fields: tuple | None = None,
     max_postings_per_row: int = 250_000,
-    block_size: int = BLOCK_SIZE,
+    block_size: int | None = None,
     refresh_stats: bool = True,
 ) -> list[int]:
     """Append the parquet files under input_path to an existing index as new
@@ -50,34 +50,41 @@ def append_to_index(
     streaming query can be the sole writer of an index."""
     from ..indexing.plan import BuildPlan
 
+    from ..indexing.build import read_manifest_config
+
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, "build_plan.json")):
         plan = read_build_plan(index_dir)
     else:
-        plan = BuildPlan(input_path=os.path.abspath(index_dir),
+        plan = BuildPlan(input_path=os.path.abspath(input_path),
                          n_docs=0, n_segments=0, files=[])
     new_segs = extend_build_plan(plan, input_path, target_docs_per_seg)
     if new_segs:
         write_build_plan(plan, index_dir)
     done = completed_segments(index_dir)
-    pending = [s for s in new_segs if s not in done]
+    # resume over the WHOLE plan, not just this call's additions: a crash
+    # between write_build_plan and segment commit on a prior attempt leaves
+    # planned-but-unbuilt segments that must be picked up here (the same
+    # exactly-once rule as build_index's pending computation)
+    pending = [s for s in plan.seg_ids() if s not in done]
+    # unspecified config inherits the EXISTING index's build config so
+    # appended segments are homogeneous (mixed configs corrupt maintenance
+    # jobs and silently break keyword/field queries on streamed docs)
+    cfg = read_manifest_config(index_dir)
+    if analyzer is None:
+        analyzer = cfg.get("analyzer", "standard")
+    if store_positions is None:
+        store_positions = bool(cfg.get("store_positions", True))
+    if keyword_fields is None:
+        keyword_fields = tuple(cfg.get("keyword_fields", ()))
     if analyzed_fields is None:
-        # default to the existing index's field config so appended segments
-        # index the same extra ANALYZED fields as the batch build
-        analyzed_fields = ()
-        mdir = os.path.join(index_dir, "manifests")
-        if os.path.isdir(mdir):
-            import json as _json
-            for name in sorted(os.listdir(mdir)):
-                if name.endswith(".json"):
-                    with open(os.path.join(mdir, name)) as f:
-                        analyzed_fields = tuple(
-                            _json.load(f).get("analyzed_fields", []))
-                    break
+        analyzed_fields = tuple(cfg.get("analyzed_fields", ()))
+    if block_size is None:
+        block_size = int(cfg.get("block_size", BLOCK_SIZE))
     if pending:
         _build_chunk(spark, plan, pending, index_dir, analyzer,
                      store_positions, max_postings_per_row, block_size,
-                     keyword_fields, tuple(analyzed_fields))
+                     tuple(keyword_fields), tuple(analyzed_fields))
     if pending and refresh_stats:
         merge_index(spark, index_dir)
     return pending

@@ -51,7 +51,9 @@ def streaming_sessionize(
         else:
             ts: list[int] = []
             for pdf in pdfs:
-                ts.extend(int(v.timestamp()) for v in pdf["ts"])
+                # NaT-safe: null event times carry no session information
+                ts.extend(int(v.timestamp()) for v in pdf["ts"]
+                          if v is not None and v == v)
             ts.sort()
             if state.exists:
                 s, last, n = state.get
@@ -63,12 +65,28 @@ def streaming_sessionize(
                 elif t - last > gap_s:
                     closed.append((user, s, last - s, n))
                     s, last, n = t, t, 1
+                elif t < s - gap_s:
+                    # cross-batch straggler well BEFORE the open session:
+                    # its own (already-closed) session. Approximation: any
+                    # sibling stragglers landing in later batches would not
+                    # merge with it — documented divergence from the batch
+                    # twin, bounded by the watermark.
+                    closed.append((user, t, 0, 1))
+                elif t < s:
+                    # straggler within the gap: extend the session backwards
+                    # (the batch twin's global sort would have started here)
+                    s, n = t, n + 1
                 else:
                     last, n = max(last, t), n + 1
             if s is not None:
                 state.update((s, last, n))
-                # flush when the watermark passes last event + gap
-                state.setTimeoutTimestamp((last + gap_s) * 1000)
+                # flush when the watermark passes last event + gap; clamp —
+                # Spark rejects a timeout at/under the current watermark
+                # (backlog drains can advance it past last + gap in one
+                # batch) and an unclamped value kills the query
+                state.setTimeoutTimestamp(
+                    max((last + gap_s) * 1000,
+                        state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start",
                              "duration_s", "n_events"])

@@ -197,3 +197,45 @@ def test_stateful_sessionize(spark, tmp_path):
     assert (1, 600, 2) in rows
     assert (1, 0, 1) in rows
     assert (2, 0, 1) in rows
+
+
+def test_sessionize_watermark_clamp_and_stragglers(spark, tmp_path):
+    """(a) a timeout landing below the advanced watermark must be clamped,
+    not crash the query (backlog-drain edge); (b) an in-gap straggler from
+    a later batch extends the session START backwards like the batch twin."""
+    from lucene_spark.streaming.sessions import run_sessionize_to_memory
+
+    src = str(tmp_path / "sess_clamp")
+    _write_events(src, "w1.parquet", [
+        (1, "2026-01-01 12:00:00", 9, "view", 1.0, ""),
+    ])
+    q = run_sessionize_to_memory(spark, src, query_name="sess_c",
+                                 gap_s=1800, watermark="30 minutes")
+    try:
+        q.processAllAvailable()
+        # u8's event is above the previous watermark (11:30) but u9's 13:00
+        # pushes the CURRENT watermark to 12:30 — u8's natural timeout
+        # (11:35 + 30min = 12:05) is below it and must be clamped.
+        # u9's 11:40 straggler falls within the gap BEFORE its open session
+        # (12:00) and must extend the session start backwards.
+        _write_events(src, "w2.parquet", [
+            (2, "2026-01-01 11:35:00", 8, "click", 1.0, ""),
+            (3, "2026-01-01 11:40:00", 9, "view", 1.0, ""),
+            (4, "2026-01-01 13:00:00", 9, "view", 1.0, ""),
+        ])
+        q.processAllAvailable()
+        _write_events(src, "w3.parquet", [
+            (5, "2026-01-02 12:00:00", 7, "view", 1.0, ""),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_c").collect()
+    by_user: dict[int, set] = {}
+    for r in rows:
+        by_user.setdefault(int(r["user_id"]), set()).add(
+            (int(r["duration_s"]), int(r["n_events"])))
+    assert by_user[8] == {(0, 1)}  # survived the clamp, flushed by timeout
+    # u9: the 11:40 straggler extends the 12:00 session BACKWARDS
+    # (duration 20 min, 2 events); 13:00 is past the gap → its own session
+    assert by_user[9] == {(1200, 2), (0, 1)}

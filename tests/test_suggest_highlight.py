@@ -60,3 +60,14 @@ def test_snippet_window_starts_at_first_match(spark):
     assert "<b>hit</b>" in rows[0]["s"]
     # no match → head window, nothing wrapped
     assert rows[1]["s"] == "no match here"
+
+
+def test_snippet_normalized_matching(spark):
+    """Capitalized / punctuated surface forms must still locate and wrap
+    analyzed query terms."""
+    df = spark.createDataFrame(
+        [("Spark is great. Data wins, really wins.",)], "text string")
+    row = df.select(snippet_col(df["text"], ["data", "spark"]).alias("s")) \
+        .collect()[0]
+    assert "<b>Spark</b>" in row["s"]
+    assert "<b>Data</b>" in row["s"]
