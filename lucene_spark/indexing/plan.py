@@ -52,11 +52,15 @@ class BuildPlan:
 
 
 def _norm(p: str) -> str:
+    from urllib.parse import unquote
+
     for scheme in ("file://", "file:"):
         if p.startswith(scheme):
             p = p[len(scheme):]
             break
-    return os.path.normpath(p)
+    # Spark's _metadata.file_path is URL-encoded; plan paths are raw
+    # filesystem paths — decode so files with spaces/special chars match
+    return os.path.normpath(unquote(p))
 
 
 def make_build_plan(input_path: str, target_docs_per_seg: int = 50_000) -> BuildPlan:

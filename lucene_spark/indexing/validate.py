@@ -22,8 +22,12 @@ from .. import BLOCK_SIZE
 from ..codec import decode_postings
 
 
-def _check_rows(block_size: int):
+def _check_rows(block_size: int, keyword_fields: tuple = ("lang", "url")):
+    kw_prefixes = tuple(f"{f}:" for f in keyword_fields)
+
     def fn(batches):
+        from ..codec import vbyte_decode
+
         for pdf in batches:
             bad = []
             for rec in pdf.to_dict("records"):
@@ -32,6 +36,12 @@ def _check_rows(block_size: int):
                     ids, tfs, dls = decode_postings(rec, block_size)
                     if ids.size != rec["df"]:
                         errs.append("df!=len(ids)")
+                    # df-understatement guard: decode_postings trusts df as
+                    # the count, so ALSO decode the blob to exhaustion and
+                    # require it holds exactly df values
+                    all_ids, _ = vbyte_decode(rec["ids_blob"], 0, None)
+                    if all_ids.size != rec["df"]:
+                        errs.append("blob value count != df")
                     if int(tfs.sum()) != rec["cf"]:
                         errs.append("cf!=sum(tfs)")
                     if ids.size > 1 and not (np.diff(ids) > 0).all():
@@ -40,15 +50,30 @@ def _check_rows(block_size: int):
                         errs.append("tf<=0")
                     if (dls < 0).any():
                         errs.append("dl<0")
-                    elif (dls == 0).any() and ":" not in (rec["term"] or ""):
+                    elif (dls == 0).any() and not (
+                            rec["term"] or "").startswith(kw_prefixes):
                         # dl==0 is legal only for keyword-field terms of
-                        # empty-text docs (doclen counts analyzed tokens)
+                        # empty-text docs; analyzed terms (default field OR
+                        # extra analyzed fields) always have dl >= 1
                         errs.append("dl==0 for analyzed term")
                     nb = (ids.size + block_size - 1) // block_size
                     if len(rec["block_last_ids"]) != nb:
                         errs.append("bad block count")
                     elif rec["block_last_ids"][-1] != int(ids[-1]):
                         errs.append("bad block_last_ids")
+                    # block-max metadata feeds WAND pruning bounds — an
+                    # understated max_tf / overstated min_dl silently drops
+                    # valid top-k hits at query time
+                    if ids.size and len(rec["block_max_tf"]) == nb:
+                        bounds = list(range(0, int(ids.size), block_size))
+                        real_max = np.maximum.reduceat(tfs, bounds)
+                        real_min = np.minimum.reduceat(dls, bounds)
+                        if not (np.asarray(rec["block_max_tf"]) == real_max).all():
+                            errs.append("bad block_max_tf")
+                        if not (np.asarray(rec["block_min_dl"]) == real_min).all():
+                            errs.append("bad block_min_dl")
+                    elif len(rec["block_max_tf"]) != nb:
+                        errs.append("bad block_max_tf count")
                 except Exception as e:  # decode failure is a finding, not a crash
                     errs.append(f"decode error: {e}")
                 if errs:
@@ -63,8 +88,13 @@ def validate_index(spark: SparkSession, index_dir: str, block_size: int = BLOCK_
     """→ report dict; report['ok'] is the gate."""
     report: dict = {"ok": True, "violations": []}
 
+    kw: tuple = ("lang", "url")
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            kw = tuple(json.load(f).get("keyword_fields", kw))
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    bad = (postings.mapInPandas(_check_rows(block_size),
+    bad = (postings.mapInPandas(_check_rows(block_size, kw),
                                 schema="seg int, term string, salt int, errors string")
            .limit(20).collect())
     if bad:

@@ -238,25 +238,33 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary
     (reference search/MultiTermQuery.java:98-146 rewrite; pinned rewrite mode:
     scoring boolean disjunction). Unfielded patterns skip namespaced
-    'field:term' entries — the default field must not sweep other fields
-    (mirrors IndexReader.expand_terms)."""
+    'field:term' entries — the default field must not sweep other fields,
+    fielded ones stay inside their field's namespace, and the expansion is
+    capped at 1024 terms in term order (mirrors IndexReader.expand_terms +
+    planner MAX_CLAUSES)."""
+    MAX_CLAUSES = 1024
     if isinstance(q, Prefix):
         if ":" not in q.prefix:
             idx_terms = [t for t in idx_terms if ":" not in t]
-        return [t for t in idx_terms if t.startswith(q.prefix)]
+        return [t for t in idx_terms if t.startswith(q.prefix)][:MAX_CLAUSES]
     if isinstance(q, Wildcard):
         if ":" not in q.pattern:
             idx_terms = [t for t in idx_terms if ":" not in t]
         rx = re.compile(wildcard_to_regex(q.pattern))
-        return [t for t in idx_terms if rx.match(t)]
+        return [t for t in idx_terms if rx.match(t)][:MAX_CLAUSES]
     if isinstance(q, Regexp):
         if ":" not in q.pattern:
             idx_terms = [t for t in idx_terms if ":" not in t]
         rx = re.compile(q.pattern)
-        return [t for t in idx_terms if rx.fullmatch(t)]
+        return [t for t in idx_terms if rx.fullmatch(t)][:MAX_CLAUSES]
     if isinstance(q, Fuzzy):
         if ":" not in q.term:
             idx_terms = [t for t in idx_terms if ":" not in t]
+        else:
+            # fielded fuzzy stays strictly within ITS field: edit distance
+            # must not span the namespace prefix into a similar field name
+            fprefix = q.term.split(":", 1)[0] + ":"
+            idx_terms = [t for t in idx_terms if t.startswith(fprefix)]
         pre = q.term[: q.prefix_length]
         return [
             t
@@ -264,7 +272,7 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
             if t.startswith(pre)
             and abs(len(t) - len(q.term)) <= q.max_edits
             and levenshtein(t, q.term) <= q.max_edits
-        ]
+        ][:MAX_CLAUSES]
     if isinstance(q, TermRange):
         if not any(b and ":" in b for b in (q.lo, q.hi)):
             idx_terms = [t for t in idx_terms if ":" not in t]
@@ -275,7 +283,7 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
             if q.hi is not None and (t > q.hi or (t == q.hi and not q.include_hi)):
                 return False
             return True
-        return [t for t in idx_terms if ok(t)]
+        return [t for t in idx_terms if ok(t)][:MAX_CLAUSES]
     raise TypeError(type(q))
 
 

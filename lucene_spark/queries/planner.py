@@ -147,6 +147,9 @@ class Searcher:
         )
         if ":" not in q.term:  # default field: skip namespaced entries
             cond = cond & ~F.col("term").contains(":")
+        else:  # fielded fuzzy: stay inside the field's namespace slice
+            cond = cond & F.col("term").startswith(
+                q.term.split(":", 1)[0] + ":")
         if q.prefix_length:
             cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
         rows = (
