@@ -1214,6 +1214,9 @@ m AS (SELECT DISTINCT doc_id FROM tfs WHERE term = 'data'),
 allt AS (
   SELECT doc_id, term FROM tfs
   UNION ALL SELECT doc_id, 'lang:' || lang FROM documents
+  UNION ALL SELECT DISTINCT doc_id, 'title:' || t.term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS term
+        FROM documents) t
 )
 SELECT t.term, CAST(count(*) AS BIGINT) AS n_docs
 FROM allt t JOIN m USING (doc_id)

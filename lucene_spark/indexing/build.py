@@ -431,9 +431,20 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     # object-store namespace at 10^12 docs)
     seg_map = F.create_map(
         *[lit for f in chunk_files for lit in (F.lit(f.path), F.lit(f.seg))])
+    # _metadata.file_path is URL-encoded (Hadoop Path.toUri) while the plan
+    # keys are raw filesystem paths: strip the scheme, then url_decode with
+    # literal '+' pre-escaped (url_decode is form-decoding — '+' would turn
+    # into a space, which plan._norm's unquote does NOT do). Without the
+    # decode, paths with spaces/specials miss the map, _seg goes NULL, and
+    # every row lands in ONE partition — the one-file-per-segment write
+    # layout silently degrades (correctness survives: the tokenizer
+    # recomputes seg from the same _norm'd path).
+    fp_raw = F.expr(
+        "url_decode(regexp_replace("
+        "regexp_replace(fp, '^file:(//)?', ''), '\\\\+', '%2B'))")
     pages = (
         pages
-        .withColumn("_seg", F.element_at(seg_map, F.regexp_replace("fp", "^file:(//)?", "")))
+        .withColumn("_seg", F.element_at(seg_map, fp_raw))
         .repartition(len(segs), "_seg")
         .drop("_seg")
     )

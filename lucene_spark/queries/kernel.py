@@ -75,11 +75,27 @@ class SegmentPostings:
     def has(self, term: str) -> bool:
         return term in self.rows
 
+    def _live(self, ids: np.ndarray, *arrs):
+        """Subtract tombstoned docids AT DECODE TIME so every consumer —
+        including MaxScore's theta/upper-bound accounting — only ever sees
+        live docs. Subtracting after eval_query is too late: a pending
+        delete of a high-scoring doc would leave theta inflated and prune a
+        live doc that belongs in the top-k (the reference applies the .del
+        bitmap inside SegmentTermDocs.next, index/SegmentTermDocs.java:108,
+        i.e. below every scorer, for exactly this reason)."""
+        if self.deleted is None or not ids.size:
+            return (ids, *arrs)
+        keep = ~np.isin(ids, self.deleted, assume_unique=False)
+        if keep.all():
+            return (ids, *arrs)
+        return (ids[keep], *(a[keep] for a in arrs))
+
     def full(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(docids, tfs, dls) — full decode, cached."""
+        """(docids, tfs, dls) — full decode, tombstones stripped, cached."""
         if term not in self._full:
             parts = [decode_postings(r, self.block_size) for r in self.rows[term]]
-            self._full[term] = tuple(np.concatenate(x) for x in zip(*parts))  # type: ignore[assignment]
+            merged = tuple(np.concatenate(x) for x in zip(*parts))
+            self._full[term] = self._live(*merged)  # type: ignore[assignment]
         return self._full[term]
 
     def lookup(self, term: str, targets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -108,16 +124,24 @@ class SegmentPostings:
         if not out_i:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        return np.concatenate(out_i), np.concatenate(out_t), np.concatenate(out_d)
+        return self._live(np.concatenate(out_i), np.concatenate(out_t),
+                          np.concatenate(out_d))
 
     def positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
-        """(docids, per-doc position arrays) — full decode (phrase path)."""
+        """(docids, per-doc position arrays) — full decode, tombstones
+        stripped (phrase/span path)."""
         ids_all, pos_all = [], []
         for r in self.rows[term]:
             ids, tfs, _ = decode_postings(r, self.block_size)
             ids_all.append(ids)
             pos_all.extend(decode_positions(r["positions_blob"], tfs))
-        return np.concatenate(ids_all), pos_all
+        ids = np.concatenate(ids_all)
+        if self.deleted is not None and ids.size:
+            keep = ~np.isin(ids, self.deleted, assume_unique=False)
+            if not keep.all():
+                pos_all = [p for p, k in zip(pos_all, keep) if k]
+                ids = ids[keep]
+        return ids, pos_all
 
     def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
         ub = 0.0
@@ -190,19 +214,58 @@ def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     # with qpos[0] > 0 (leading stopword hole) pos - qpos[i] can be negative
     # and floor division would bucket the key into the PREVIOUS docid
     qshift = np.int64(max(qpos))
-    keys = None
+    flats, lens_l = [], []
+    max_component = np.int64(0)
+    max_rebased = np.int64(0)
     for i, (ids, pos_lists) in enumerate(per_term):
         lens = np.fromiter((p.size for p in pos_lists), count=len(pos_lists),
                            dtype=np.int64)
         flat = (np.concatenate(pos_lists) if pos_lists else
                 np.empty(0, dtype=np.int64))
-        k = (flat - np.int64(qpos[i]) + qshift
-             + np.repeat((ids - base) * _DOC_OFFSET, lens))
+        flats.append(flat)
+        lens_l.append(lens)
+        if flat.size:
+            max_component = max(max_component, flat.max() + qshift)
+        if ids.size:
+            max_rebased = max(max_rebased, ids.max() - base)
+    # docs longer than the pinned offset would spill packed keys into the
+    # next docid bucket — derive the offset from the batch instead, and if
+    # docid_span*offset can't fit int64, take the per-candidate exact path
+    offset = max(_DOC_OFFSET, max_component + 1)
+    if max_rebased > (np.int64(1) << 62) // max(offset, np.int64(1)):
+        return _exact_phrase_freqs_perdoc(per_term, qpos)
+    keys = None
+    for i, (ids, pos_lists) in enumerate(per_term):
+        k = (flats[i] - np.int64(qpos[i]) + qshift
+             + np.repeat((ids - base) * offset, lens_l[i]))
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if keys.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    docs, counts = np.unique(keys // _DOC_OFFSET, return_counts=True)
+    docs, counts = np.unique(keys // offset, return_counts=True)
     return docs + base, counts.astype(np.float64)
+
+
+def _exact_phrase_freqs_perdoc(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase fallback without packed keys (pathological docid × doclen
+    ranges): candidate intersection then per-candidate phrase_freq(slop=0).
+    Same answer as the packed-key kernel, immune to int64 packing limits."""
+    cand = per_term[0][0]
+    for ids, _ in per_term[1:]:
+        cand = np.intersect1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            break
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    idx_maps = [{int(d): i for i, d in enumerate(ids)} for ids, _ in per_term]
+    out_ids, out_fr = [], []
+    for d in cand:
+        pls = [per_term[i][1][idx_maps[i][int(d)]] for i in range(len(per_term))]
+        f = phrase_freq(pls, qpos, 0)
+        if f > 0:
+            out_ids.append(int(d))
+            out_fr.append(f)
+    return (np.asarray(out_ids, dtype=np.int64),
+            np.asarray(out_fr, dtype=np.float64))
 
 
 def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):

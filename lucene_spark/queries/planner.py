@@ -284,8 +284,12 @@ class Searcher:
                     .select("term", F.col("df").cast("long").alias("n_docs"))
                     .orderBy(F.desc("n_docs"), F.asc("term")).limit(top_n))
         m = self.matching(query).select("docid")
-        tok = self.reader.tokens().select("docid", F.explode("terms").alias("term"))
+        tok = self.reader.tokens().select("docid", "terms")
+        # semi-join the matching docids BEFORE exploding: the generate runs
+        # over matched docs only, not the whole forward index (at 100× scale
+        # an unpruned corpus-wide explode would dominate the query)
         return (tok.join(m, "docid")
+                .select(F.explode("terms").alias("term"))
                 .groupBy("term").agg(F.count("*").cast("long").alias("n_docs"))
                 .orderBy(F.desc("n_docs"), F.asc("term")).limit(top_n))
 

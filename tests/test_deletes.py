@@ -84,3 +84,49 @@ def test_delete_then_expunge(spark, del_index, pages_dir):
         assert [d for d, _ in got] == [d for d, _ in exp], qs
         for (_, a), (_, b) in zip(got, exp):
             assert math.isclose(a, b, rel_tol=1e-9), qs
+
+
+def test_maxscore_pruning_respects_tombstones(spark, tmp_path):
+    """Regression (round-1 advice): MaxScore theta must be computed over LIVE
+    postings. Pre-fix, a pending delete of the top doc of the highest-upper-
+    bound clause left theta inflated, pruning the lower-bound clause whose
+    only doc was the true live top-1. Corpus crafted so, with the deleted doc
+    included, suffix_ub(mid) < theta(deleted top common doc) — the exact
+    prune-the-winner trap."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_spark.queries.ast import Bool, Term
+
+    texts = [
+        ("common " * 30) + "zzzmarker",                    # 0: deleted
+        "common f1 f2 f3 f4 f5 f6 f7 f8 f9",               # 1: weak common
+        "mid mid mid",                                      # 2: true live top
+        "mid g1 g2",
+        "mid h1 h2",
+    ]
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pdf = pd.DataFrame({"url": [str(i) for i in range(len(texts))],
+                        "text": texts,
+                        "lang": ["en"] * len(texts)})
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(src, "part-0000.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(spark, src, idx, target_docs_per_seg=100)
+    merge_index(spark, idx)
+
+    assert delete_by_query(spark, idx, "zzzmarker") == 1
+    s = Searcher(IndexReader(spark, idx))
+    q = Bool(should=[Term("common"), Term("mid")])
+
+    # oracle: frozen stats (tombstone phase), deleted doc filtered
+    oracle = build_oracle_index(list(enumerate(texts)))
+    expect = [(d, sc) for d, sc in oracle_search(oracle, q, 1 << 30) if d != 0]
+    for k in (1, 2, 5):
+        got = topk(s, q, k=k)
+        assert [d for d, _ in got] == [d for d, _ in expect[:k]], k
+        for (_, a), (_, b) in zip(got, expect):
+            assert math.isclose(a, b, rel_tol=1e-9)
+    assert got[0][0] == 2  # the low-ub clause's doc won — prune was unsound
