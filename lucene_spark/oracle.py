@@ -190,8 +190,18 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
 def _rewrite_span_multis(idx: OracleIndex, q: Query) -> Query:
     """Expand SpanMulti wrappers against the oracle dictionary
     (SpanMultiTermQueryWrapper rewrite)."""
-    from .queries.ast import SpanFirst, SpanMulti, SpanNear, SpanNot, SpanOr, SpanTerm
+    from .queries.ast import (
+        SpanFirst,
+        SpanMask,
+        SpanMulti,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+    )
 
+    if isinstance(q, SpanMask):
+        return SpanMask(_rewrite_span_multis(idx, q.inner), q.field, q.boost)
     if isinstance(q, SpanMulti):
         terms = expand_multiterm(idx.terms_sorted, q.query)
         return SpanOr([SpanTerm(t) for t in terms], boost=q.boost)
@@ -265,7 +275,27 @@ def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
             # must not span the namespace prefix into a similar field name
             fprefix = q.term.split(":", 1)[0] + ":"
             idx_terms = [t for t in idx_terms if t.startswith(fprefix)]
-        pre = q.term[: q.prefix_length]
+        pre_len = min(q.prefix_length, len(q.term))
+        pre = q.term[:pre_len]
+        if q.min_similarity is not None:
+            # classic FuzzyTermEnum semantics (search/FuzzyTermEnum.java:
+            # 129-136,185-216): distance on post-prefix suffixes, similarity
+            # 1 − dist/(prefixLen + min(suffix lens)), strict > threshold
+            tsuf = q.term[pre_len:]
+            n = len(tsuf)
+
+            def sim_of(t: str) -> float:
+                suf = t[pre_len:]
+                m = len(suf)
+                if n == 0:
+                    return 1.0 - m / pre_len if pre_len else 0.0
+                if m == 0:
+                    return 1.0 - n / pre_len if pre_len else 0.0
+                return 1.0 - levenshtein(suf, tsuf) / (pre_len + min(m, n))
+
+            return [t for t in idx_terms
+                    if t.startswith(pre)
+                    and sim_of(t) > q.min_similarity][:MAX_CLAUSES]
         return [
             t
             for t in idx_terms
@@ -298,6 +328,12 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_span(idx, q)
     if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange, Regexp)):
         terms = expand_multiterm(idx.terms_sorted, q)
+        mode = getattr(q, "rewrite_method", "scoring_boolean")
+        if mode != "scoring_boolean":
+            # constant-score rewrites (search/MultiTermQuery.java:63-146):
+            # uniform score = boost; filter/boolean/auto agree on results
+            b = Bool(should=[Term(t) for t in terms])
+            return {d: q.boost * 1.0 for d in _eval(idx, b)}
         b = Bool(should=[Term(t) for t in terms], boost=q.boost)
         return _eval(idx, b)
     if isinstance(q, MatchAll):

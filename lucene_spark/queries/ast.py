@@ -87,16 +87,37 @@ class Bool(Query):
         return out
 
 
+# MultiTermQuery rewrite modes (search/MultiTermQuery.java:63-146):
+#   scoring_boolean        — SCORING_BOOLEAN_QUERY_REWRITE: expand to a
+#                            scored SHOULD disjunction (this engine's pinned
+#                            default — contract/oracle scores depend on it)
+#   constant_score_boolean — CONSTANT_SCORE_BOOLEAN_QUERY_REWRITE: same
+#                            doc set, uniform score = boost
+#   constant_score_filter  — CONSTANT_SCORE_FILTER_REWRITE: doc-set filter,
+#                            uniform score = boost; at the plan level the
+#                            term predicate pushes into the postings scan
+#                            (no driver enumeration, no 1024-clause cap)
+#   constant_score_auto    — CONSTANT_SCORE_AUTO_REWRITE_DEFAULT: filter if
+#                            enumerated terms ≥ 350 or visited df ≥ 0.1% of
+#                            maxDoc, else constant_score_boolean
+REWRITE_SCORING = "scoring_boolean"
+REWRITE_CONST_BOOL = "constant_score_boolean"
+REWRITE_CONST_FILTER = "constant_score_filter"
+REWRITE_AUTO = "constant_score_auto"
+
+
 @dataclass
 class Prefix(Query):
     prefix: str
     boost: float = 1.0
+    rewrite_method: str = REWRITE_SCORING
 
 
 @dataclass
 class Wildcard(Query):
     pattern: str  # Lucene syntax: * = any run, ? = one char
     boost: float = 1.0
+    rewrite_method: str = REWRITE_SCORING
 
 
 @dataclass
@@ -110,6 +131,7 @@ class TermRange(Query):
     include_lo: bool = True
     include_hi: bool = True
     boost: float = 1.0
+    rewrite_method: str = REWRITE_SCORING
 
 
 @dataclass
@@ -120,6 +142,7 @@ class Regexp(Query):
 
     pattern: str
     boost: float = 1.0
+    rewrite_method: str = REWRITE_SCORING
 
 
 @dataclass
@@ -128,6 +151,13 @@ class Fuzzy(Query):
     max_edits: int = 2
     prefix_length: int = 0
     boost: float = 1.0
+    rewrite_method: str = REWRITE_SCORING
+    # reference FuzzyTermEnum minimumSimilarity semantics
+    # (search/FuzzyTermEnum.java:95): when set, a candidate term matches iff
+    #   1 - editDist/min(len(term)-prefixLen, len(target)-prefixLen)
+    # exceeds this value — the edit budget SCALES with term length instead
+    # of being a fixed max_edits
+    min_similarity: float | None = None
 
 
 @dataclass
@@ -227,6 +257,23 @@ class SpanNot(SpanQuery):
 
     def terms(self) -> list[str]:
         return self.include.terms() + self.exclude.terms()
+
+
+@dataclass
+class SpanMask(SpanQuery):
+    """spans/FieldMaskingSpanQuery.java — wraps a span clause and reports
+    `field` as its field so cross-field span composition (e.g. SpanNear over
+    title: + body clauses) is legal. Span enumeration is the inner query's,
+    positions taken from the inner terms' own field streams; the reference
+    documents mixed-field scoring as undefined and this engine pins it to
+    the shared first-term dl rule (queries/kernel.py _dl_map)."""
+
+    inner: Query = None  # type: ignore[assignment]
+    field: str = "text"
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.inner.terms()
 
 
 @dataclass

@@ -443,12 +443,43 @@ def _topk_theta(ids: np.ndarray, sc: np.ndarray, k: int) -> float:
     return float(np.partition(sc, sc.size - k)[sc.size - k])
 
 
+def _combine_sum(results, boost: float = 1.0):
+    """Sum per-clause (ids, scores) results in ONE pass: np.unique + a
+    bincount over inverse indices. bincount accumulates weights in input
+    order, so per doc the additions happen in clause order — bit-identical
+    to the incremental left-fold merge (and to the oracle's Σ), but O(total)
+    instead of O(clauses × accumulated)."""
+    results = [r for r in results if r[0].size]
+    if not results:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_ids = np.concatenate([r[0] for r in results])
+    all_sc = np.concatenate([r[1] for r in results])
+    ids, inv = np.unique(all_ids, return_inverse=True)
+    sc = np.bincount(inv, weights=all_sc, minlength=ids.size)
+    if boost != 1.0:
+        sc = sc * boost
+    return ids, sc
+
+
+# above this clause count, MaxScore's incremental accumulator merges cost
+# more than they can ever save (the 1024-term MultiTermQuery expansions) —
+# decode everything and combine once; below it, block-targeted pruning wins
+_OR_PRUNE_MAX_CLAUSES = 64
+
+
 def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
     """MaxScore over a pure term disjunction (see module docstring)."""
     terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl_of(c.term)) * c.boost)
              for c in q.should if sp.has(c.term)]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(terms) > _OR_PRUNE_MAX_CLAUSES:
+        results = []
+        for c, _ub in terms:
+            ids, tfs, dls = sp.full(c.term)
+            results.append((ids, c.boost * ctx.idf(c.term)
+                            * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))))
+        return _combine_sum(results, q.boost)
     # evaluation must preserve clause order for FP-identical sums → we keep
     # per-clause results and sum in clause order at the end; pruning only
     # decides HOW each clause's postings are obtained (full vs lookup).
@@ -475,14 +506,8 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
         acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, ids, sc)
         theta = _topk_theta(acc_ids, acc_sc, ctx.k)
     # recombine in ORIGINAL clause order for oracle-identical FP summation
-    ids = np.empty(0, dtype=np.int64)
-    sc = np.empty(0, dtype=np.float64)
-    for oi in range(len(terms)):
-        if oi in clause_results:
-            ids, sc = _merge_sum(ids, sc, *clause_results[oi])
-    if q.boost != 1.0:
-        sc = sc * q.boost
-    return ids, sc
+    return _combine_sum([clause_results[oi] for oi in range(len(terms))
+                         if oi in clause_results], q.boost)
 
 
 def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
@@ -504,7 +529,16 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
     if isinstance(q, SpanQuery):
         return _eval_span(sp, ctx, q)
     if isinstance(q, ConstantScore):
-        ids, _ = eval_query(sp, ctx, q.query)
+        inner = q.query
+        if isinstance(inner, Bool) and _is_term_disjunction(inner):
+            # filter-style doc-set union: no per-term BM25 at all (the
+            # reference CONSTANT_SCORE_* rewrites score nothing either,
+            # search/MultiTermQuery.java:72-98)
+            parts = [sp.full(c.term)[0] for c in inner.should if sp.has(c.term)]
+            ids = (np.unique(np.concatenate(parts)) if parts
+                   else np.empty(0, dtype=np.int64))
+        else:
+            ids, _ = eval_query(sp, ctx, inner)
         return ids, np.full(ids.size, q.boost, dtype=np.float64)
     if isinstance(q, Boosting):
         ids, sc = eval_query(sp, ctx, q.match)
@@ -643,6 +677,23 @@ def segment_topk_many(pdf: pd.DataFrame, qs: dict[str, Query], ctx_by: dict[str,
                              "docid": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
     return pd.concat(frames, ignore_index=True)
+
+
+def segment_filter_ids(pdf: pd.DataFrame, k: int, boost: float,
+                       block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """CONSTANT_SCORE_FILTER rewrite kernel (search/MultiTermQuery.java:72
+    ConstantScoreFilterRewrite → MultiTermQueryWrapperFilter): every posting
+    row the plan delivered belongs to a matching term — union the live
+    docids, uniform score. Per-segment bound: constant scores tie, so the
+    global merge keeps the k lowest docids; the segment only needs its own
+    first k."""
+    sp = SegmentPostings(pdf, block_size)
+    parts = [sp.full(t)[0] for t in sp.rows]
+    ids = (np.unique(np.concatenate(parts)) if parts
+           else np.empty(0, dtype=np.int64))
+    ids = ids[: min(k, ids.size)]
+    return pd.DataFrame({"docid": ids,
+                         "score": np.full(ids.size, boost, dtype=np.float64)})
 
 
 def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_SIZE) -> pd.DataFrame:

@@ -87,6 +87,18 @@ def _split_boost(word: str) -> tuple[str, float]:
     return word, 1.0
 
 
+def _make_fuzzy(term: str, sim: str | None, boost: float) -> Fuzzy:
+    """`term~` → classic defaultMinSimilarity 0.5 (search/FuzzyQuery.java:40);
+    `term~0.x` → minimumSimilarity (length-scaled FuzzyTermEnum semantics);
+    `term~N` (integer ≥ 1) → modern fixed edit budget, capped at 2."""
+    if sim is None:
+        return Fuzzy(term, min_similarity=0.5, boost=boost)
+    f = float(sim)
+    if f >= 1:
+        return Fuzzy(term, max_edits=min(int(f), 2), boost=boost)
+    return Fuzzy(term, min_similarity=f, boost=boost)
+
+
 def _range_query(tok: str) -> Query | None:
     m = re.match(
         r"^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])(?:\^(\d+(?:\.\d+)?))?$", tok)
@@ -127,11 +139,7 @@ def _word_query(word: str, analyzer: str = "standard",
         fz = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", val)
         if fz:
             base, sim = fz.group(1), fz.group(2)
-            edits = 2 if sim is None else (
-                int(float(sim)) if float(sim) >= 1
-                else max(1, int(round((1.0 - float(sim)) * len(base)))))
-            return Fuzzy(f"{af}:{base.lower()}", max_edits=min(edits, 2),
-                         boost=boost)
+            return _make_fuzzy(f"{af}:{base.lower()}", sim, boost)
         pairs = _analyze_pairs(val, analyzer)
         if not pairs:
             return None
@@ -154,15 +162,9 @@ def _word_query(word: str, analyzer: str = "standard",
     if m and not word.endswith("\\~"):
         base, sim = m.group(1), m.group(2)
         if "*" not in base and "?" not in base:
-            if sim is None:
-                edits = 2
-            else:
-                f = float(sim)
-                # reference FuzzyQuery minimumSimilarity in [0,1) → edit budget
-                edits = int(f) if f >= 1 else max(1, int(round((1.0 - f) * len(base))))
             terms = _analyze_pairs(base, analyzer)
             if terms:
-                return Fuzzy(terms[0][0], max_edits=min(edits, 2), boost=boost)
+                return _make_fuzzy(terms[0][0], sim, boost)
             return None
     if word == "*:*":
         return MatchAll(boost=boost)

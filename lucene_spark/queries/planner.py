@@ -35,6 +35,7 @@ from .ast import (
     Query,
     Regexp,
     SpanFirst,
+    SpanMask,
     SpanMulti,
     SpanNear,
     SpanNot,
@@ -48,6 +49,13 @@ from .kernel import Ctx, segment_topk, segment_topk_many
 from .parser import parse_query
 
 MAX_CLAUSES = 1024  # reference BooleanQuery.maxClauseCount (search/BooleanQuery.java:34)
+
+# ConstantScoreAutoRewrite cutoffs (search/MultiTermQuery.java:382-386):
+# ≥350 enumerated terms, or visited df ≥ 0.1 % of maxDoc → filter rewrite
+AUTO_TERM_CUTOFF = 350
+AUTO_DOC_COUNT_PERCENT = 0.1
+
+_MULTITERM = (Prefix, Wildcard, Fuzzy, Regexp, TermRange)
 
 
 class Searcher:
@@ -81,27 +89,11 @@ class Searcher:
 
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:
-        """Expand MultiTermQueries against the term dictionary (pinned
-        rewrite mode: scoring boolean disjunction)."""
-        if isinstance(q, Prefix):
-            terms = self.reader.expand_terms("prefix", q.prefix, MAX_CLAUSES)
-            return Bool(should=[Term(t) for t in terms], boost=q.boost)
-        if isinstance(q, Wildcard):
-            rx = wildcard_to_regex(q.pattern)
-            terms = self.reader.expand_terms("wildcard_regex", rx, MAX_CLAUSES)
-            return Bool(should=[Term(t) for t in terms], boost=q.boost)
-        if isinstance(q, Fuzzy):
-            terms = self._expand_fuzzy(q)
-            return Bool(should=[Term(t) for t in terms], boost=q.boost)
-        if isinstance(q, Regexp):
-            # contrib/regex RegexQuery: anchored full-term regex enumeration
-            terms = self.reader.expand_terms(
-                "wildcard_regex", f"^(?:{q.pattern})$", MAX_CLAUSES)
-            return Bool(should=[Term(t) for t in terms], boost=q.boost)
-        if isinstance(q, TermRange):
-            terms = self.reader.expand_terms(
-                "range", (q.lo, q.hi, q.include_lo, q.include_hi), MAX_CLAUSES)
-            return Bool(should=[Term(t) for t in terms], boost=q.boost)
+        """Expand MultiTermQueries against the term dictionary, honouring
+        each node's rewrite_method (search/MultiTermQuery.java:63-146;
+        default pinned to the scoring boolean disjunction)."""
+        if isinstance(q, _MULTITERM):
+            return self._rewrite_multiterm(q)
         if isinstance(q, Bool):
             return Bool(
                 must=[self.rewrite(c) for c in q.must],
@@ -135,35 +127,163 @@ class Searcher:
                            q.boost)
         if isinstance(q, SpanFirst):
             return SpanFirst(self.rewrite(q.match), q.end, q.boost)
+        if isinstance(q, SpanMask):
+            return SpanMask(self.rewrite(q.inner), q.field, q.boost)
         return q
 
-    def _expand_fuzzy(self, q: Fuzzy) -> list[str]:
-        """FuzzyTermEnum (search/FuzzyTermEnum.java:95): dictionary scan with
-        length + prefix pre-filters pushed to parquet, exact Levenshtein on
-        the survivors via the JVM-side levenshtein() function."""
-        td = self.reader.term_dict()
-        cond = (F.length("term") >= len(q.term) - q.max_edits) & (
-            F.length("term") <= len(q.term) + q.max_edits
-        )
+    def _rewrite_multiterm(self, q: Query) -> Query:
+        """One MultiTermQuery node → its rewrite-mode expansion:
+        scoring_boolean → scored SHOULD disjunction (pinned default);
+        constant-score family → ConstantScore wrapper (uniform score =
+        boost); constant_score_auto resolves by the reference cutoffs.
+        Top-level constant_score_filter nodes never reach here — search()
+        plans them as a pushed-down postings predicate with no enumeration
+        and no clause cap (_multiterm_filter_topk)."""
+        from .ast import REWRITE_AUTO, REWRITE_SCORING
+
+        mode = getattr(q, "rewrite_method", REWRITE_SCORING)
+        terms = self._enumerate_multiterm(q)
+        if mode == REWRITE_AUTO:
+            dfs = self.reader.doc_freqs(terms)
+            mode = ("constant_score_filter"
+                    if len(terms) >= AUTO_TERM_CUTOFF
+                    or sum(dfs.values()) >= (AUTO_DOC_COUNT_PERCENT / 100.0
+                                             * self.reader.N)
+                    else "constant_score_boolean")
+        if mode == REWRITE_SCORING:
+            return Bool(should=[Term(t) for t in terms], boost=q.boost)
+        return ConstantScore(Bool(should=[Term(t) for t in terms]),
+                             boost=q.boost)
+
+    def _enumerate_multiterm(self, q: Query) -> list[str]:
+        """FilteredTermEnum analog: matching dictionary terms, ≤MAX_CLAUSES."""
+        if isinstance(q, Prefix):
+            return self.reader.expand_terms("prefix", q.prefix, MAX_CLAUSES)
+        if isinstance(q, Wildcard):
+            rx = wildcard_to_regex(q.pattern)
+            return self.reader.expand_terms("wildcard_regex", rx, MAX_CLAUSES)
+        if isinstance(q, Fuzzy):
+            return self._expand_fuzzy(q)
+        if isinstance(q, Regexp):
+            # contrib/regex RegexQuery: anchored full-term regex enumeration
+            return self.reader.expand_terms(
+                "wildcard_regex", f"^(?:{q.pattern})$", MAX_CLAUSES)
+        if isinstance(q, TermRange):
+            return self.reader.expand_terms(
+                "range", (q.lo, q.hi, q.include_lo, q.include_hi), MAX_CLAUSES)
+        raise TypeError(type(q))
+
+    def _fuzzy_cond(self, q: Fuzzy):
+        """Column predicate implementing FuzzyTermEnum termCompare
+        (search/FuzzyTermEnum.java:95,129-136,185-216). Two modes:
+        max_edits (modern edit-budget) or min_similarity (classic
+        length-scaled: 1 − dist/(prefixLen + min(suffix lens)) must EXCEED
+        the threshold; distance computed on the post-prefix suffixes)."""
+        pre_len = min(q.prefix_length, len(q.term))
         if ":" not in q.term:  # default field: skip namespaced entries
-            cond = cond & ~F.col("term").contains(":")
+            cond = ~F.col("term").contains(":")
         else:  # fielded fuzzy: stay inside the field's namespace slice
-            cond = cond & F.col("term").startswith(
-                q.term.split(":", 1)[0] + ":")
-        if q.prefix_length:
-            cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+            cond = F.col("term").startswith(q.term.split(":", 1)[0] + ":")
+        if pre_len:
+            cond = cond & F.col("term").startswith(q.term[:pre_len])
+        if q.min_similarity is None:
+            cond = cond & (F.length("term") >= len(q.term) - q.max_edits) & (
+                F.length("term") <= len(q.term) + q.max_edits)
+            return cond & (F.levenshtein(F.col("term"), F.lit(q.term))
+                           <= q.max_edits)
+        tsuf = q.term[pre_len:]
+        n = len(tsuf)
+        suf = F.expr(f"substring(term, {pre_len + 1})")
+        m = F.length(suf).cast("double")
+        if n == 0:
+            sim = ((F.lit(1.0) - m / float(pre_len)) if pre_len
+                   else F.lit(0.0))
+        else:
+            dist = F.levenshtein(suf, F.lit(tsuf)).cast("double")
+            full = F.lit(1.0) - dist / (float(pre_len) + F.least(m, F.lit(float(n))))
+            empty_suf = ((F.lit(1.0) - float(n) / pre_len) if pre_len
+                         else F.lit(0.0))
+            sim = F.when(m == 0, empty_suf).otherwise(full)
+        return cond & (sim > float(q.min_similarity))
+
+    def _expand_fuzzy(self, q: Fuzzy) -> list[str]:
+        """FuzzyTermEnum: dictionary scan with prefix/length pre-filters
+        pushed to parquet, exact Levenshtein on the survivors JVM-side."""
         rows = (
-            td.where(cond)
-            .where(F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+            self.reader.term_dict().where(self._fuzzy_cond(q))
             .select("term").orderBy("term").limit(MAX_CLAUSES).collect()
         )
         return [r["term"] for r in rows]
+
+    def _multiterm_pred(self, q: Query):
+        """Pushed-down postings predicate for one MultiTermQuery node —
+        the plan-level CONSTANT_SCORE_FILTER rewrite: instead of a driver
+        enumeration capped at 1024 clauses, the term condition rides the
+        distributed postings scan (parquet row groups are term-sorted, so
+        prefix/range conditions prune via min/max stats)."""
+        if isinstance(q, Prefix):
+            pred, pat = F.col("term").startswith(q.prefix), q.prefix
+        elif isinstance(q, Wildcard):
+            pred, pat = (F.col("term").rlike(wildcard_to_regex(q.pattern)),
+                         q.pattern)
+        elif isinstance(q, Regexp):
+            pred, pat = F.col("term").rlike(f"^(?:{q.pattern})$"), q.pattern
+        elif isinstance(q, TermRange):
+            pred = F.lit(True)
+            if q.lo is not None:
+                pred = pred & (F.col("term") >= q.lo if q.include_lo
+                               else F.col("term") > q.lo)
+            if q.hi is not None:
+                pred = pred & (F.col("term") <= q.hi if q.include_hi
+                               else F.col("term") < q.hi)
+            pat = next((b for b in (q.lo, q.hi) if b), "")
+        elif isinstance(q, Fuzzy):
+            pred, pat = self._fuzzy_cond(q), q.term
+        else:
+            return None
+        if ":" not in pat and not isinstance(q, Fuzzy):
+            # default-field match must not sweep other fields' namespaces
+            pred = pred & ~F.col("term").contains(":")
+        return pred
+
+    def _multiterm_filter_topk(self, q: Query, k: int) -> DataFrame | None:
+        """Top-level constant-score filter plan: postings.where(term pred)
+        → per-segment live-docid union → global docid-asc top-k (constant
+        scores tie, docid asc breaks). Returns None if q isn't shaped for
+        it. Used for MultiTerm nodes with rewrite_method
+        constant_score_filter and for ConstantScore(MultiTermQuery) — the
+        reference's ConstantScoreQuery(MultiTermQueryWrapperFilter)."""
+        from .ast import REWRITE_CONST_FILTER
+        from .kernel import segment_filter_ids
+
+        boost, node = 1.0, q
+        if isinstance(q, ConstantScore) and isinstance(q.query, _MULTITERM):
+            boost, node = q.boost, q.query
+        elif not (isinstance(q, _MULTITERM)
+                  and getattr(q, "rewrite_method", None) == REWRITE_CONST_FILTER):
+            return None
+        else:
+            boost = node.boost
+        pred = self._multiterm_pred(node)
+        if pred is None:
+            return None
+        rows = self._with_deleted(self.reader.postings().where(pred))
+
+        def run(pdf):
+            return segment_filter_ids(pdf, k, boost)
+
+        per_seg = rows.groupBy("seg").applyInPandas(
+            run, schema="docid long, score double")
+        return per_seg.orderBy(F.asc("docid")).limit(k)
 
     # ------------------------------------------------------------------ #
     def search(self, query: Query | str, k: int = 10, hydrate: bool = False) -> DataFrame:
         """→ DataFrame(docid long, score double[, url, lang]) — global top-k,
         tie-break docid asc."""
         q = self.parse(query) if isinstance(query, str) else query
+        fast = self._multiterm_filter_topk(q, k)
+        if fast is not None:
+            return self._hydrate(fast) if hydrate else fast
         q = self.rewrite(q)
 
         if isinstance(q, MatchAll):

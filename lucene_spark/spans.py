@@ -35,7 +35,15 @@ from collections.abc import Callable
 
 import numpy as np
 
-from .queries.ast import Query, SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm
+from .queries.ast import (
+    Query,
+    SpanFirst,
+    SpanMask,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+)
 
 PosProvider = Callable[[str], dict[int, np.ndarray]]
 # term → {docid → sorted position array}; missing term → {}
@@ -54,6 +62,8 @@ def span_width_min(q: Query) -> int:
         return span_width_min(q.include)
     if isinstance(q, SpanFirst):
         return span_width_min(q.match)
+    if isinstance(q, SpanMask):
+        return span_width_min(q.inner)
     raise TypeError(type(q))
 
 
@@ -184,4 +194,9 @@ def eval_spans(q: Query, pos_of: PosProvider) -> dict[int, np.ndarray]:
             if sel.any():
                 out[d] = spans[sel]
         return out
+    if isinstance(q, SpanMask):
+        # field masking changes only the field identity for composition —
+        # the spans ARE the inner query's spans (FieldMaskingSpanQuery.java:
+        # getSpans delegates to maskedQuery)
+        return eval_spans(q.inner, pos_of)
     raise TypeError(type(q))

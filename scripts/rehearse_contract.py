@@ -47,8 +47,12 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # the 6 consolidated variants ride along in rehearsal (the driver only
+    # sees queries(); tests/test_contract_extras.py gates these in CI)
+    qs.update(entrymod.extra_queries())
+    oracles.update(entrymod.extra_oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -12,7 +12,7 @@ import pytest
 
 from lucene_spark.indexing import IndexReader, build_index, merge_index
 from lucene_spark.oracle import build_oracle_index, oracle_search
-from lucene_spark.queries.ast import Bool, Phrase, SpanNear, SpanTerm, Term
+from lucene_spark.queries.ast import Bool, Phrase, SpanFirst, SpanNear, SpanTerm, Term
 from lucene_spark.queries.planner import Searcher
 
 K = 10
@@ -156,3 +156,32 @@ def test_multi_field_parser_multiterm_leaves(mf):
     got = topk(searcher, q)
     assert got, "prefix should match title docs"
     assert_rank_identical(got, oracle_search(oracle, q, K))
+
+
+def test_field_masking_span_query(mf):
+    """TestFieldMaskingSpanQuery shapes: the masked clause's spans are the
+    inner query's, composition with other fields' clauses is legal, and the
+    mask is transparent to enumeration (masked ≡ unmasked doc sets here
+    since our algebra already compares positions cross-field)."""
+    from lucene_spark.queries.ast import SpanMask, SpanOr
+
+    searcher, oracle = mf
+    masked = SpanNear([SpanMask(SpanTerm("title:seven"), field="text"),
+                       SpanTerm("seven")], slop=30, in_order=False)
+    got = topk(searcher, masked)
+    assert got, "expected masked cross-field span matches"
+    assert_rank_identical(got, oracle_search(oracle, masked, K))
+
+    # mask(q) enumerates exactly q's spans (getSpans delegates)
+    plain = SpanNear([SpanTerm("title:seven"), SpanTerm("seven")], slop=30,
+                     in_order=False)
+    assert [d for d, _ in got] == [d for d, _ in topk(searcher, plain)]
+
+    # mask inside SpanOr (the reference test's composed shapes)
+    q = SpanOr([SpanMask(SpanTerm("title:summary"), field="text"),
+                SpanTerm("seven")])
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle, q, K))
+
+    # mask under SpanFirst: restriction applies to the masked spans
+    q = SpanFirst(SpanMask(SpanTerm("title:seven"), field="text"), end=1)
+    assert_rank_identical(topk(searcher, q), oracle_search(oracle, q, K))
