@@ -377,14 +377,17 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 _N_MINHASH = 8
 
 
-def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    seeded = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.array(*[F.lit(j) for j in range(_N_MINHASH)])).alias("seed"),
-    ).withColumn("h", _h60("concat(cast(seed as string), '|', shingle)"))
-    return seeded.groupBy("doc_id").agg(
-        *[F.min(F.when(F.col("seed") == j, F.col("h"))).alias(f"mh{j}")
+def _minhash_sigs(spark, sf_dir, sh: DataFrame | None = None) -> DataFrame:
+    """N_MINHASH min-aggregation columns over the UN-exploded shingle table
+    (hash input 'j|shingle' identical to the oracle's seeded unnest). The
+    round-1 version exploded a seed array first, multiplying the shuffled
+    shingle rows ×8 — at 100 TB that is shuffling the shingle table eight
+    times for the same eight minima; per-column conditional aggregation is
+    map-side combinable and shuffles it once."""
+    if sh is None:
+        sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_h60(f"concat('{j}', '|', shingle)")).alias(f"mh{j}")
           for j in range(_N_MINHASH)]
     )
 
@@ -395,16 +398,19 @@ def _q_dedup_minhash_sig(spark, sf_dir):
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup: 4 bands × 2 rows → band-bucket join →
-    exact-jaccard verification of candidates."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", F.col(f"mh{2*b}").cast("string"),
-                              F.col(f"mh{2*b+1}").cast("string"))
-                  .cast("binary")).alias("bh"))
-        bands = part if bands is None else bands.unionByName(part)
+    exact-jaccard verification of candidates. The shingle table is computed
+    once and cached — signatures AND candidate verification read the same
+    materialization instead of re-deriving it."""
+    sh = _shingles(spark, sf_dir).cache()
+    sigs = _minhash_sigs(spark, sf_dir, sh).cache()
+    # one stack() pass emits all 4 (band, bucket-hash) rows per doc — the
+    # round-1 union of 4 selects recomputed the signature aggregation per
+    # branch (×4), and the band self-join doubled that again
+    stack_args = ", ".join(
+        f"{b}, md5(cast(concat_ws('_', cast(mh{2*b} as string), "
+        f"cast(mh{2*b+1} as string)) as binary))" for b in range(4))
+    bands = sigs.selectExpr(
+        "doc_id", f"stack(4, {stack_args}) as (band, bh)")
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -414,7 +420,6 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     a = sh.alias("sa")
     b2 = sh.alias("sb")
@@ -428,25 +433,24 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """60-bit SimHash over whitespace tokens, tf-weighted."""
+    """60-bit SimHash over whitespace tokens, tf-weighted. The 60 per-bit
+    signed sums are 60 conditional-aggregation COLUMNS over the (doc, term,
+    tf) table — the round-1 version exploded one row per bit (60× shuffle
+    blowup); this shape is map-side combinable and shuffles the tf table
+    once, then packs the sign bits JVM-side."""
     tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"))
     tf = tf.withColumn("h", _h60("term"))
-    bits = tf.select(
-        "doc_id", "tf", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-    ).withColumn(
-        "contrib",
-        F.col("tf") * (F.expr("(h >> b) & 1") * 2 - 1),
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
-    return (
-        per_bit.withColumn(
-            "bit", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-                    .otherwise(F.lit(0).cast("long")))
-        .groupBy("doc_id").agg(F.sum("bit").cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    per = tf.groupBy("doc_id").agg(
+        *[F.sum(F.col("tf") * (F.expr(f"(h >> {b}) & 1") * 2 - 1)).alias(f"s{b}")
+          for b in range(60)])
+    simhash = None
+    for b in range(60):
+        bit = F.when(F.col(f"s{b}") > 0,
+                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return (per.select("doc_id", simhash.cast("long").alias("simhash"))
+            .orderBy("doc_id"))
 
 
 _STOPWORDS = sorted(
