@@ -695,35 +695,77 @@ def _q_text_token_count(spark, sf_dir):
         .orderBy("doc_id"))
 
 
-def _q_mm_frame_sample(spark, sf_dir):
-    """Multimodal frame-sampling plumbing: binary payload → one row per
-    sampled frame via mapInPandas (the real video decode is stubbed with
-    deterministic md5-derived frame count/hashes; the Spark-side explode
-    shape, Arrow batching, and partition-preserving schema are real)."""
+def _mm_wav_samples(doc_id: int, n: int):
+    """Deterministic PCM fixture: sample i = ((doc_id·31 + i·7) % 65536) −
+    32768 — int16-exact, so the decode round-trip is bit-checked and the
+    oracle can state the same values in SQL."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+
+
+def _mm_payloads(spark, sf_dir, kind: str) -> DataFrame:
+    """Synthesize the opaque binary column: REAL PNG/JPEG/WAV files built
+    from doc_id-derived parameters (lucene_spark/multimodal.py encoders).
+    Downstream operators treat `payload` as opaque — exactly the brief's
+    multimodal-column model; at scale this column arrives in the table."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text").cast("binary").alias("payload"))
+    from lucene_spark.multimodal import build_jpeg, build_png, build_wav
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if kind == "frames":
+                    payloads.append(build_wav(
+                        16000, _mm_wav_samples(d, d % 91 + 10)))
+                    continue
+                f = d % 3
+                if f == 0:
+                    payloads.append(build_png(d * 7 % 640 + 16,
+                                              d * 13 % 480 + 16))
+                elif f == 1:
+                    payloads.append(build_jpeg(d * 7 % 640 + 16,
+                                               d * 13 % 480 + 16))
+                else:
+                    payloads.append(build_wav(
+                        8000 + d % 8 * 1000, _mm_wav_samples(d, d % 50 + 20)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling with a REAL decode: the WAV payload's PCM
+    data chunk is parsed (RIFF chunk walk, lucene_spark/multimodal.py
+    wav_samples) and every 7th frame's decoded int16 value is emitted —
+    one row per sampled frame via Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    from lucene_spark.multimodal import wav_samples
 
     def sample_frames(batches):
         for pdf in batches:
-            out_doc, out_idx, out_hash = [], [], []
+            out_doc, out_idx, out_val = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                cmd5 = hashlib.md5(b).hexdigest()
-                n_frames = (len(b) % 91) + 10  # decode stub
-                for idx in range(0, n_frames, 7):
+                frames = wav_samples(bytes(payload))
+                for idx in range(0, frames.size, 7):
                     out_doc.append(doc_id)
                     out_idx.append(idx)
-                    out_hash.append(
-                        hashlib.md5(f"{cmd5}:{idx}".encode()).hexdigest())
-            yield pd.DataFrame({"doc_id": out_doc,
-                                "frame_idx": out_idx,
-                                "frame_hash": out_hash})
+                    out_val.append(int(frames[idx]))
+            yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx,
+                                "sample": out_val})
 
-    return (docs.mapInPandas(
-        sample_frames, schema="doc_id long, frame_idx long, frame_hash string")
-        .orderBy("doc_id", "frame_idx"))
+    return (_mm_payloads(spark, sf_dir, "frames")
+            .mapInPandas(sample_frames,
+                         schema="doc_id long, frame_idx long, sample long")
+            .orderBy("doc_id", "frame_idx"))
 
 
 def _q_events_windowed(spark, sf_dir):
@@ -762,34 +804,39 @@ def _q_events_sessionize(spark, sf_dir):
 
 
 def _q_mm_binary_meta(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload → typed metadata via
-    mapInPandas (Arrow batches). The real decode (image/audio libs absent in
-    this container) is stubbed with deterministic byte-derived metadata; the
-    Spark-side schema/batching/partitioning is real."""
+    """Multimodal metadata extraction with a REAL decode: mixed PNG/JPEG/
+    WAV payloads are sniffed and their headers parsed — PNG signature +
+    chunk walk to IHDR (CRC-checked, big-endian dims), JPEG marker scan to
+    SOFn, RIFF walk to the fmt chunk — inside an Arrow-batched mapInPandas
+    (lucene_spark/multimodal.py decode_meta). The oracle states the ground
+    truth from the fixture parameters, so a parser that misreads any header
+    field hash-mismatches."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text").cast("binary").alias("payload"))
+    from lucene_spark.multimodal import decode_meta
 
-    def decode_meta(batches):
+    def decode(batches):
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            rows = [decode_meta(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int64"),
-                "content_md5": payloads.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                # decode stub: a real impl would parse image headers here
-                "fake_width": (n_bytes % 640).astype("int64"),
-                "fake_height": ((n_bytes * 7) % 480).astype("int64"),
+                "fmt": [r["fmt"] for r in rows],
+                "width": pd.array([r["width"] for r in rows], dtype="Int64"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int64"),
+                "sample_rate": pd.array([r["sample_rate"] for r in rows],
+                                        dtype="Int64"),
+                "n_channels": pd.array([r["n_channels"] for r in rows],
+                                       dtype="Int64"),
+                "bit_depth": pd.array([r["bit_depth"] for r in rows],
+                                      dtype="Int64"),
             })
 
-    return docs.mapInPandas(
-        decode_meta,
-        schema="doc_id long, n_bytes long, content_md5 string, "
-               "fake_width long, fake_height long",
-    ).orderBy("doc_id")
+    return (_mm_payloads(spark, sf_dir, "meta")
+            .mapInPandas(decode,
+                         schema="doc_id long, fmt string, width long, "
+                                "height long, sample_rate long, "
+                                "n_channels long, bit_depth long")
+            .orderBy("doc_id"))
 
 
 def _q_ft_const_prefix(spark, sf_dir):
@@ -1523,12 +1570,11 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         "mm_frame_sample": """
 WITH f AS (
-  SELECT doc_id, md5(text) AS cmd5,
-         unnest(range(0, (octet_length(encode(text)) % 91) + 10, 7)) AS fi
+  SELECT doc_id, unnest(range(0, (doc_id % 91) + 10, 7)) AS fi
   FROM documents
 )
 SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-       md5(cmd5 || ':' || CAST(fi AS VARCHAR)) AS frame_hash
+       CAST((doc_id * 31 + fi * 7) % 65536 - 32768 AS BIGINT) AS sample
 FROM f ORDER BY doc_id, frame_idx""",
         "events_windowed": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
@@ -1558,13 +1604,23 @@ SELECT user_id, min(tse) AS session_start,
        max(tse) - min(tse) AS duration_s,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, sess ORDER BY user_id, session_start""",
-        # --- multimodal ---
+        # --- multimodal: ground truth = the fixture parameters the REAL
+        # header parse must recover (PNG IHDR / JPEG SOF0 / WAV fmt) ---
         "mm_binary_meta": """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5,
-       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+         AS fmt,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(doc_id * 7 % 640 + 16 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(doc_id * 13 % 480 + 16 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(8000 + doc_id % 8 * 1000 AS BIGINT) ELSE NULL END
+         AS sample_rate,
+       CASE doc_id % 3 WHEN 0 THEN NULL WHEN 1 THEN CAST(3 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS n_channels,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(16 AS BIGINT)
+            ELSE CAST(8 AS BIGINT) END AS bit_depth
 FROM documents ORDER BY doc_id""",
         "ft_const_prefix": f"""WITH {_PRELUDE}
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
