@@ -628,21 +628,40 @@ _N_IVF_CELLS = 8
 _IVF_NPROBE = 2
 
 
+def _ivf_centroids(spark, sf_dir):
+    """Offline IVF training: deterministic Lloyd's k-means
+    (lucene_spark/ann.py — init first-K, cosine assignment rounded 1e-10,
+    centroid means rounded 1e-6, 3 iterations) over the collected vectors.
+    At 100 TB this collect becomes a bounded uniform SAMPLE — training is
+    the cheap offline step; full-corpus ASSIGNMENT stays distributed."""
+    import numpy as np
+
+    from lucene_spark.ann import kmeans_train
+
+    train = np.array(
+        [r["embedding"] for r in
+         _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64)
+    return kmeans_train(train, _N_IVF_CELLS)
+
+
 def _q_ann_ivf_search(spark, sf_dir):
-    """IVF ANN (the classic scale path beside LSH): coarse-quantize every
-    vector to its nearest centroid cell, probe only the query's top-P cells,
-    exact cosine re-rank inside them. Centroids here are the first K vectors
-    (deterministic stand-in for an offline k-means — reproducible across
-    engines); at scale the assignment is one broadcast-join + argmax over
-    K centroids, and each cell is a co-partitioned posting of vectors."""
+    """IVF ANN (the classic scale path beside LSH): k-means-trained coarse
+    quantizer; every vector assigned to its nearest centroid cell by a
+    broadcast-join + argmax (one distributed pass), the query probes only
+    its top-P cells, exact cosine re-rank inside them. The DuckDB oracle
+    re-derives the SAME centroids via an unrolled-CTE Lloyd's under the
+    shared rounding contract, so quantizer, assignment, and probe are all
+    cross-checked — not just the final re-rank."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    cents = (emb.where(F.col("vec_id") < _N_IVF_CELLS)
-             .select(F.col("vec_id").alias("cell"),
-                     F.col("embedding").alias("cvec")))
+    cents_np = _ivf_centroids(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in cents_np[i]]) for i in range(_N_IVF_CELLS)],
+        "cell int, cvec array<double>")
     pairs = emb.crossJoin(F.broadcast(cents))
-    cos = _cosine(F.col("embedding"), F.col("cvec"))
+    cos = F.round(_cosine(F.col("embedding"), F.col("cvec")), 10)
     w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
     assign = (pairs.select("vec_id", "embedding", "cell", cos.alias("c"))
               .withColumn("rnk", F.row_number().over(w))
@@ -650,15 +669,16 @@ def _q_ann_ivf_search(spark, sf_dir):
               .select("vec_id", "embedding", "cell"))
 
     qrow = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0]
-    qvec = qrow["embedding"]
-    lit_q = F.array(*[F.lit(float(v)) for v in qvec])
+    lit_q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
     probe = [int(r["cell"]) for r in
-             cents.select("cell", _cosine(F.col("cvec"), lit_q).alias("c"))
+             cents.select("cell",
+                          F.round(_cosine(F.col("cvec"), lit_q), 10).alias("c"))
              .orderBy(F.desc("c"), F.asc("cell")).limit(_IVF_NPROBE).collect()]
     return (assign.where(F.col("cell").isin(probe) & (F.col("vec_id") != 1))
+            .withColumn("c_raw", _cosine(F.col("embedding"), lit_q))
+            .orderBy(F.desc("c_raw"), F.asc("vec_id")).limit(10)
             .select("vec_id", F.col("cell").cast("long").alias("cell"),
-                    F.round(_cosine(F.col("embedding"), lit_q), 4).alias("cos"))
-            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+                    F.round("c_raw", 4).alias("cos")))
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
@@ -1158,6 +1178,58 @@ sigs AS (
 """
 
 
+def _ivf_sql(iters: int = 3) -> str:
+    """Unrolled Lloyd's k-means in SQL mirroring lucene_spark/ann.py's
+    determinism contract: init = first K vectors; assignment = argmax of
+    cosine rounded to 10 decimals (ties → lowest cell); centroid update =
+    per-component mean rounded to 6 decimals; fixed iteration count."""
+    k, nprobe = _N_IVF_CELLS, _IVF_NPROBE
+    assign_cos = ("round(sum(e.ev * c.cv) / (sqrt(sum(e.ev * e.ev)) "
+                  "* sqrt(sum(c.cv * c.cv))), 10)")
+    ctes = [f"""ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings)""",
+            f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM ex WHERE vec_id < {k})"]
+    for i in range(1, iters + 2):  # final pass = assignment under c{iters}
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {assign_cos} DESC, c.cell ASC) AS rnk
+    FROM ex e JOIN c{i - 1} c ON e.d = c.d
+    GROUP BY e.vec_id, c.cell)
+  WHERE rnk = 1)""")
+        if i <= iters:
+            ctes.append(f"""c{i} AS (
+  SELECT a.cell, e.d, round(avg(e.ev), 6) AS cv
+  FROM a{i} a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)""")
+    ctes.append(f"""probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY round(sum(q.ev * c.cv) / (sqrt(sum(q.ev * q.ev))
+                            * sqrt(sum(c.cv * c.cv))), 10) DESC,
+                      c.cell ASC) AS rnk
+    FROM ex q JOIN c{iters} c ON q.d = c.d WHERE q.vec_id = 1
+    GROUP BY c.cell)
+  WHERE rnk <= {nprobe})""")
+    ctes.append(f"""cand AS (
+  SELECT vec_id, cell FROM a{iters + 1}
+  WHERE vec_id != 1 AND cell IN (SELECT cell FROM probe))""")
+    ctes.append("""cdots AS (
+  SELECT e.vec_id, sum(e.ev * q.ev) AS dot,
+         sum(e.ev * e.ev) AS na, sum(q.ev * q.ev) AS nb
+  FROM ex e JOIN ex q ON q.d = e.d AND q.vec_id = 1
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT d.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       round(d.dot / (sqrt(d.na) * sqrt(d.nb)), 4) AS cos
+FROM cdots d JOIN cand c USING (vec_id)
+ORDER BY d.dot / (sqrt(d.na) * sqrt(d.nb)) DESC, d.vec_id ASC LIMIT 10""")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
@@ -1500,49 +1572,7 @@ cdots AS (
 )
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
 FROM cdots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
-        "ann_ivf_search": """
-WITH cents AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-               WHERE vec_id < 8),
-ax AS (
-  SELECT e.vec_id, c.cell, unnest(e.embedding) AS ev, unnest(c.cvec) AS cv
-  FROM embeddings e CROSS JOIN cents c
-),
-adots AS (
-  SELECT vec_id, cell,
-         sum(CAST(ev AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot,
-         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
-         sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS nb
-  FROM ax GROUP BY vec_id, cell
-),
-assign AS (
-  SELECT vec_id, cell,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC,
-                                     cell ASC) AS rnk
-  FROM adots
-),
-probe AS (SELECT cell FROM assign WHERE vec_id = 1 AND rnk <= 2),
-cand AS (
-  SELECT vec_id, cell FROM assign
-  WHERE rnk = 1 AND vec_id != 1 AND cell IN (SELECT cell FROM probe)
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
-cx AS (
-  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id IN (SELECT vec_id FROM cand)
-),
-cdots AS (
-  SELECT vec_id,
-         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
-         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
-         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
-  FROM cx GROUP BY vec_id
-)
-SELECT d.vec_id, CAST(c.cell AS BIGINT) AS cell,
-       round(d.dot / (sqrt(d.na) * sqrt(d.nb)), 4) AS cos
-FROM cdots d JOIN cand c USING (vec_id)
-ORDER BY d.dot / (sqrt(d.na) * sqrt(d.nb)) DESC, d.vec_id ASC LIMIT 10""",
+        "ann_ivf_search": _ivf_sql(),
         "dedup_embedding_cosine": f"""
 WITH {_LSH_BUCKETS_CTE},
 ex AS (SELECT vec_id, unnest(embedding) AS ev,

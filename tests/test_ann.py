@@ -1,0 +1,59 @@
+"""IVF k-means determinism + retrieval quality (recall@10 vs the exact
+brute-force baseline) on the driver testdata fixtures."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_spark.ann import kmeans_assign, kmeans_train
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vectors():
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"])
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], x[order]
+
+
+def test_kmeans_deterministic_and_rounded():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 16))
+    c1 = kmeans_train(x, 4)
+    c2 = kmeans_train(x.copy(), 4)
+    assert np.array_equal(c1, c2)
+    # centroid components honour the 6-decimal contract
+    assert np.array_equal(c1, np.round(c1, 6))
+
+
+def test_kmeans_empty_cell_raises():
+    x = np.vstack([np.eye(3)] * 2)  # 6 points, 3 distinct dirs
+    with pytest.raises(ValueError, match="emptied"):
+        kmeans_train(x, 5)  # duplicated init rows starve later cells
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_ivf_recall_at_10():
+    """VERDICT round-1 gate: recall@10 of the IVF probe path vs brute-force
+    cosine ≥ 0.9 on the fixture (query = vec_id 1, nprobe 2 of 8 cells)."""
+    ids, x = _vectors()
+    cent = kmeans_train(x, 8)
+    assign = kmeans_assign(x, cent)
+    q = x[ids == 1][0]
+
+    def cos_to_q(m):
+        return (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+
+    mask = ids != 1
+    brute = ids[mask][np.argsort(-cos_to_q(x[mask]))[:10]]
+    probe_cells = np.argsort(-np.round(
+        (cent @ q) / (np.linalg.norm(cent, axis=1) * np.linalg.norm(q)),
+        10))[:2]
+    cmask = mask & np.isin(assign, probe_cells)
+    ivf = ids[cmask][np.argsort(-cos_to_q(x[cmask]))[:10]]
+    recall = len(set(brute) & set(ivf)) / 10.0
+    assert recall >= 0.9, f"recall@10 {recall}"
