@@ -73,7 +73,8 @@ def _kw_value(v) -> str | None:
 
 
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
-                   keyword_fields: tuple = (), analyzed_fields: tuple = ()):
+                   keyword_fields: tuple = (), analyzed_fields: tuple = (),
+                   field_analyzers: dict | None = None):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -91,15 +92,26 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
     from ..analysis import POSITIONAL_ANALYZERS
     from .plan import _norm
 
-    analyze_fn = POSITIONAL_ANALYZERS.get(analyzer)
-    simple_fn = ANALYZERS.get(analyzer)
     empty_pos: list[list[int]] = []
 
-    def analyze_pairs(text):
-        if analyze_fn is not None:
-            return analyze_fn(text or "")
-        toks = simple_fn(text or "")
-        return list(zip(toks, range(len(toks))))
+    def make_pairs_fn(name: str):
+        analyze_fn = POSITIONAL_ANALYZERS.get(name)
+        simple_fn = ANALYZERS.get(name)
+
+        def pairs(text):
+            if analyze_fn is not None:
+                return analyze_fn(text or "")
+            toks = simple_fn(text or "")
+            return list(zip(toks, range(len(toks))))
+        return pairs
+
+    analyze_pairs = make_pairs_fn(analyzer)
+    # PerFieldAnalyzerWrapper (analysis/PerFieldAnalyzerWrapper.java:47):
+    # each extra ANALYZED field may run its own chain
+    field_pairs = {
+        af: make_pairs_fn((field_analyzers or {}).get(af, analyzer))
+        for af in analyzed_fields
+    }
 
     def fn(batches):
         for pdf in batches:
@@ -138,7 +150,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 # extra ANALYZED fields: own term namespace, positions, and
                 # field length (per-field postings + norms)
                 for af, col in afields.items():
-                    f_pairs = analyze_pairs(col.iloc[i])
+                    f_pairs = field_pairs[af](col.iloc[i])
                     f_agg: dict[str, list[int]] = {}
                     for term, p in f_pairs:
                         f_agg.setdefault(f"{af}:{term}", []).append(p)
@@ -317,7 +329,7 @@ def read_manifest_config(out_dir: str) -> dict:
     if not os.path.isdir(mdir):
         return cfg
     keys = ("analyzer", "analyzed_fields", "keyword_fields",
-            "store_positions", "block_size")
+            "store_positions", "block_size", "field_analyzers")
     for n in sorted(os.listdir(mdir)):
         if not (n.startswith("seg_") and n.endswith(".json")):
             continue
@@ -349,6 +361,7 @@ def build_index(
     segs_per_job: int | None = None,
     keyword_fields: tuple = (),
     analyzed_fields: tuple = (),
+    field_analyzers: dict | None = None,
 ) -> dict:
     """Build (or resume) the index for parquet pages at input_path.
 
@@ -393,7 +406,7 @@ def build_index(
         segs = pending[ci : ci + chunk]
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
                      max_postings_per_row, block_size, keyword_fields,
-                     analyzed_fields)
+                     analyzed_fields, field_analyzers)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -402,7 +415,8 @@ def build_index(
 def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  analyzer: str, store_positions: bool,
                  max_postings_per_row: int, block_size: int,
-                 keyword_fields: tuple = (), analyzed_fields: tuple = ()) -> None:
+                 keyword_fields: tuple = (), analyzed_fields: tuple = (),
+                 field_analyzers: dict | None = None) -> None:
     import pyarrow.parquet as pq
 
     t0 = time.time()
@@ -451,7 +465,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
-                       keyword_fields, analyzed_fields),
+                       keyword_fields, analyzed_fields, field_analyzers),
         schema=TOKENS_SCHEMA,
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
@@ -531,6 +545,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "attempt": 1,
             "analyzer": analyzer,
             "analyzed_fields": list(analyzed_fields),
+            "field_analyzers": dict(field_analyzers or {}),
             "keyword_fields": list(keyword_fields),
             "store_positions": store_positions,
             "block_size": block_size,

@@ -56,6 +56,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         for r, _d, names in os.walk(td_dir) for n in names
         if n.endswith(".parquet"))
     analyzer = None
+    field_analyzers: dict = {}
     analyzed_fields: list = []
     keyword_fields: list = ["lang", "url"]
     mdir = os.path.join(out_dir, "manifests")
@@ -65,6 +66,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
                 with open(os.path.join(mdir, n)) as f:
                     m = json.load(f)
                 analyzer = m.get("analyzer")
+                field_analyzers = m.get("field_analyzers", {})
                 analyzed_fields = m.get("analyzed_fields", [])
                 keyword_fields = m.get("keyword_fields", keyword_fields)
                 break
@@ -77,6 +79,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         avgdl_fields = {r["field"]: float(r["avgdl"]) for r in rows_f}
     stats = {
         "analyzer": analyzer or "standard",
+        "field_analyzers": field_analyzers,
         "N": int(row["N"]),
         "avgdl": float(row["avgdl"] or 0.0),
         "avgdl_fields": avgdl_fields,

@@ -27,6 +27,10 @@ class IndexReader:
         self.avgdl_fields: dict = self.stats.get("avgdl_fields", {})
         self.keyword_fields: tuple = tuple(
             self.stats.get("keyword_fields", ["lang", "url"]))
+        # PerFieldAnalyzerWrapper analog: per-field analyzer names for the
+        # extra ANALYZED fields (analysis/PerFieldAnalyzerWrapper.java:47);
+        # fields absent here use the index default
+        self.field_analyzers: dict = self.stats.get("field_analyzers", {})
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on

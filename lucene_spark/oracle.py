@@ -76,16 +76,36 @@ class OracleIndex:
         return self.dl_of(terms[0], docid)
 
 
+def _pairs_fn(name: str):
+    """Analyzer name → positional (term, pos) pairs function (shared shape
+    with the build-side tokenizer and the query parser)."""
+    from .analysis import ANALYZERS, POSITIONAL_ANALYZERS
+
+    pa = POSITIONAL_ANALYZERS.get(name)
+    if pa is not None:
+        return lambda text: pa(text or "")
+    simple = ANALYZERS[name]
+
+    def fn(text):
+        toks = simple(text or "")
+        return list(zip(toks, range(len(toks))))
+    return fn
+
+
 def build_oracle_index(docs: list[tuple[int, str]],
-                       extra_fields: dict[str, dict[int, str]] | None = None
+                       extra_fields: dict[str, dict[int, str]] | None = None,
+                       analyzer: str = "standard",
+                       field_analyzers: dict[str, str] | None = None
                        ) -> OracleIndex:
     """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
     terms namespaced field:term with their own length stats (the reference
-    multi-field document model)."""
+    multi-field document model). `field_analyzers` maps an extra field to
+    its own chain (PerFieldAnalyzerWrapper.java:47)."""
     idx = OracleIndex()
+    analyze_main = _pairs_fn(analyzer)
     total = 0
     for docid, text in docs:
-        pairs = analyze(text or "")
+        pairs = analyze_main(text or "")
         idx.doclen[docid] = len(pairs)
         total += len(pairs)
         for term, pos in pairs:
@@ -93,10 +113,11 @@ def build_oracle_index(docs: list[tuple[int, str]],
     idx.N = len(docs)
     idx.avgdl = total / idx.N if idx.N else 0.0
     for f, by_doc in (extra_fields or {}).items():
+        f_analyze = _pairs_fn((field_analyzers or {}).get(f, analyzer))
         ftotal = 0
         idx.field_doclen[f] = {}
         for docid, _ in docs:
-            pairs = analyze(by_doc.get(docid) or "")
+            pairs = f_analyze(by_doc.get(docid) or "")
             idx.field_doclen[f][docid] = len(pairs)
             ftotal += len(pairs)
             for term, pos in pairs:

@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()
       | (?P<rpar>\))
-      | (?P<quoted>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+      | (?P<quoted>(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
       | (?P<range>[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?)
       | (?P<and>AND\b)
       | (?P<or>OR\b)
@@ -132,6 +132,9 @@ def _word_query(word: str, analyzer: str = "standard",
         # QueryParser.java:513). Multiterm syntax stays multiterm — the
         # value must NOT be literalized by the analyzer first.
         af, val = fm.group(1), fm.group(2)
+        # per-field analyzer resolution (PerFieldAnalyzerWrapper.java:47):
+        # `fields` may be a {field: analyzer} dict; tuple form → index default
+        f_analyzer = (fields[af] if isinstance(fields, dict) else analyzer)
         if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
             return Prefix(f"{af}:{val[:-1].lower()}", boost=boost)
         if "*" in val or "?" in val:
@@ -140,7 +143,7 @@ def _word_query(word: str, analyzer: str = "standard",
         if fz:
             base, sim = fz.group(1), fz.group(2)
             return _make_fuzzy(f"{af}:{base.lower()}", sim, boost)
-        pairs = _analyze_pairs(val, analyzer)
+        pairs = _analyze_pairs(val, f_analyzer)
         if not pairs:
             return None
         if len(pairs) == 1:
@@ -180,11 +183,30 @@ def _word_query(word: str, analyzer: str = "standard",
     return Phrase([t for t, _ in pairs], [p for _, p in pairs], slop=0, boost=boost)
 
 
-def _quoted_query(tok: str, analyzer: str = "standard") -> Query | None:
-    m = re.match(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', tok)
+def _quoted_query(tok: str, analyzer: str = "standard",
+                  fields: tuple = (),
+                  kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
+    m = re.match(r'^(?:([A-Za-z_][A-Za-z0-9_]*):)?"([^"]*)"'
+                 r'(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', tok)
     assert m
-    body, slop = m.group(1), int(m.group(2) or 0)
-    boost = float(m.group(3) or 1.0)
+    field, body, slop = m.group(1), m.group(2), int(m.group(3) or 0)
+    boost = float(m.group(4) or 1.0)
+    if field and field in fields:
+        # fielded phrase (QueryParser.java:513 getFieldQuery with a quoted
+        # value): analyzed with THAT field's chain, terms namespaced
+        f_analyzer = fields[field] if isinstance(fields, dict) else analyzer
+        pairs = _analyze_pairs(body, f_analyzer)
+        if not pairs:
+            return None
+        if len(pairs) == 1:
+            return Term(f"{field}:{pairs[0][0]}", boost=boost)
+        return Phrase([f"{field}:{t}" for t, _ in pairs],
+                      [p for _, p in pairs], slop=slop, boost=boost)
+    if field and field in kw_fields:
+        # quoted keyword value: exact NOT_ANALYZED term (filter semantics,
+        # same as the unquoted keyword branch)
+        const = boost if boost != 1.0 else 0.0
+        return ConstantScore(Term(f"{field}:{body}"), boost=const)
     pairs = _analyze_pairs(body, analyzer)
     if not pairs:
         return None
@@ -218,7 +240,7 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
         return q, occur
     if t[0] == "quoted":
         lx.next()
-        return _quoted_query(t[1], analyzer), occur
+        return _quoted_query(t[1], analyzer, fields, kw_fields), occur
     if t[0] == "range":
         lx.next()
         return _range_query(t[1]), occur

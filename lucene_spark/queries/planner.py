@@ -83,8 +83,13 @@ class Searcher:
         """Parse query text with the index's own analyzer
         (reference QueryParser.java:513); field-scoped syntax resolves
         against the index's extra ANALYZED fields."""
+        af = self.reader.analyzed_fields
+        if self.reader.field_analyzers:
+            # dict form: field → its own analyzer chain (PerFieldAnalyzer)
+            af = {f: self.reader.field_analyzers.get(f, self.reader.analyzer)
+                  for f in af}
         return parse_query(query, analyzer=self.reader.analyzer,
-                           analyzed_fields=self.reader.analyzed_fields,
+                           analyzed_fields=af,
                            keyword_fields=self.reader.keyword_fields)
 
     # ------------------------------------------------------------------ #

@@ -185,3 +185,63 @@ def test_field_masking_span_query(mf):
     # mask under SpanFirst: restriction applies to the masked spans
     q = SpanFirst(SpanMask(SpanTerm("title:seven"), field="text"), end=1)
     assert_rank_identical(topk(searcher, q), oracle_search(oracle, q, K))
+
+
+@pytest.fixture(scope="module")
+def pf(spark, tmp_path_factory):
+    """PerFieldAnalyzerWrapper fixture: whitespace body + standard-analyzed
+    title (case-folding, punctuation splits, stopword holes differ)."""
+    rows = []
+    for i in range(120):
+        body = " ".join(long_to_english_local(j % 50) for j in range(i, i + 10))
+        title = f"The Quick-Brown Report {long_to_english_local(i % 7)}" \
+            if i % 2 else f"Summary: {long_to_english_local(i % 5)}!"
+        rows.append((str(i), body, title, "en"))
+    src = tmp_path_factory.mktemp("pfsrc")
+    pdf = pd.DataFrame(rows, columns=["url", "text", "title", "lang"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "part-0000.parquet"))
+    out = str(tmp_path_factory.mktemp("pfidx"))
+    build_index(spark, str(src), out, target_docs_per_seg=60,
+                analyzer="whitespace", analyzed_fields=("title",),
+                keyword_fields=("lang",),
+                field_analyzers={"title": "standard"})
+    merge_index(spark, out)
+    oracle = build_oracle_index(
+        [(i, r[1]) for i, r in enumerate(rows)],
+        extra_fields={"title": {i: r[2] for i, r in enumerate(rows)}},
+        analyzer="whitespace", field_analyzers={"title": "standard"})
+    return Searcher(IndexReader(spark, out)), oracle
+
+
+def long_to_english_local(n):
+    from lucene_spark.fixtures import long_to_english
+
+    return long_to_english(n)
+
+
+def test_per_field_analyzer_stats(pf):
+    searcher, _ = pf
+    r = searcher.reader
+    assert r.analyzer == "whitespace"
+    assert r.field_analyzers == {"title": "standard"}
+    # standard analyzer folded case + split the hyphen: quick/brown exist
+    terms = {t for t in r.doc_freqs(
+        ["title:quick", "title:brown", "title:the", "title:report"])}
+    assert "title:quick" in terms and "title:brown" in terms
+    # 'the' is a stopword under standard — never indexed for title
+    assert "title:the" not in terms
+
+
+@pytest.mark.parametrize("qs", [
+    "title:Quick-Brown",        # standard chain: lowercased, hyphen-split phrase
+    "title:report",
+    'title:"Quick-Brown Report"',
+    "title:quick AND seven",    # cross-field: standard title + whitespace body
+])
+def test_per_field_analyzer_rank_identity(pf, qs):
+    searcher, oracle = pf
+    got = topk(searcher, qs)
+    assert got, qs
+    q = searcher.parse(qs)
+    assert_rank_identical(got, oracle_search(oracle, q, K))
