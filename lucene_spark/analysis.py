@@ -516,5 +516,91 @@ def analyze_english(text: str) -> list[tuple[str, int]]:
     return [(porter_stem(t), p) for t, p in analyze(text)]
 
 
+# ---------------------------------------------------------------------------
+# chain-composition utilities (SURVEY §2.2 "note for parity" filters)
+# ---------------------------------------------------------------------------
+
+def make_mapping_char_filter(mapping: dict[str, str]):
+    """MappingCharFilter (analysis/MappingCharFilter.java:30): char-sequence
+    normalization BEFORE tokenization, longest match wins at each position
+    (the reference's NormalizeCharMap trie). Returns text → text."""
+    import re as _re
+
+    if not mapping:
+        return lambda text: text
+    alt = "|".join(_re.escape(k) for k in
+                   sorted(mapping, key=len, reverse=True))
+    rx = _re.compile(alt)
+    return lambda text: rx.sub(lambda m: mapping[m.group(0)], text or "")
+
+
+def make_keyword_marker(stem, keywords: set[str]):
+    """KeywordMarkerTokenFilter (analysis/KeywordMarkerTokenFilter.java:34):
+    terms in `keywords` pass the downstream stemmer untouched (the keyword
+    attribute the reference sets so PorterStemFilter skips them)."""
+    kw = set(keywords)
+    return lambda term: term if term in kw else stem(term)
+
+
+def tee_sink(pairs: list[tuple[str, int]], *sinks):
+    """TeeSinkTokenFilter (analysis/TeeSinkTokenFilter.java:75): one
+    analysis pass feeds several consumers. The token stream is already a
+    materialized list here, so the tee is: apply every sink to the SAME
+    list (no re-analysis). Returns one result per sink."""
+    return tuple(sink(pairs) for sink in sinks)
+
+
+def cached_analyzer(name: str, maxsize: int = 4096):
+    """CachingTokenFilter analog (analysis/CachingTokenFilter.java:36): a
+    memoized positional analyzer — repeated analysis of the same text
+    (reference: a query body consumed by several clauses) is served from an
+    LRU cache instead of re-running the chain."""
+    from functools import lru_cache
+
+    base = POSITIONAL_ANALYZERS.get(name)
+    if base is None:
+        simple = ANALYZERS[name]
+
+        def base(text):
+            toks = simple(text)
+            return list(zip(toks, range(len(toks))))
+
+    @lru_cache(maxsize=maxsize)
+    def cached(text: str) -> tuple:
+        return tuple(base(text))
+
+    return lambda text: list(cached(text or ""))
+
+
+def make_chain(char_filters=(), tokenizer=None, token_filters=()):
+    """Compose a custom positional analyzer from char filters (text→text),
+    a tokenizer name or positional fn, and per-term filters (term→term or
+    None to drop) — the Analyzer/TokenFilter extension seam of the
+    reference expressed functionally. Registerable via ANALYZERS /
+    POSITIONAL_ANALYZERS for build_index(field_analyzers=...)."""
+    tok = tokenizer or analyze
+    if isinstance(tok, str):
+        base_name = tok
+        pa = POSITIONAL_ANALYZERS.get(base_name)
+        if pa is None:
+            simple = ANALYZERS[base_name]
+
+            def pa(text):
+                toks = simple(text)
+                return list(zip(toks, range(len(toks))))
+        tok = pa
+
+    def chain(text: str) -> list[tuple[str, int]]:
+        for cf in char_filters:
+            text = cf(text or "")
+        pairs = tok(text or "")
+        for tf in token_filters:
+            pairs = [(t2, p) for t, p in pairs
+                     for t2 in (tf(t),) if t2]
+        return pairs
+
+    return chain
+
+
 ANALYZERS["english"] = lambda text: [t for t, _ in analyze_english(text)]
 POSITIONAL_ANALYZERS = {"standard": analyze, "english": analyze_english}

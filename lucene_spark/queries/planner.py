@@ -58,6 +58,25 @@ AUTO_DOC_COUNT_PERCENT = 0.1
 _MULTITERM = (Prefix, Wildcard, Fuzzy, Regexp, TermRange)
 
 
+def terms_filter(field: str, values: list[str]) -> Query:
+    """contrib TermsFilter (contrib/queries/.../TermsFilter.java): docs
+    containing ANY of the given NOT_ANALYZED field values, as a
+    score-neutral filter clause (constant score 0 — FilteredQuery's filter
+    side contributes nothing). Compose into Bool.must alongside the scored
+    query."""
+    return ConstantScore(
+        Bool(should=[Term(f"{field}:{v}") for v in values]), boost=0.0)
+
+
+def boolean_filter(must: list[Query] | None = None,
+                   should: list[Query] | None = None,
+                   must_not: list[Query] | None = None) -> Query:
+    """contrib BooleanFilter (contrib/queries/.../BooleanFilter.java):
+    boolean algebra over filters, itself score-neutral."""
+    return ConstantScore(Bool(must=list(must or []), should=list(should or []),
+                              must_not=list(must_not or [])), boost=0.0)
+
+
 class Searcher:
     def __init__(self, reader: IndexReader):
         self.reader = reader
@@ -439,6 +458,24 @@ class Searcher:
         order = F.asc(key) if ascending else F.desc(key)
         return (dm.select("docid", "url", "lang", "doclen")
                 .orderBy(order, F.asc("docid")).limit(k))
+
+    def search_dedup(self, query: Query | str, key: str, k: int = 10,
+                     keep: str = "first") -> DataFrame:
+        """contrib DuplicateFilter (contrib/queries/.../DuplicateFilter.java,
+        KM_USE_FIRST/LAST_OCCURRENCE): among the matching docs, keep one doc
+        per `key` column value — the in-engine dedup a training-data
+        pipeline reaches for. Distributed as a per-key window (one shuffle
+        on the key), then the usual score/docid top-k."""
+        m = self.matching(query)
+        dm = self.reader.docmap().select("docid", key)
+        joined = m.join(dm, "docid")
+        from pyspark.sql import Window
+
+        order = F.asc("docid") if keep == "first" else F.desc("docid")
+        w = Window.partitionBy(key).orderBy(order)
+        return (joined.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k))
 
     def search_filtered(self, query: Query | str, predicate: str, k: int = 10) -> DataFrame:
         """FilteredQuery (search/FilteredQuery.java:40): query ∧ filter, the

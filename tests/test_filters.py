@@ -105,3 +105,72 @@ def test_english_index_e2e(spark, pages_dir, tmp_path_factory):
     assert hits and hits[0]["score"] > 0
     assert [r_["docid"] for r_ in hits] == [
         r_["docid"] for r_ in s.search("seventi", k=5).collect()]
+
+
+# --- chain-composition utilities (MappingCharFilter / KeywordMarker /
+# TeeSink / Caching / custom chains) --------------------------------------
+
+def test_mapping_char_filter_longest_match():
+    from lucene_spark.analysis import make_mapping_char_filter
+
+    cf = make_mapping_char_filter({"ph": "f", "pher": "fer", "qu": "kw"})
+    # longest alternative wins at each position (NormalizeCharMap trie)
+    assert cf("philosopher quack") == "filosofer kwack"
+    assert make_mapping_char_filter({})("same") == "same"
+
+
+def test_keyword_marker_skips_stemmer():
+    from lucene_spark.analysis import make_keyword_marker
+
+    stem = make_keyword_marker(porter_stem, {"maltese", "laziness"})
+    assert stem("running") == "run"
+    assert stem("maltese") == "maltese"       # marked → untouched
+    assert stem("laziness") == "laziness"
+    assert porter_stem("maltese") != "maltese"  # would have stemmed
+
+
+def test_tee_sink_single_analysis_pass():
+    from lucene_spark.analysis import analyze, tee_sink
+
+    pairs = analyze("quick brown foxes")
+    terms_sink = lambda ps: [t for t, _ in ps]            # noqa: E731
+    stemmed_sink = lambda ps: [porter_stem(t) for t, _ in ps]  # noqa: E731
+    bigram_sink = lambda ps: shingles([t for t, _ in ps], 2,
+                                      output_unigrams=False)
+    a, b, c = tee_sink(pairs, terms_sink, stemmed_sink, bigram_sink)
+    assert a == ["quick", "brown", "foxes"]
+    assert b == ["quick", "brown", "fox"]
+    assert c == ["quick brown", "brown foxes"]
+
+
+def test_cached_analyzer_memoizes():
+    from lucene_spark.analysis import analyze, cached_analyzer
+
+    ca = cached_analyzer("standard")
+    assert ca("The Quick-Brown fox") == analyze("The Quick-Brown fox")
+    assert ca("The Quick-Brown fox") is not None  # second hit from cache
+    ca_ws = cached_analyzer("whitespace")
+    assert ca_ws("A b") == [("A", 0), ("b", 1)]
+
+
+def test_make_chain_composes_and_registers():
+    from lucene_spark.analysis import (
+        analyze,
+        make_chain,
+        make_keyword_marker,
+        make_mapping_char_filter,
+    )
+
+    chain = make_chain(
+        char_filters=(make_mapping_char_filter({"-": " "}),),
+        tokenizer="standard",
+        token_filters=(make_keyword_marker(porter_stem, {"foxes"}),),
+    )
+    got = chain("anti-aliasing foxes running")
+    assert [t for t, _ in got] == ["anti", "alias", "foxes", "run"]
+    # registerable like any analyzer (build_index field_analyzers seam)
+    POSITIONAL_ANALYZERS["_test_chain"] = chain
+    try:
+        assert POSITIONAL_ANALYZERS["_test_chain"]("x-y") == chain("x-y")
+    finally:
+        del POSITIONAL_ANALYZERS["_test_chain"]
