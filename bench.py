@@ -51,6 +51,17 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         write_pages(spark, N_DOCS, corpus, partitions=max(CPUS * 4, 16))
 
+    # warm the execution paths the build exercises (codegen, Arrow Python
+    # workers, parquet committer) so the metric is engine throughput, not
+    # JVM startup — the reference benchmark's warm rounds
+    # (contrib/benchmark conf/*.alg "Rounds") do the same
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    wdf = spark.range(10_000).toDF("x")
+    wdf.mapInPandas(lambda it: (p for p in it), schema="x long").count()
+    warm_p = os.path.join(WORK, "_warmup")
+    wdf.write.mode("overwrite").parquet(warm_p)
+    spark.read.parquet(warm_p).count()
+
     # --- 1. index build (timed: build + merge, fresh output) ---------------
     idx_dir = os.path.join(WORK, f"idx_{N_DOCS}_c{CPUS}")
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -185,12 +185,24 @@ def _scan_span(span: str) -> list[tuple[str, str]]:
 def standard_tokenize_typed(text: str) -> list[tuple[str, str]]:
     """StandardTokenizer: text → [(token_type, raw_token)], pre-filters."""
     out: list[tuple[str, str]] = []
+    append = out.append
+    extend = out.extend
+    simple_match = _RE_SIMPLE.match
+    cj_search = _RE_SIMPLE_CJ.search
     for m in _RE_SPAN.finditer(text):
         span = m.group()
-        if _RE_SIMPLE.match(span) and not _RE_SIMPLE_CJ.search(span):
-            out.append(("ALPHANUM", span))  # fast path: single ALPHANUM token
+        # ASCII fast path (the overwhelming case): C-level isascii/isalnum
+        # ≡ _RE_SIMPLE without CJ ('_' fails isalnum, so the [^\W_] set
+        # matches exactly); non-ASCII spans take the regex checks
+        if span.isascii():
+            if span.isalnum():
+                append(("ALPHANUM", span))
+            else:
+                extend(_scan_span(span))
+        elif simple_match(span) and not cj_search(span):
+            append(("ALPHANUM", span))
         else:
-            out.extend(_scan_span(span))
+            extend(_scan_span(span))
     return out
 
 
@@ -213,19 +225,23 @@ def analyze(text: str) -> list[tuple[str, int]]:
     gaps (StopFilter.java:45 enablePositionIncrements).
     """
     out: list[tuple[str, int]] = []
+    append = out.append
+    stop = ENGLISH_STOP_WORDS
+    maxlen = MAX_TOKEN_LENGTH
     pos = 0
     for typ, raw in standard_tokenize_typed(text):
-        if len(raw) > MAX_TOKEN_LENGTH:
+        if len(raw) > maxlen:
             # StandardTokenizer skips over-long tokens but still advances
             # the position (a position hole, like a stopword) — phrase
             # adjacency must not collapse across the skipped token
             pos += 1
             continue
-        term = _standard_filter(typ, raw).lower()
-        if term in ENGLISH_STOP_WORDS:
+        # ALPHANUM (the common type) is a no-op in StandardFilter
+        term = (raw if typ == "ALPHANUM" else _standard_filter(typ, raw)).lower()
+        if term in stop:
             pos += 1  # hole: position increment carries over
             continue
-        out.append((term, pos))
+        append((term, pos))
         pos += 1
     return out
 

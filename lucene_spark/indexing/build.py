@@ -72,6 +72,62 @@ def _kw_value(v) -> str | None:
     return str(v)
 
 
+# analyzers whose tokenization is a plain split — invertible batch-at-a-time
+# with numpy/pandas (no per-token Python); the JFlex-exact standard chain
+# stays on the scalar path
+_VECTOR_ANALYZERS = {"whitespace", "simple"}
+
+
+def _invert_batch_vectorized(texts, kind: str):
+    """Whole-batch document inversion for split-style analyzers: one
+    factorize + one lexsort replace the per-doc dict-of-positions loop.
+    → (doclens, per-doc term lists, per-doc tf lists, per-doc position-array
+    lists); positions ascending per (doc, term) by lexsort stability."""
+    from ..analysis import simple_tokenize
+
+    n = len(texts)
+    if kind == "whitespace":
+        token_lists = [t.split() if t else [] for t in texts]
+    else:
+        token_lists = [simple_tokenize(t) if t else [] for t in texts]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    empty: list = [[] for _ in range(n)]
+    if total == 0:
+        return lens, empty, [list(e) for e in empty], [list(e) for e in empty]
+    flat = np.empty(total, dtype=object)
+    off = 0
+    for tl in token_lists:
+        flat[off:off + len(tl)] = tl
+        off += len(tl)
+    codes, uniques = pd.factorize(flat, sort=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+    order = np.lexsort((codes, doc_idx))  # stable → positions stay ascending
+    d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+    grp = np.empty(total, dtype=bool)
+    grp[0] = True
+    grp[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    gstart = np.flatnonzero(grp)
+    gcount = np.diff(np.append(gstart, total))
+    gdoc = d_s[gstart]
+    gterms = np.asarray(uniques, dtype=object)[c_s[gstart]]
+    pos_groups = np.split(p_s, gstart[1:])
+    doc_grp_counts = np.bincount(gdoc, minlength=n)
+    terms_out, tfs_out, pos_out = [], [], []
+    gi = 0
+    for d in range(n):
+        cnt = int(doc_grp_counts[d])
+        sl = slice(gi, gi + cnt)
+        terms_out.append(gterms[sl].tolist())
+        tfs_out.append(gcount[sl].tolist())
+        pos_out.append(pos_groups[gi:gi + cnt])
+        gi += cnt
+    return lens, terms_out, tfs_out, pos_out
+
+
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                    keyword_fields: tuple = (), analyzed_fields: tuple = (),
                    field_analyzers: dict | None = None):
@@ -113,6 +169,10 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
         for af in analyzed_fields
     }
 
+    fast_ok = (analyzer in _VECTOR_ANALYZERS and all(
+        (field_analyzers or {}).get(af, analyzer) in _VECTOR_ANALYZERS
+        for af in analyzed_fields))
+
     def fn(batches):
         for pdf in batches:
             c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
@@ -126,40 +186,71 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             kfields = {f: pdf[f] for f in keyword_fields
                        if f in pdf and f not in ("lang", "url")}
             ris = pdf["ri"]
+            # batch-vectorized inversion for split-style analyzers (the hot
+            # build path — round 1 spent per-token Python dict work here);
+            # html extraction forces the scalar path
+            fast = fast_ok and htmls is None and texts is not None
+            if fast:
+                b_lens, b_terms, b_tfs, b_pos = _invert_batch_vectorized(
+                    texts.tolist(), analyzer)
+                f_inv = {
+                    af: _invert_batch_vectorized(
+                        col.tolist(),
+                        (field_analyzers or {}).get(af, analyzer))
+                    for af, col in afields.items()
+                }
             for i in range(len(pdf)):
                 base, seg = fps.iloc[i]
-                text = texts.iloc[i] if texts is not None else None
-                if text is None and htmls is not None:
-                    text = extract_text(htmls.iloc[i])
-                pairs = analyze_pairs(text)
-                agg: dict[str, list[int]] = {}
-                for term, pos in pairs:
-                    agg.setdefault(term, []).append(pos)
+                fdl: dict[str, int] = {}
+                if fast:
+                    dl_i = int(b_lens[i])
+                    terms = b_terms[i]
+                    tfs = b_tfs[i]
+                    pos = (list(b_pos[i]) if store_positions
+                           else list(empty_pos))
+                    dls = [dl_i] * len(terms)
+                    for af in afields:
+                        fl, ft, ftf, fp = f_inv[af]
+                        fdl[af] = int(fl[i])
+                        terms.extend(f"{af}:{t}" for t in ft[i])
+                        tfs.extend(ftf[i])
+                        dls.extend([int(fl[i])] * len(ft[i]))
+                        if store_positions:
+                            pos.extend(fp[i])
+                else:
+                    text = texts.iloc[i] if texts is not None else None
+                    if text is None and htmls is not None:
+                        text = extract_text(htmls.iloc[i])
+                    pairs = analyze_pairs(text)
+                    agg: dict[str, list[int]] = {}
+                    for term, p in pairs:
+                        agg.setdefault(term, []).append(p)
+                    dl_i = len(pairs)
+                    terms = list(agg.keys())
+                    tfs = [len(v) for v in agg.values()]
+                    pos = (list(agg.values()) if store_positions
+                           else list(empty_pos))
+                    dls = [dl_i] * len(terms)
+                    # extra ANALYZED fields: own term namespace, positions,
+                    # and field length (per-field postings + norms)
+                    for af, col in afields.items():
+                        f_pairs = field_pairs[af](col.iloc[i])
+                        f_agg: dict[str, list[int]] = {}
+                        for term, p in f_pairs:
+                            f_agg.setdefault(f"{af}:{term}", []).append(p)
+                        fdl[af] = len(f_pairs)
+                        terms.extend(f_agg.keys())
+                        tfs.extend(len(v) for v in f_agg.values())
+                        dls.extend([len(f_pairs)] * len(f_agg))
+                        if store_positions:
+                            pos.extend(f_agg.values())
                 c_seg.append(seg)
                 c_docid.append(int(base) + int(ris.iloc[i]))
                 url = urls.iloc[i]
                 lang = langs.iloc[i] if langs is not None else None
                 c_url.append(url)
                 c_lang.append(lang)
-                c_dl.append(len(pairs))
-                terms = list(agg.keys())
-                tfs = [len(v) for v in agg.values()]
-                pos = list(agg.values()) if store_positions else list(empty_pos)
-                dls = [len(pairs)] * len(terms)
-                fdl: dict[str, int] = {}
-                # extra ANALYZED fields: own term namespace, positions, and
-                # field length (per-field postings + norms)
-                for af, col in afields.items():
-                    f_pairs = field_pairs[af](col.iloc[i])
-                    f_agg: dict[str, list[int]] = {}
-                    for term, p in f_pairs:
-                        f_agg.setdefault(f"{af}:{term}", []).append(p)
-                    fdl[af] = len(f_pairs)
-                    terms.extend(f_agg.keys())
-                    tfs.extend(len(v) for v in f_agg.values())
-                    dls.extend([len(f_pairs)] * len(f_agg))
-                    if store_positions:
-                        pos.extend(f_agg.values())
+                c_dl.append(dl_i)
                 # NOT_ANALYZED keyword fields → namespaced single terms with
                 # tf=1, no positions, excluded from doclen (reference
                 # Field.Index.NOT_ANALYZED + omitNorms, document/Field.java:83)
@@ -171,7 +262,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                     if val is not None:
                         terms.append(f"{kf}:{val}")
                         tfs.append(1)
-                        dls.append(len(pairs))
+                        dls.append(dl_i)
                         if store_positions:
                             pos.append([])
                 c_terms.append(terms)
@@ -294,6 +385,14 @@ def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: 
             yield pd.DataFrame(out)
 
     return fn
+
+
+def _postings_buckets(parallelism: int, n_segs: int) -> int:
+    """Term-hash buckets per segment for the postings shuffle: 1 when
+    segments already saturate the cluster, else enough to use ~2× cores."""
+    if n_segs >= parallelism:
+        return 1
+    return max(1, -(-2 * parallelism // max(n_segs, 1)))  # ceil div
 
 
 def _manifest_path(out_dir: str, seg: int) -> str:
@@ -456,12 +555,21 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     fp_raw = F.expr(
         "url_decode(regexp_replace("
         "regexp_replace(fp, '^file:(//)?', ''), '\\\\+', '%2B'))")
-    pages = (
-        pages
-        .withColumn("_seg", F.element_at(seg_map, fp_raw))
-        .repartition(len(segs), "_seg")
-        .drop("_seg")
-    )
+    par = spark.sparkContext.defaultParallelism
+    if len(segs) >= par:
+        pages = (
+            pages
+            .withColumn("_seg", F.element_at(seg_map, fp_raw))
+            .repartition(len(segs), "_seg")
+            .drop("_seg")
+        )
+    else:
+        # small builds (segments < cores): one-partition-per-segment would
+        # idle cores. Co-locate by FILE instead — files never span segments
+        # (plan.py packs whole files), so each task still writes into few
+        # segment dirs and the per-segment file count stays ≤ files/segment.
+        pages = pages.repartition(
+            max(len(segs), min(len(chunk_files), par * 2)), "fp")
 
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
@@ -497,7 +605,14 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                 F.col("z.tf").alias("tf"),
                 F.col("z.dl").alias("doclen"),  # per-term FIELD length
                 F.col("z.positions").alias("positions"))
-        .repartition(len(segs), "seg")
+        # partition by (seg, term-bucket): every (seg, term) group still
+        # lands whole in ONE partition (the encoder's only requirement),
+        # but small builds get bucket×segments partitions instead of idling
+        # cores at one-per-segment; at scale (segments ≥ cores) nbuck=1 and
+        # this is exactly the one-shuffle-per-corpus plan
+        .repartition(len(segs) * _postings_buckets(par, len(segs)),
+                     "seg", F.pmod(F.xxhash64("term"),
+                                   F.lit(_postings_buckets(par, len(segs)))))
         .sortWithinPartitions("seg", "term", "docid")
         .mapInPandas(_encode_stream(max_postings_per_row, block_size, store_positions),
                      schema=POSTINGS_SCHEMA)
