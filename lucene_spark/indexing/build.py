@@ -399,7 +399,7 @@ def _manifest_path(out_dir: str, seg: int) -> str:
     return os.path.join(out_dir, "manifests", f"seg_{seg:06d}.json")
 
 
-def completed_segments(out_dir: str) -> set[int]:
+def _manifest_segments(out_dir: str, statuses: tuple) -> set[int]:
     mdir = os.path.join(out_dir, "manifests")
     if not os.path.isdir(mdir):
         return set()
@@ -409,13 +409,23 @@ def completed_segments(out_dir: str) -> set[int]:
             try:
                 with open(os.path.join(mdir, n)) as f:
                     m = json.load(f)
-                # "compacted" segments live on inside their destination —
-                # their input files must never be rebuilt on resume
-                if m.get("status") in ("committed", "compacted"):
+                if m.get("status") in statuses:
                     done.add(int(m["seg"]))
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue
     return done
+
+
+def completed_segments(out_dir: str) -> set[int]:
+    """Resume gate: "compacted" segments live on inside their destination —
+    their input files must never be rebuilt on resume."""
+    return _manifest_segments(out_dir, ("committed", "compacted"))
+
+
+def committed_segments(out_dir: str) -> set[int]:
+    """Reader snapshot set: segments whose data dirs are live right now
+    (compacted sources are excluded — their dirs are gone)."""
+    return _manifest_segments(out_dir, ("committed",))
 
 
 def read_manifest_config(out_dir: str) -> dict:

@@ -150,6 +150,65 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
     return fn
 
 
+def find_merges(out_dir: str, merge_factor: int = 10) -> list[list[int]]:
+    """LogDocMergePolicy.findMerges analog (index/LogMergePolicy.java:41,
+    mergeFactor default 10 :57): committed segments, in arrival (seg id)
+    order, are assigned geometric levels floor(log_mf(docs)); every
+    contiguous run of ≥ mergeFactor segments whose level does not exceed
+    the run-opening segment's level yields mergeFactor-sized merge groups.
+    Merged destinations land at a higher level, so repeated application
+    cascades exactly like the reference's levelled LSM."""
+    import math
+
+    mdir = os.path.join(out_dir, "manifests")
+    sizes: list[tuple[int, int]] = []
+    if not os.path.isdir(mdir):
+        return []
+    for n in sorted(os.listdir(mdir)):
+        if not (n.startswith("seg_") and n.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, n)) as f:
+            m = json.load(f)
+        # only status=committed: "compacted" markers are tombstoned sources
+        # whose docs already live in a destination — never merge candidates
+        if m.get("status") == "committed":
+            sizes.append((int(m["seg"]), max(int(m.get("docs", 1)), 1)))
+    sizes.sort()
+    if not sizes:
+        return []
+    lmf = math.log(merge_factor)
+    levels = [int(math.log(d) / lmf) for _s, d in sizes]
+    groups: list[list[int]] = []
+    i = 0
+    while i < len(sizes):
+        lvl = levels[i]
+        j = i
+        while j < len(sizes) and levels[j] <= lvl:
+            j += 1
+        run = [s for s, _d in sizes[i:j]]
+        for k in range(0, len(run) - merge_factor + 1, merge_factor):
+            groups.append(run[k:k + merge_factor])
+        i = j
+    return groups
+
+
+def maybe_merge(spark: SparkSession, out_dir: str,
+                merge_factor: int = 10) -> list[list[int]]:
+    """Run the merge policy to a fixpoint (the reference's
+    ConcurrentMergeScheduler loop collapsed into sequential Spark jobs):
+    find level-runs, compact each, re-evaluate until no candidate remains.
+    Returns every group merged. Call merge_index() afterwards to refresh
+    the global dictionary/stats."""
+    merged: list[list[int]] = []
+    while True:
+        groups = find_merges(out_dir, merge_factor)
+        if not groups:
+            return merged
+        for g in groups:
+            compact_segments(spark, out_dir, g)
+            merged.append(g)
+
+
 def compact_segments(
     spark: SparkSession,
     out_dir: str,

@@ -31,20 +31,42 @@ class IndexReader:
         # extra ANALYZED fields (analysis/PerFieldAnalyzerWrapper.java:47);
         # fields absent here use the index default
         self.field_analyzers: dict = self.stats.get("field_analyzers", {})
+        # point-in-time segment set (NRT reopen contract — see _snapshot);
+        # None (no manifests dir: pre-manifest layouts) → read everything
+        from .build import committed_segments
+
+        committed = committed_segments(index_dir)
+        self._committed: list[int] | None = (
+            sorted(committed)
+            if os.path.isdir(os.path.join(index_dir, "manifests"))
+            else None)
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on
     # disk — Parquet column pruning / predicate pushdown do the seeking) ----
+    def _snapshot(self, df: DataFrame) -> DataFrame:
+        """Pin the reader to the segments COMMITTED at open time — the
+        reference's point-in-time reader semantics (segments_N snapshot,
+        index/IndexWriter.java:386 getReader / IndexReader reopen): a
+        segment directory written by a concurrent append is invisible until
+        its manifest rename-commits, and segments committed AFTER this
+        reader opened stay invisible until a reopen (a new IndexReader).
+        seg is the partition column, so the filter is pure partition
+        pruning."""
+        if self._committed is None:
+            return df
+        return df.where(F.col("seg").isin(self._committed))
+
     def postings(self) -> DataFrame:
         if not hasattr(self, "_postings"):
-            self._postings = self.spark.read.parquet(
-                os.path.join(self.index_dir, "postings"))
+            self._postings = self._snapshot(self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")))
         return self._postings
 
     def docmap(self) -> DataFrame:
         if not hasattr(self, "_docmap"):
-            self._docmap = self.spark.read.parquet(
-                os.path.join(self.index_dir, "docmap"))
+            self._docmap = self._snapshot(self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")))
         return self._docmap
 
     def term_dict(self) -> DataFrame:
@@ -55,7 +77,8 @@ class IndexReader:
 
     def tokens(self) -> DataFrame:
         """Forward index (term vectors analog)."""
-        return self.spark.read.parquet(os.path.join(self.index_dir, "tokens"))
+        return self._snapshot(self.spark.read.parquet(
+            os.path.join(self.index_dir, "tokens")))
 
     # --- driver-side lookups (query planning) --------------------------------
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
