@@ -87,16 +87,26 @@ class IndexReader:
         shard scores identically; ours: one pushed-down dictionary probe)."""
         if not terms:
             return {}
+        from ..queries.planner import _terms_pred
+
         rows = (self.term_dict()
-                .where(F.col("term").isin(list(set(terms))))
+                .where(_terms_pred(sorted(set(terms))))
                 .select("term", "df").collect())
         return {r["term"]: int(r["df"]) for r in rows}
 
     def expand_terms(self, kind: str, arg, limit: int = 1024) -> list[str]:
+        return [t for t, _df in self.expand_terms_with_df(kind, arg, limit)]
+
+    def expand_terms_with_df(self, kind: str, arg,
+                             limit: int = 1024) -> list[tuple[str, int]]:
         """MultiTermQuery enumeration against the dictionary
         (reference search/MultiTermQuery.java:98-146; FilteredTermEnum).
         kind: 'prefix' | 'wildcard_regex' | 'range'. Pushed down to the
-        parquet dictionary scan where the predicate allows."""
+        parquet dictionary scan where the predicate allows. Returns
+        (term, df) pairs — the SAME scan that enumerates also binds each
+        term's global df, so the planner never re-probes the dictionary
+        with a 1024-literal IN list (that second probe and its giant In
+        expression used to cost more than the kernel stage itself)."""
         td = self.term_dict()
         if kind == "prefix":
             df = td.where(F.col("term").startswith(arg))
@@ -120,7 +130,8 @@ class IndexReader:
             # every df=1 'url:...' keyword term and dominating the top-k)
             df = df.where(~F.col("term").contains(":"))
         # reference caps BooleanQuery at 1024 clauses (search/BooleanQuery.java:34)
-        return [r["term"] for r in df.select("term").orderBy("term").limit(limit).collect()]
+        return [(r["term"], int(r["df"])) for r in
+                df.select("term", "df").orderBy("term").limit(limit).collect()]
 
     def all_terms(self) -> list[str]:
         return [r["term"] for r in self.term_dict().select("term").orderBy("term").collect()]

@@ -568,10 +568,9 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
     if isinstance(q, Bool):
         if not q.must and not q.should:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        if top and _is_term_disjunction(q) and not any(
-            isinstance(c, Term) and c.term == d.term
-            for i, c in enumerate(q.should) for d in q.should[:i]
-        ):
+        if top and _is_term_disjunction(q) and len(
+            {c.term for c in q.should}
+        ) == len(q.should):
             ids, sc = _eval_or_maxscore(sp, ctx, q)
         else:
             ids, sc = _eval_bool_general(sp, ctx, q)

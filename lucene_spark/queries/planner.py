@@ -58,6 +58,17 @@ AUTO_DOC_COUNT_PERCENT = 0.1
 _MULTITERM = (Prefix, Wildcard, Fuzzy, Regexp, TermRange)
 
 
+
+def _terms_pred(terms: list[str]):
+    """`term IN (...)` as ONE JVM-parsed expression. Column.isin(1024 terms)
+    makes a py4j round trip per literal (~0.7 s of driver time for a full
+    MultiTermQuery expansion); a single SQL string costs one."""
+    quoted = ",".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for t in terms)
+    return F.expr(f"term IN ({quoted})")
+
+
 def terms_filter(field: str, values: list[str]) -> Query:
     """contrib TermsFilter (contrib/queries/.../TermsFilter.java): docs
     containing ANY of the given NOT_ANALYZED field values, as a
@@ -80,6 +91,18 @@ def boolean_filter(must: list[Query] | None = None,
 class Searcher:
     def __init__(self, reader: IndexReader):
         self.reader = reader
+        # per-searcher df cache: the index snapshot is immutable, so a term's
+        # global df never changes under this reader. MultiTermQuery
+        # enumeration fills it as a side effect (expand_terms_with_df), so
+        # e.g. a 1024-term prefix expansion never re-probes the dictionary.
+        self._df_cache: dict[str, int] = {}
+
+    def _doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term, served from the searcher cache where bound."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            self._df_cache.update(self.reader.doc_freqs(missing))
+        return {t: self._df_cache[t] for t in terms if t in self._df_cache}
 
     # ------------------------------------------------------------------ #
     def _with_deleted(self, rows: DataFrame) -> DataFrame:
@@ -168,7 +191,7 @@ class Searcher:
         mode = getattr(q, "rewrite_method", REWRITE_SCORING)
         terms = self._enumerate_multiterm(q)
         if mode == REWRITE_AUTO:
-            dfs = self.reader.doc_freqs(terms)
+            dfs = self._doc_freqs(terms)
             mode = ("constant_score_filter"
                     if len(terms) >= AUTO_TERM_CUTOFF
                     or sum(dfs.values()) >= (AUTO_DOC_COUNT_PERCENT / 100.0
@@ -182,20 +205,24 @@ class Searcher:
     def _enumerate_multiterm(self, q: Query) -> list[str]:
         """FilteredTermEnum analog: matching dictionary terms, ≤MAX_CLAUSES."""
         if isinstance(q, Prefix):
-            return self.reader.expand_terms("prefix", q.prefix, MAX_CLAUSES)
-        if isinstance(q, Wildcard):
-            rx = wildcard_to_regex(q.pattern)
-            return self.reader.expand_terms("wildcard_regex", rx, MAX_CLAUSES)
-        if isinstance(q, Fuzzy):
-            return self._expand_fuzzy(q)
-        if isinstance(q, Regexp):
+            pairs = self.reader.expand_terms_with_df(
+                "prefix", q.prefix, MAX_CLAUSES)
+        elif isinstance(q, Wildcard):
+            pairs = self.reader.expand_terms_with_df(
+                "wildcard_regex", wildcard_to_regex(q.pattern), MAX_CLAUSES)
+        elif isinstance(q, Fuzzy):
+            pairs = self._expand_fuzzy_with_df(q)
+        elif isinstance(q, Regexp):
             # contrib/regex RegexQuery: anchored full-term regex enumeration
-            return self.reader.expand_terms(
+            pairs = self.reader.expand_terms_with_df(
                 "wildcard_regex", f"^(?:{q.pattern})$", MAX_CLAUSES)
-        if isinstance(q, TermRange):
-            return self.reader.expand_terms(
+        elif isinstance(q, TermRange):
+            pairs = self.reader.expand_terms_with_df(
                 "range", (q.lo, q.hi, q.include_lo, q.include_hi), MAX_CLAUSES)
-        raise TypeError(type(q))
+        else:
+            raise TypeError(type(q))
+        self._df_cache.update(pairs)
+        return [t for t, _df in pairs]
 
     def _fuzzy_cond(self, q: Fuzzy):
         """Column predicate implementing FuzzyTermEnum termCompare
@@ -231,13 +258,17 @@ class Searcher:
         return cond & (sim > float(q.min_similarity))
 
     def _expand_fuzzy(self, q: Fuzzy) -> list[str]:
+        return [t for t, _df in self._expand_fuzzy_with_df(q)]
+
+    def _expand_fuzzy_with_df(self, q: Fuzzy) -> list[tuple[str, int]]:
         """FuzzyTermEnum: dictionary scan with prefix/length pre-filters
-        pushed to parquet, exact Levenshtein on the survivors JVM-side."""
+        pushed to parquet, exact Levenshtein on the survivors JVM-side;
+        df bound in the same scan (no second dictionary probe)."""
         rows = (
             self.reader.term_dict().where(self._fuzzy_cond(q))
-            .select("term").orderBy("term").limit(MAX_CLAUSES).collect()
+            .select("term", "df").orderBy("term").limit(MAX_CLAUSES).collect()
         )
-        return [r["term"] for r in rows]
+        return [(r["term"], int(r["df"])) for r in rows]
 
     def _multiterm_pred(self, q: Query):
         """Pushed-down postings predicate for one MultiTermQuery node —
@@ -319,7 +350,7 @@ class Searcher:
         terms = sorted(set(q.terms()))
         if not terms:
             return self._empty()
-        dfs = self.reader.doc_freqs(terms)
+        dfs = self._doc_freqs(terms)
         if not dfs:
             return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k,
@@ -327,7 +358,7 @@ class Searcher:
 
         qterms = [t for t in terms if t in dfs]
         rows = self._with_deleted(
-            self.reader.postings().where(F.col("term").isin(qterms)))
+            self.reader.postings().where(_terms_pred(qterms)))
 
         def run(pdf):
             return segment_topk(pdf, q, ctx)
@@ -356,7 +387,7 @@ class Searcher:
         match_all = {qid for qid, q in qs.items() if isinstance(q, MatchAll)}
         all_terms = sorted({t for qid, q in qs.items()
                             if qid not in match_all for t in q.terms()})
-        dfs = self.reader.doc_freqs(all_terms)
+        dfs = self._doc_freqs(all_terms)
         ctx_by = {qid: Ctx(self.reader.N, self.reader.avgdl, dfs, k,
                            avgdl_fields=self.reader.avgdl_fields)
                   for qid in qs}
@@ -366,7 +397,7 @@ class Searcher:
         if kernel_qs and dfs:
             qterms = [t for t in all_terms if t in dfs]
             rows = self._with_deleted(
-                self.reader.postings().where(F.col("term").isin(qterms)))
+                self.reader.postings().where(_terms_pred(qterms)))
 
             def run(pdf):
                 return segment_topk_many(pdf, kernel_qs, ctx_by)
@@ -400,13 +431,13 @@ class Searcher:
             return self._live_docmap().select(
                 "docid", F.lit(float(q.boost)).alias("score"))
         terms = sorted(set(q.terms()))
-        dfs = self.reader.doc_freqs(terms)
+        dfs = self._doc_freqs(terms)
         if not dfs:
             return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
                   avgdl_fields=self.reader.avgdl_fields)
         rows = self._with_deleted(
-            self.reader.postings().where(F.col("term").isin(list(dfs))))
+            self.reader.postings().where(_terms_pred(list(dfs))))
 
         def run(pdf):
             return segment_topk(pdf, q, ctx)
@@ -520,12 +551,12 @@ class Searcher:
         q = self.parse(query) if isinstance(query, str) else query
         q = self.rewrite(q)
         terms = sorted(t for t in set(q.terms()) if ":" not in t)
-        dfs = self.reader.doc_freqs(terms)
+        dfs = self._doc_freqs(terms)
         if not dfs:
             return self.reader.spark.createDataFrame(
                 [], "docid long, term string, tf long, dl long, df long, "
                     "idf double, tf_weight double, score double")
-        rows = self.reader.postings().where(F.col("term").isin(list(dfs)))
+        rows = self.reader.postings().where(_terms_pred(list(dfs)))
 
         def decode(batches):
             import numpy as np
@@ -543,7 +574,7 @@ class Searcher:
 
         flat = rows.mapInPandas(
             decode, schema="docid long, term string, tf long, dl long")
-        td = self.reader.term_dict().where(F.col("term").isin(list(dfs))) \
+        td = self.reader.term_dict().where(_terms_pred(list(dfs))) \
             .select("term", F.col("df").cast("long").alias("df"))
         N, avgdl = float(self.reader.N), float(self.reader.avgdl)
         idf = F.log(F.lit(1.0) + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -568,7 +599,7 @@ class Searcher:
             return self._empty()
         pairs = [(t, tf) for t, tf in zip(row[0]["terms"], row[0]["tfs"])
                  if ":" not in t and tf >= min_tf]
-        dfs = self.reader.doc_freqs([t for t, _ in pairs])
+        dfs = self._doc_freqs([t for t, _ in pairs])
         import math as _math
 
         N = self.reader.N
