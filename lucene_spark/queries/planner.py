@@ -104,6 +104,19 @@ class Searcher:
             self._df_cache.update(self.reader.doc_freqs(missing))
         return {t: self._df_cache[t] for t in terms if t in self._df_cache}
 
+    def _kernel_rows(self, rows: DataFrame) -> DataFrame:
+        """Partition the kernel input by seg with an EXPLICIT partition
+        count. AQE's coalescing (1 MB floor) would merge this small shuffle
+        (a few hundred KB of posting blobs at test scale) into one
+        partition and serialize every per-segment Python kernel onto a
+        single worker; a user-specified repartition count is exempt from
+        coalescing, and HashPartitioning(seg) already satisfies the
+        downstream groupBy("seg") so no second exchange appears."""
+        n_segs = int(self.reader.stats.get("n_segments", 0) or 0)
+        sp = int(self.reader.spark.conf.get("spark.sql.shuffle.partitions",
+                                            "200"))
+        return rows.repartition(max(1, min(n_segs or sp, sp)), "seg")
+
     # ------------------------------------------------------------------ #
     def _with_deleted(self, rows: DataFrame) -> DataFrame:
         """Union the tombstone side-car rows into the kernel input so each
@@ -327,8 +340,8 @@ class Searcher:
         def run(pdf):
             return segment_filter_ids(pdf, k, boost)
 
-        per_seg = rows.groupBy("seg").applyInPandas(
-            run, schema="docid long, score double")
+        per_seg = (self._kernel_rows(rows).groupBy("seg")
+                   .applyInPandas(run, schema="docid long, score double"))
         return per_seg.orderBy(F.asc("docid")).limit(k)
 
     # ------------------------------------------------------------------ #
@@ -363,7 +376,8 @@ class Searcher:
         def run(pdf):
             return segment_topk(pdf, q, ctx)
 
-        per_seg = rows.groupBy("seg").applyInPandas(run, schema="docid long, score double")
+        per_seg = (self._kernel_rows(rows).groupBy("seg")
+                   .applyInPandas(run, schema="docid long, score double"))
         out = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._hydrate(out) if hydrate else out
 
@@ -402,8 +416,9 @@ class Searcher:
             def run(pdf):
                 return segment_topk_many(pdf, kernel_qs, ctx_by)
 
-            per_seg = rows.groupBy("seg").applyInPandas(
-                run, schema="qid string, docid long, score double")
+            per_seg = (self._kernel_rows(rows).groupBy("seg")
+                       .applyInPandas(
+                run, schema="qid string, docid long, score double"))
             w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
             parts.append(per_seg.withColumn("rn", F.row_number().over(w))
                          .where(F.col("rn") <= k).drop("rn"))
@@ -442,7 +457,8 @@ class Searcher:
         def run(pdf):
             return segment_topk(pdf, q, ctx)
 
-        return rows.groupBy("seg").applyInPandas(run, schema="docid long, score double")
+        return (self._kernel_rows(rows).groupBy("seg")
+                .applyInPandas(run, schema="docid long, score double"))
 
     def facets(self, query: Query | str | None = None, top_n: int = 10) -> DataFrame:
         """Facet counts → DataFrame(term, n_docs), count desc / term asc.

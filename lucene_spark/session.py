@@ -24,14 +24,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's 1 MB coalesce floor collapses the per-segment kernel
-        # shuffle (a few hundred KB of posting blobs at test scale) into
-        # ONE partition — serializing every applyInPandas kernel onto a
-        # single Python worker. A 16 KB floor keeps parallelism-first
-        # behaviour for small shuffles; at cluster scale partitions dwarf
-        # either floor and coalescing behaves identically.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
