@@ -33,6 +33,7 @@ from .queries.ast import (
     TermRange,
     Wildcard,
 )
+from .queries.flt import FuzzyLikeThis, resolve_fuzzy_like_this
 from .scoring import bm25_idf, bm25_tf_weight, levenshtein, phrase_freq, wildcard_to_regex
 
 
@@ -46,6 +47,10 @@ class OracleIndex:
     # multi-field: per-field avgdl and per-(field, doc) length
     avgdl_fields: dict[str, float] = field(default_factory=dict)
     field_doclen: dict[str, dict[int, int]] = field(default_factory=dict)
+    # analyzer chains the index was built with (query-side analysis must
+    # match — reference QueryParser.java:513 / PerFieldAnalyzerWrapper)
+    analyzer: str = "standard"
+    field_analyzers: dict[str, str] = field(default_factory=dict)
 
     @property
     def terms_sorted(self) -> list[str]:
@@ -102,6 +107,8 @@ def build_oracle_index(docs: list[tuple[int, str]],
     multi-field document model). `field_analyzers` maps an extra field to
     its own chain (PerFieldAnalyzerWrapper.java:47)."""
     idx = OracleIndex()
+    idx.analyzer = analyzer
+    idx.field_analyzers = dict(field_analyzers or {})
     analyze_main = _pairs_fn(analyzer)
     total = 0
     for docid, text in docs:
@@ -347,6 +354,21 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_multiphrase(idx, q)
     if isinstance(q, SpanQuery):
         return _eval_span(idx, q)
+    if isinstance(q, FuzzyLikeThis):
+        # contrib FuzzyLikeThisQuery rewrite (FuzzyLikeThisQuery.java:254):
+        # same shared resolver as the planner, fed the oracle dictionary
+        def _flt_analyze(fld: str, text: str) -> list[str]:
+            if fld in ("", "text"):
+                return [t for t, _p in _pairs_fn(idx.analyzer)(text)]
+            an = idx.field_analyzers.get(fld, idx.analyzer)
+            return [f"{fld}:{t}" for t, _p in _pairs_fn(an)(text)]
+
+        resolved = resolve_fuzzy_like_this(
+            q,
+            lambda fq: [(t, idx.df(t))
+                        for t in expand_multiterm(idx.terms_sorted, fq)],
+            idx.df, idx.N, _flt_analyze)
+        return _eval(idx, resolved)
     if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange, Regexp)):
         terms = expand_multiterm(idx.terms_sorted, q)
         mode = getattr(q, "rewrite_method", "scoring_boolean")

@@ -147,6 +147,32 @@ class Searcher:
                            analyzed_fields=af,
                            keyword_fields=self.reader.keyword_fields)
 
+    def _flt_analyze(self, fld: str, text: str) -> list[str]:
+        """FuzzyLikeThis source-term analysis: the index's own chain for
+        the default field, the per-field chain (PerFieldAnalyzerWrapper)
+        for extra fields, terms namespaced field:term."""
+        from .parser import _analyze_pairs
+        if fld in ("", "text"):
+            return [t for t, _p in _analyze_pairs(text, self.reader.analyzer)]
+        an = (self.reader.field_analyzers or {}).get(fld, self.reader.analyzer)
+        return [f"{fld}:{t}" for t, _p in _analyze_pairs(text, an)]
+
+    def search_surround(self, query: str, k: int = 10) -> DataFrame:
+        """Surround proximity-DSL search (contrib/surround — W/N distance
+        operators over the span algebra; queries/surround.py)."""
+        from .surround import parse_surround
+        return self.search(parse_surround(query), k=k)
+
+    def search_xml(self, xml: str, k: int = 10) -> DataFrame:
+        """XML-dialect search (contrib/xml-query-parser CoreParser analog;
+        queries/xmlparser.py). A top-level FilteredQuery with a
+        DuplicateFilter routes to search_dedup (one doc per key value)."""
+        from .xmlparser import XmlDedup, parse_xml
+        q = parse_xml(xml, analyzer=self.reader.analyzer)
+        if isinstance(q, XmlDedup):
+            return self.search_dedup(q.query, key=q.key, k=k, keep=q.keep)
+        return self.search(q, k=k)
+
     # ------------------------------------------------------------------ #
     def rewrite(self, q: Query) -> Query:
         """Expand MultiTermQueries against the term dictionary, honouring
@@ -154,6 +180,20 @@ class Searcher:
         default pinned to the scoring boolean disjunction)."""
         if isinstance(q, _MULTITERM):
             return self._rewrite_multiterm(q)
+        from .flt import FuzzyLikeThis, resolve_fuzzy_like_this
+        if isinstance(q, FuzzyLikeThis):
+            # contrib FuzzyLikeThisQuery rewrite (contrib/queries/.../
+            # FuzzyLikeThisQuery.java:254-316): shared resolver, fed the
+            # pushed-down dictionary enumeration; df probes fill the
+            # searcher cache so the later stats bind re-uses them
+            def enum(fq):
+                pairs = self._expand_fuzzy_with_df(fq)
+                self._df_cache.update(pairs)
+                return pairs
+
+            return resolve_fuzzy_like_this(
+                q, enum, lambda t: self._doc_freqs([t]).get(t, 0),
+                self.reader.N, self._flt_analyze)
         if isinstance(q, Bool):
             return Bool(
                 must=[self.rewrite(c) for c in q.must],
