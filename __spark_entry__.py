@@ -887,6 +887,41 @@ def _q_ft_span_mask(spark, sf_dir):
     return _topk(spark, sf_dir, q)
 
 
+def _q_ft_surround(spark, sf_dir):
+    """Surround proximity DSL (contrib/surround QueryParser.jj;
+    DistanceQuery.java:116 — SpanNear(clauses, distance−1, ordered)):
+    'table 4W scan' = ordered within distance 4 → slop 3."""
+    from lucene_spark.queries.surround import parse_surround
+
+    return _topk(spark, sf_dir, parse_surround("table 4W scan"))
+
+
+def _q_ft_xml(spark, sf_dir):
+    """XML query dialect (contrib/xml-query-parser CoreParser +
+    BooleanQueryBuilder element shapes): must data, should spark,
+    mustnot vector."""
+    from lucene_spark.queries.xmlparser import parse_xml
+
+    xml = """<BooleanQuery fieldName="text">
+      <Clause occurs="must"><TermQuery>data</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>spark</TermQuery></Clause>
+      <Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>
+    </BooleanQuery>"""
+    return _topk(spark, sf_dir, parse_xml(xml))
+
+
+def _q_ft_flt(spark, sf_dir):
+    """contrib FuzzyLikeThisQuery (FuzzyLikeThisQuery.java:254): fuzzify
+    'datq sparj', keep the globally best 8 variants by sim² × idf(source
+    df — avg variant df when the source is unindexed), each match
+    contributing its constant boost (FuzzyTermQuery ignores tf/idf)."""
+    from lucene_spark.queries.flt import FuzzyLikeThis
+
+    q = FuzzyLikeThis(fields=[("", "datq sparj")], max_num_terms=8,
+                      min_similarity=0.5)
+    return _topk(spark, sf_dir, q)
+
+
 # ---------------------------------------------------------------------------
 # queries() registry
 # ---------------------------------------------------------------------------
@@ -978,6 +1013,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_doclens": _q_ft_doclens,        # dl column (ft_explain carries dl)
         "dedup_minhash_sig": _q_dedup_minhash_sig,  # sigs feed dedup_minhash_lsh
         "ann_lsh_buckets": _q_ann_lsh_buckets,      # buckets feed ann_lsh_search
+        # contrib query surfaces (round 2): alternate parsers over the same
+        # span/boolean execution paths the registry already covers
+        "ft_surround": _q_ft_surround,
+        "ft_xml": _q_ft_xml,
+        "ft_flt": _q_ft_flt,
     }
 
 
@@ -1706,4 +1746,58 @@ SELECT * FROM sigs ORDER BY doc_id""",
         "ann_lsh_buckets": f"""
 WITH {_LSH_BUCKETS_CTE}
 SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
+        "ft_surround": _sql_span_near("table", "scan", 3),
+        "ft_xml": f"""WITH {_PRELUDE}
+SELECT doc_id, round(sum(s), 4) AS score FROM scored
+WHERE term IN ('data', 'spark')
+  AND doc_id IN (SELECT doc_id FROM tfs WHERE term = 'data')
+  AND doc_id NOT IN (SELECT doc_id FROM tfs WHERE term = 'vector')
+GROUP BY doc_id ORDER BY sum(s) DESC, doc_id ASC LIMIT 10""",
+        # FuzzyLikeThis (FuzzyLikeThisQuery.java:254 rewrite, mirrored from
+        # lucene_spark/queries/flt.py resolve_fuzzy_like_this): enumerate
+        # variants by classic length-scaled similarity, cap 50 per source,
+        # score sim²·idf(source df | avg variant df), keep the global top 8,
+        # sum each matched variant's constant boost per doc
+        "ft_flt": f"""WITH {_PRELUDE},
+vars0 AS (
+  SELECT term, df, 'datq' AS src,
+         CASE WHEN length(term) = 0 THEN 0.0
+              ELSE 1.0 - CAST(levenshtein(term, 'datq') AS DOUBLE)
+                   / least(length(term), length('datq')) END AS sim
+  FROM dfs
+  UNION ALL
+  SELECT term, df, 'sparj' AS src,
+         CASE WHEN length(term) = 0 THEN 0.0
+              ELSE 1.0 - CAST(levenshtein(term, 'sparj') AS DOUBLE)
+                   / least(length(term), length('sparj')) END AS sim
+  FROM dfs
+),
+vars AS (SELECT * FROM vars0 WHERE sim > 0.5),
+capped AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY src ORDER BY sim DESC, term ASC) AS rn
+  FROM vars),
+srcdf AS (
+  SELECT v.src,
+         COALESCE(max(d.df),
+                  greatest(1, CAST(sum(v.df) AS BIGINT)
+                              // CAST(count(*) AS BIGINT))) AS sdf
+  FROM vars v LEFT JOIN dfs d ON d.term = v.src
+  GROUP BY v.src
+),
+vscore AS (
+  SELECT k.term, k.src,
+         k.sim * k.sim
+           * ln(1.0 + (c.n - s.sdf + 0.5) / (s.sdf + 0.5)) AS vs
+  FROM capped k JOIN srcdf s USING (src) CROSS JOIN corpus c
+  WHERE k.rn <= 50
+),
+top8 AS (SELECT * FROM vscore ORDER BY vs DESC, term ASC, src ASC LIMIT 8),
+hits AS (
+  SELECT f.doc_id, sum(t.vs) AS score
+  FROM (SELECT DISTINCT doc_id, term FROM tfs) f JOIN top8 t USING (term)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM hits
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
     }
