@@ -49,8 +49,9 @@ def main():
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
-    # the 6 consolidated variants ride along in rehearsal (the driver only
-    # sees queries(); tests/test_contract_extras.py gates these in CI)
+    # the consolidated variants + contrib parser entries ride along in
+    # rehearsal (the driver only sees queries();
+    # tests/test_contract_extras.py gates these in CI)
     qs.update(entrymod.extra_queries())
     oracles.update(entrymod.extra_oracle_sql())
     failures = []
