@@ -648,32 +648,50 @@ def _ivf_centroids(spark, sf_dir):
 def _q_ann_ivf_search(spark, sf_dir):
     """IVF ANN (the classic scale path beside LSH): k-means-trained coarse
     quantizer; every vector assigned to its nearest centroid cell by a
-    broadcast-join + argmax (one distributed pass), the query probes only
-    its top-P cells, exact cosine re-rank inside them. The DuckDB oracle
-    re-derives the SAME centroids via an unrolled-CTE Lloyd's under the
-    shared rounding contract, so quantizer, assignment, and probe are all
-    cross-checked — not just the final re-rank."""
-    from pyspark.sql import Window
+    MAP-ONLY argmax over the K broadcast centroid literals (K cosine
+    expressions + array_position-of-max inside one projection — no
+    crossJoin, no window, zero shuffle: at 10^12 vectors the n×K pair
+    materialization and its per-vector window shuffle would dominate), the
+    query probes only its top-P cells, exact cosine re-rank inside them.
+    Ties take the lowest cell (array_position returns the FIRST max —
+    same rule as the oracle's ORDER BY c DESC, cell ASC). The DuckDB
+    oracle re-derives the SAME centroids via an unrolled-CTE Lloyd's under
+    the shared rounding contract, so quantizer, assignment, and probe are
+    all cross-checked — not just the final re-rank."""
+    import numpy as np
 
     emb = _emb(spark, sf_dir)
     cents_np = _ivf_centroids(spark, sf_dir)
-    cents = spark.createDataFrame(
-        [(i, [float(v) for v in cents_np[i]]) for i in range(_N_IVF_CELLS)],
-        "cell int, cvec array<double>")
-    pairs = emb.crossJoin(F.broadcast(cents))
-    cos = F.round(_cosine(F.col("embedding"), F.col("cvec")), 10)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell"))
-    assign = (pairs.select("vec_id", "embedding", "cell", cos.alias("c"))
-              .withColumn("rnk", F.row_number().over(w))
-              .where(F.col("rnk") == 1)
-              .select("vec_id", "embedding", "cell"))
+    lits = [F.array(*[F.lit(float(v)) for v in cents_np[i]])
+            for i in range(_N_IVF_CELLS)]
+    cos_arr = F.array(*[F.round(_cosine(F.col("embedding"), lits[i]), 10)
+                        for i in range(_N_IVF_CELLS)])
+    assign = emb.select(
+        "vec_id", "embedding",
+        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
+        .cast("int").alias("cell"))
 
     qrow = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0]
     lit_q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
-    probe = [int(r["cell"]) for r in
-             cents.select("cell",
-                          F.round(_cosine(F.col("cvec"), lit_q), 10).alias("c"))
-             .orderBy(F.desc("c"), F.asc("cell")).limit(_IVF_NPROBE).collect()]
+    # probe-cell selection is driver-side over the K trained centroids,
+    # accumulating left-to-right like F.aggregate so the 1e-10-rounded
+    # values match the engine/oracle contract bit-for-bit
+    qv = [float(v) for v in qrow["embedding"]]
+
+    def _seq_cos(c):
+        dot = na = nb = 0.0
+        for a, b in zip(c, qv):
+            dot += a * b
+        for a in c:
+            na += a * a
+        for b in qv:
+            nb += b * b
+        return round(dot / (np.sqrt(na) * np.sqrt(nb)), 10)
+
+    qcos = [_seq_cos([float(v) for v in cents_np[i]])
+            for i in range(_N_IVF_CELLS)]
+    order = sorted(range(_N_IVF_CELLS), key=lambda i: (-qcos[i], i))
+    probe = order[:_IVF_NPROBE]
     return (assign.where(F.col("cell").isin(probe) & (F.col("vec_id") != 1))
             .withColumn("c_raw", _cosine(F.col("embedding"), lit_q))
             .orderBy(F.desc("c_raw"), F.asc("vec_id")).limit(10)

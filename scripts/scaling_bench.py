@@ -52,12 +52,18 @@ def main() -> None:
         write_pages(spark, n_docs, corpus, partitions=128)
         spark.stop()
 
-    # warmup pass (OS page cache for the corpus) then measured passes —
-    # each measured pass starts its own JVM, so JVM startup is inside both
-    # measurements symmetrically
+    # warmup pass (OS page cache for the corpus), then INTERLEAVED measured
+    # passes with the min wall per level — each pass starts its own JVM
+    # (startup inside both measurements symmetrically), and interleaving +
+    # best-of cancels this shared host's ~4x co-tenant speed swings
+    # (single-shot pairs measured efficiency anywhere from 0.4 to 0.9 on
+    # identical code)
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     timed_build(n_large, corpus, n_docs)
-    t_small = timed_build(n_small, corpus, n_docs)
-    t_large = timed_build(n_large, corpus, n_docs)
+    t_small, t_large = float("inf"), float("inf")
+    for _ in range(rounds):
+        t_small = min(t_small, timed_build(n_small, corpus, n_docs))
+        t_large = min(t_large, timed_build(n_large, corpus, n_docs))
 
     tp_small = n_docs / t_small
     tp_large = n_docs / t_large
