@@ -351,3 +351,87 @@ def test_flt_engine_vs_oracle_prefix_length(searcher, oracle_index):
                       min_similarity=0.5, prefix_length=2)
     assert_rank_identical(topk(searcher, q),
                           oracle_search(oracle_index, q, K))
+
+
+# --------------------------------------------------------------------- #
+# randomized round-trips (the TestBoolean2.java:214 randomized-tree
+# pattern applied to the parsers: generate AST → print → reparse → equal)
+# --------------------------------------------------------------------- #
+
+import random
+
+_WORDS = ["seven", "seventy", "hundred", "fifty", "ninety", "eight",
+          "thousand", "nineteen"]
+
+
+def _rand_span(rng, depth=0):
+    r = rng.random()
+    if depth >= 2 or r < 0.45:
+        return SpanTerm(rng.choice(_WORDS))
+    if r < 0.7:
+        n = rng.randint(2, 3)
+        return SpanOr(clauses=[_rand_span(rng, depth + 1) for _ in range(n)])
+    d = rng.randint(1, 5)
+    n = rng.randint(2, 3)
+    return SpanNear(clauses=[_rand_span(rng, depth + 1) for _ in range(n)],
+                    slop=d - 1, in_order=rng.random() < 0.5)
+
+
+def _print_surround(q):
+    if isinstance(q, SpanTerm):
+        return q.term
+    if isinstance(q, SpanOr):
+        return "OR(" + ", ".join(_print_surround(c) for c in q.clauses) + ")"
+    if isinstance(q, SpanNear):
+        op = f"{q.slop + 1}{'W' if q.in_order else 'N'}"
+        return op + "(" + ", ".join(_print_surround(c) for c in q.clauses) + ")"
+    raise TypeError(type(q))
+
+
+def test_surround_random_roundtrip():
+    rng = random.Random(42)
+    for _ in range(200):
+        q = _rand_span(rng)
+        if isinstance(q, SpanTerm):
+            assert parse_surround(_print_surround(q)) == Term(q.term)
+            continue
+        if isinstance(q, SpanOr):
+            # top-level OR(...) of plain terms parses as a Bool disjunction
+            # (span nodes only materialize inside a distance operator)
+            continue
+        assert parse_surround(_print_surround(q)) == q
+
+
+def _print_xml(q):
+    if isinstance(q, SpanTerm):
+        return f"<SpanTerm>{q.term}</SpanTerm>"
+    if isinstance(q, SpanOr):
+        return ("<SpanOr>" + "".join(_print_xml(c) for c in q.clauses)
+                + "</SpanOr>")
+    if isinstance(q, SpanNear):
+        o = "true" if q.in_order else "false"
+        return (f'<SpanNear slop="{q.slop}" inOrder="{o}">'
+                + "".join(_print_xml(c) for c in q.clauses) + "</SpanNear>")
+    raise TypeError(type(q))
+
+
+def test_xml_random_roundtrip():
+    rng = random.Random(7)
+    for _ in range(200):
+        q = _rand_span(rng)
+        assert parse_xml(f'<SpanOr fieldName="text">{_print_xml(q)}</SpanOr>'
+                         ) == SpanOr(clauses=[q])
+
+
+def test_surround_xml_same_query_same_hits(searcher, oracle_index):
+    """The same span query expressed in all three syntaxes must produce
+    identical hits (two parsers + hand-built AST, one execution path)."""
+    hand = SpanNear([SpanTerm("seven"), SpanTerm("hundred")],
+                    slop=2, in_order=True)
+    srd = parse_surround("3W(seven, hundred)")
+    xml = parse_xml('<SpanNear fieldName="text" slop="2" inOrder="true">'
+                    "<SpanTerm>seven</SpanTerm><SpanTerm>hundred</SpanTerm>"
+                    "</SpanNear>")
+    assert srd == hand and xml == hand
+    hits = topk(searcher, hand)
+    assert hits == oracle_search(oracle_index, hand, K)
