@@ -581,6 +581,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         pages = pages.repartition(
             max(len(segs), min(len(chunk_files), par * 2)), "fp")
 
+    phases: dict[str, float] = {}
+
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
                        keyword_fields, analyzed_fields, field_analyzers),
@@ -588,15 +590,20 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
     # twice (docmap + postings) without re-tokenizing
+    tp = time.time()
     tokens.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg").parquet(os.path.join(out_dir, "tokens"))
+    phases["tokens_ms"] = int((time.time() - tp) * 1000)
 
     tok = spark.read.parquet(os.path.join(out_dir, "tokens")).where(F.col("seg").isin(segs))
 
     # docmap: one row per doc already — pure column projection, no shuffle
+    tp = time.time()
     (tok.select("seg", "docid", "url", "lang", "doclen", "fdl")
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "docmap")))
+    phases["docmap_ms"] = int((time.time() - tp) * 1000)
 
+    tp = time.time()
     # postings: ONE corpus shuffle (repartition by seg — bounded groups, the
     # segment is the salt), then a JVM Tungsten sort within each partition
     # by (seg, term, docid) feeding the streaming encoder. Output lands one
@@ -628,7 +635,9 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                      schema=POSTINGS_SCHEMA)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
+    phases["postings_ms"] = int((time.time() - tp) * 1000)
 
+    tp = time.time()
     # commit point: per-seg manifest with lineage + metrics (written last).
     # Stats scan only the tiny scalar columns (seg/salt/df — parquet column
     # pruning keeps the blobs on disk); postings bytes come from file sizes.
@@ -640,10 +649,11 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
              F.sum((F.col("salt") == 0).cast("long")).alias("terms"),
              F.sum("df").alias("postings"))
         .collect())}
-    docs = {r["seg"]: r["docs"] for r in (
-        spark.read.parquet(os.path.join(out_dir, "docmap"))
-        .where(F.col("seg").isin(segs))
-        .groupBy("seg").agg(F.count("*").alias("docs")).collect())}
+    # docs per segment come from the plan (docid ranges are assigned from
+    # file row counts, so plan rows ≡ written docmap rows); counting the
+    # docmap again was one more serial Spark job per chunk — deep
+    # verification is validate_index's job (CheckIndex analog)
+    docs = {seg: sum(f.rows for f in plan.seg_files(seg)) for seg in segs}
 
     def _seg_bytes(seg: int) -> int:
         d = os.path.join(out_dir, "postings", f"seg={seg}")
@@ -652,6 +662,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         return sum(os.path.getsize(os.path.join(d, n))
                    for n in os.listdir(d) if n.endswith(".parquet"))
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    phases["stats_ms"] = int((time.time() - tp) * 1000)
     wall = time.time() - t0
     for seg in segs:
         s = stats.get(seg)
@@ -667,6 +678,10 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "postings": int(s["postings"]) if s else 0,
             "postings_bytes": _seg_bytes(seg),
             "wall_ms": int(wall * 1000),
+            # chunk-level phase walls (shared by every segment in this
+            # chunk): where build time goes — tokenize+forward-index write,
+            # docmap projection, the postings shuffle+encode, stats collects
+            "phase_ms": dict(phases),
             "attempt": 1,
             "analyzer": analyzer,
             "analyzed_fields": list(analyzed_fields),
