@@ -573,13 +573,7 @@ def cached_analyzer(name: str, maxsize: int = 4096):
     LRU cache instead of re-running the chain."""
     from functools import lru_cache
 
-    base = POSITIONAL_ANALYZERS.get(name)
-    if base is None:
-        simple = ANALYZERS[name]
-
-        def base(text):
-            toks = simple(text)
-            return list(zip(toks, range(len(toks))))
+    base = positional_pairs_fn(name)
 
     @lru_cache(maxsize=maxsize)
     def cached(text: str) -> tuple:
@@ -596,15 +590,7 @@ def make_chain(char_filters=(), tokenizer=None, token_filters=()):
     POSITIONAL_ANALYZERS for build_index(field_analyzers=...)."""
     tok = tokenizer or analyze
     if isinstance(tok, str):
-        base_name = tok
-        pa = POSITIONAL_ANALYZERS.get(base_name)
-        if pa is None:
-            simple = ANALYZERS[base_name]
-
-            def pa(text):
-                toks = simple(text)
-                return list(zip(toks, range(len(toks))))
-        tok = pa
+        tok = positional_pairs_fn(tok)
 
     def chain(text: str) -> list[tuple[str, int]]:
         for cf in char_filters:
@@ -620,3 +606,20 @@ def make_chain(char_filters=(), tokenizer=None, token_filters=()):
 
 ANALYZERS["english"] = lambda text: [t for t, _ in analyze_english(text)]
 POSITIONAL_ANALYZERS = {"standard": analyze, "english": analyze_english}
+
+
+def positional_pairs_fn(name: str):
+    """Analyzer name → fn(text) -> [(term, pos)]. THE single definition of
+    the position-assignment rule for simple (non-positional) chains:
+    consecutive positions 0..n-1, no holes. Build side, oracle, caching
+    wrapper, and chain composer all resolve through here — the
+    engine/oracle analysis-identity contract depends on one copy."""
+    pa = POSITIONAL_ANALYZERS.get(name)
+    if pa is not None:
+        return lambda text: pa(text or "")
+    simple = ANALYZERS[name]
+
+    def fn(text):
+        toks = simple(text or "")
+        return list(zip(toks, range(len(toks))))
+    return fn

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from .. import BLOCK_SIZE
-from ..analysis import ANALYZERS, analyze, extract_text
+from ..analysis import analyze, extract_text
 from ..codec import encode_postings, vbyte_encode
 from .plan import BuildPlan, make_build_plan, read_build_plan, write_build_plan
 
@@ -145,21 +145,10 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
     per-doc length (per-field norms, index/NormsWriter.java:61) carried in
     the per-term ``dls`` array and the per-doc ``fdl`` map.
     """
-    from ..analysis import POSITIONAL_ANALYZERS
+    from ..analysis import positional_pairs_fn as make_pairs_fn
     from .plan import _norm
 
     empty_pos: list[list[int]] = []
-
-    def make_pairs_fn(name: str):
-        analyze_fn = POSITIONAL_ANALYZERS.get(name)
-        simple_fn = ANALYZERS.get(name)
-
-        def pairs(text):
-            if analyze_fn is not None:
-                return analyze_fn(text or "")
-            toks = simple_fn(text or "")
-            return list(zip(toks, range(len(toks))))
-        return pairs
 
     analyze_pairs = make_pairs_fn(analyzer)
     # PerFieldAnalyzerWrapper (analysis/PerFieldAnalyzerWrapper.java:47):
@@ -447,6 +436,12 @@ def read_manifest_config(out_dir: str) -> dict:
         if m.get("status") == "compacted":
             continue
         this = {k: m[k] for k in keys if k in m}
+        # normalize keys absent from pre-upgrade manifests to their empty
+        # defaults: an old index appended to by newer code must not fail
+        # validation over a key the old manifests never wrote (and the
+        # check must not depend on which manifest happens to sort first)
+        this.setdefault("field_analyzers", {})
+        this.setdefault("analyzed_fields", [])
         if not cfg:
             cfg = this
         elif any(cfg.get(k) != v for k, v in this.items()):

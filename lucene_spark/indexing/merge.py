@@ -273,6 +273,18 @@ def compact_segments(
         if len(moved_tombstones):
             delete_by_docids(spark, out_dir,
                              spark.createDataFrame(moved_tombstones))
+    group_docs = 0
+    group_postings = 0
+    ranges: list[list[int]] = []
+    for s in seg_group:
+        mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            group_docs += int(m.get("docs", 0))
+            group_postings += int(m.get("postings", 0))
+            if m.get("docid_range"):
+                ranges.append(m["docid_range"])
     for s in seg_group:
         if s == dest:
             continue
@@ -290,4 +302,23 @@ def compact_segments(
             with open(tmp, "w") as f:
                 json.dump(m, f, indent=1)
             os.replace(tmp, mp)
+    # the destination manifest must reflect the MERGED size: find_merges
+    # levels segments by manifest docs (LogMergePolicy.java:41), so a stale
+    # per-source count would keep a big merged segment at a small-segment
+    # level and re-merge it with every fresh batch — the quadratic rewrite
+    # churn the geometric levels exist to prevent
+    mp = os.path.join(out_dir, "manifests", f"seg_{dest:06d}.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            m = json.load(f)
+        m["docs"] = group_docs
+        m["postings"] = group_postings
+        m["merged_from"] = sorted(seg_group)
+        if ranges:
+            m["docid_range"] = [min(r[0] for r in ranges),
+                                max(r[1] for r in ranges)]
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, mp)
     return dest

@@ -79,12 +79,19 @@ def decode_meta(b: bytes) -> dict:
     """Sniff + parse: → {'fmt', 'width', 'height', 'sample_rate',
     'n_channels', 'bit_depth'} (absent dims are None). Raises ValueError on
     bytes that are none of the three formats or are structurally broken."""
-    if b[:8] == PNG_SIG:
-        return _decode_png(b)
-    if b[:2] == b"\xff\xd8":
-        return _decode_jpeg(b)
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return _decode_wav(b)
+    try:
+        if b[:8] == PNG_SIG:
+            return _decode_png(b)
+        if b[:2] == b"\xff\xd8":
+            return _decode_jpeg(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _decode_wav(b)
+    except struct.error as e:
+        # truncated payloads hit short struct unpacks; the documented
+        # contract is ValueError for anything structurally broken, so a
+        # caller skipping bad blobs with `except ValueError` never lets a
+        # truncated file crash the whole Arrow batch
+        raise ValueError(f"truncated payload: {e}") from e
     raise ValueError("unrecognized payload")
 
 

@@ -82,19 +82,12 @@ class OracleIndex:
 
 
 def _pairs_fn(name: str):
-    """Analyzer name → positional (term, pos) pairs function (shared shape
-    with the build-side tokenizer and the query parser)."""
-    from .analysis import ANALYZERS, POSITIONAL_ANALYZERS
+    """Analyzer name → positional (term, pos) pairs function — delegates to
+    THE shared definition (analysis.positional_pairs_fn) so the oracle and
+    the build side can never assign positions differently."""
+    from .analysis import positional_pairs_fn
 
-    pa = POSITIONAL_ANALYZERS.get(name)
-    if pa is not None:
-        return lambda text: pa(text or "")
-    simple = ANALYZERS[name]
-
-    def fn(text):
-        toks = simple(text or "")
-        return list(zip(toks, range(len(toks))))
-    return fn
+    return positional_pairs_fn(name)
 
 
 def build_oracle_index(docs: list[tuple[int, str]],
@@ -272,15 +265,18 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
     return out
 
 
-def expand_multiterm(idx_terms: list[str], q: Query) -> list[str]:
+def expand_multiterm(idx_terms: list[str], q: Query,
+                     max_clauses: int | None = 1024) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary
     (reference search/MultiTermQuery.java:98-146 rewrite; pinned rewrite mode:
     scoring boolean disjunction). Unfielded patterns skip namespaced
     'field:term' entries — the default field must not sweep other fields,
     fielded ones stay inside their field's namespace, and the expansion is
-    capped at 1024 terms in term order (mirrors IndexReader.expand_terms +
-    planner MAX_CLAUSES)."""
-    MAX_CLAUSES = 1024
+    capped at `max_clauses` terms in term order (mirrors
+    IndexReader.expand_terms + planner MAX_CLAUSES; pass None for the
+    uncapped top-level constant-score-filter rewrite, which never
+    enumerates in the engine and so has no clause limit)."""
+    MAX_CLAUSES = len(idx_terms) + 1 if max_clauses is None else max_clauses
     if isinstance(q, Prefix):
         if ":" not in q.prefix:
             idx_terms = [t for t in idx_terms if ":" not in t]
@@ -426,6 +422,29 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
 
 def oracle_search(idx: OracleIndex, q: Query, k: int = 10) -> list[tuple[int, float]]:
     """Top-k by (score desc, docid asc) — the reference tie-break
-    (search/TopScoreDocCollector.java:54-62: lower docID wins on equal score)."""
+    (search/TopScoreDocCollector.java:54-62: lower docID wins on equal score).
+
+    Top-level constant-score-filter shapes (a MultiTermQuery with
+    rewrite_method=constant_score_filter, or ConstantScore(MultiTermQuery))
+    expand UNCAPPED — the engine plans these as a pushed-down postings
+    predicate with no enumeration and no 1024-clause limit
+    (planner._multiterm_filter_ids; reference MultiTermQuery.java:72
+    ConstantScoreFilterRewrite). Nested filter nodes stay capped in both
+    engines (they rewrite through the boolean path)."""
+    from .queries.ast import REWRITE_CONST_FILTER
+
+    node = None
+    mtq = (Prefix, Wildcard, Fuzzy, TermRange, Regexp)
+    if isinstance(q, ConstantScore) and isinstance(q.query, mtq):
+        node, boost = q.query, q.boost
+    elif isinstance(q, mtq) and getattr(q, "rewrite_method", None) == REWRITE_CONST_FILTER:
+        node, boost = q, q.boost
+    if node is not None:
+        terms = expand_multiterm(idx.terms_sorted, node, max_clauses=None)
+        docs = set()
+        for t in terms:
+            docs.update(idx.postings.get(t, {}))
+        return sorted(((d, boost * 1.0) for d in docs),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
     scores = _eval(idx, q)
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

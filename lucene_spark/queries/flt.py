@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Callable
 
-from ..scoring import bm25_idf
+from ..scoring import bm25_idf, levenshtein as _levenshtein
 from .ast import Bool, ConstantScore, Fuzzy, Query, Term
 
 MAX_VARIANTS_PER_TERM = 50  # FuzzyLikeThisQuery.java:58
@@ -69,19 +69,6 @@ def fuzzy_similarity(source: str, candidate: str, prefix_length: int) -> float:
     if m == 0:
         return 1.0 - n / pre_len if pre_len else 0.0
     return 1.0 - _levenshtein(ssuf, csuf) / (pre_len + min(n, m))
-
-
-def _levenshtein(a: str, b: str) -> int:
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
 
 
 def resolve_fuzzy_like_this(

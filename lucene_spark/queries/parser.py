@@ -160,6 +160,28 @@ def _word_query(word: str, analyzer: str = "standard",
         return ConstantScore(Term(f"{fm.group(1)}:{val}"), boost=const)
     if fm and fm.group(1) == "text":  # the default analyzed field, explicit
         word = fm.group(2)
+    elif fm:
+        # UNKNOWN field: the reference QueryParser is schema-free — any
+        # field name yields a field-scoped query that matches nothing when
+        # the field was never indexed. Falling through to the default
+        # field here would return spurious body matches for typo'd or
+        # unindexed field names (same rule as _quoted_query).
+        af, val = fm.group(1), fm.group(2)
+        if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
+            return Prefix(f"{af}:{val[:-1].lower()}", boost=boost)
+        if "*" in val or "?" in val:
+            return Wildcard(f"{af}:{val.lower()}", boost=boost)
+        fz = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", val)
+        if fz:
+            return _make_fuzzy(f"{af}:{fz.group(1).lower()}", fz.group(2),
+                               boost)
+        pairs = _analyze_pairs(val, analyzer)
+        if not pairs:
+            return None
+        if len(pairs) == 1:
+            return Term(f"{af}:{pairs[0][0]}", boost=boost)
+        return Phrase([f"{af}:{t}" for t, _ in pairs],
+                      [p for _, p in pairs], slop=0, boost=boost)
     # fuzzy: trailing ~ or ~n / ~0.x (classic similarity form → edits)
     m = re.match(r"^(.+?)~(\d+(?:\.\d+)?)?$", word)
     if m and not word.endswith("\\~"):
@@ -207,6 +229,18 @@ def _quoted_query(tok: str, analyzer: str = "standard",
         # same as the unquoted keyword branch)
         const = boost if boost != 1.0 else 0.0
         return ConstantScore(Term(f"{field}:{body}"), boost=const)
+    if field and field != "text":
+        # UNKNOWN field: the reference QueryParser is schema-free — any
+        # field name builds a field-scoped query that simply matches
+        # nothing if the field was never indexed (it must NOT silently
+        # fall through to the default field and return body matches)
+        pairs = _analyze_pairs(body, analyzer)
+        if not pairs:
+            return None
+        if len(pairs) == 1:
+            return Term(f"{field}:{pairs[0][0]}", boost=boost)
+        return Phrase([f"{field}:{t}" for t, _ in pairs],
+                      [p for _, p in pairs], slop=slop, boost=boost)
     pairs = _analyze_pairs(body, analyzer)
     if not pairs:
         return None

@@ -354,13 +354,19 @@ class Searcher:
             pred = pred & ~F.col("term").contains(":")
         return pred
 
-    def _multiterm_filter_topk(self, q: Query, k: int) -> DataFrame | None:
+    def _multiterm_filter_ids(self, q: Query,
+                              k: int = 1 << 62) -> DataFrame | None:
         """Top-level constant-score filter plan: postings.where(term pred)
-        → per-segment live-docid union → global docid-asc top-k (constant
-        scores tie, docid asc breaks). Returns None if q isn't shaped for
-        it. Used for MultiTerm nodes with rewrite_method
-        constant_score_filter and for ConstantScore(MultiTermQuery) — the
-        reference's ConstantScoreQuery(MultiTermQueryWrapperFilter)."""
+        → per-segment live-docid union (docid, score=boost). Returns None
+        if q isn't shaped for it. Used for MultiTerm nodes with
+        rewrite_method constant_score_filter and for
+        ConstantScore(MultiTermQuery) — the reference's
+        ConstantScoreQuery(MultiTermQueryWrapperFilter). UNCAPPED by
+        design: the filter rewrite never enumerates terms, so the
+        1024-clause boolean cap does not apply (MultiTermQuery.java:72) —
+        search/matching/count/search_many and the oracle all pin this
+        same rule for top-level filter shapes; NESTED filter nodes rewrite
+        through the capped boolean path."""
         from .ast import REWRITE_CONST_FILTER
         from .kernel import segment_filter_ids
 
@@ -380,8 +386,15 @@ class Searcher:
         def run(pdf):
             return segment_filter_ids(pdf, k, boost)
 
-        per_seg = (self._kernel_rows(rows).groupBy("seg")
-                   .applyInPandas(run, schema="docid long, score double"))
+        return (self._kernel_rows(rows).groupBy("seg")
+                .applyInPandas(run, schema="docid long, score double"))
+
+    def _multiterm_filter_topk(self, q: Query, k: int) -> DataFrame | None:
+        """Global docid-asc top-k over _multiterm_filter_ids (constant
+        scores tie, docid asc breaks)."""
+        per_seg = self._multiterm_filter_ids(q, k)
+        if per_seg is None:
+            return None
         return per_seg.orderBy(F.asc("docid")).limit(k)
 
     # ------------------------------------------------------------------ #
@@ -434,8 +447,17 @@ class Searcher:
         from pyspark.sql import Window
 
         qs: dict[str, Query] = {}
+        filter_parts = []
         for qid, q in queries.items():
             q = self.parse(q) if isinstance(q, str) else q
+            # top-level constant-score-filter shapes take the same uncapped
+            # pushdown plan as search() — batched and single-query serving
+            # must return identical hits (see _multiterm_filter_ids)
+            fast = self._multiterm_filter_topk(q, k)
+            if fast is not None:
+                filter_parts.append(
+                    fast.select(F.lit(qid).alias("qid"), "docid", "score"))
+                continue
             qs[qid] = self.rewrite(q)
 
         match_all = {qid for qid, q in qs.items() if isinstance(q, MatchAll)}
@@ -447,7 +469,7 @@ class Searcher:
                   for qid in qs}
         kernel_qs = {qid: q for qid, q in qs.items() if qid not in match_all}
 
-        parts = []
+        parts = list(filter_parts)
         if kernel_qs and dfs:
             qterms = [t for t in all_terms if t in dfs]
             rows = self._with_deleted(
@@ -481,6 +503,9 @@ class Searcher:
         The per-segment kernel still runs distributed; only the heap bound is
         lifted (reference Collector-without-limit / totalHits path)."""
         q = self.parse(query) if isinstance(query, str) else query
+        fast = self._multiterm_filter_ids(q)
+        if fast is not None:
+            return fast
         q = self.rewrite(q)
         if isinstance(q, MatchAll):
             return self._live_docmap().select(

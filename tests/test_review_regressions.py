@@ -336,3 +336,119 @@ def test_rank_identity_still_holds_after_parser_changes(searcher, oracle_index):
         q = parse_query(qs)
         assert_rank_identical(topk(searcher, q),
                               oracle_search(oracle_index, q, K))
+
+
+# --------------------------------------------------------------------- #
+# round-2 self-review fixes
+# --------------------------------------------------------------------- #
+
+
+def test_const_filter_uncapped_vs_capped_boolean_oracle():
+    """Top-level constant-score-filter expands UNCAPPED (the engine plans
+    it as a pushed-down predicate with no enumeration); the scoring
+    boolean rewrite stays capped at 1024 in term order. Dictionary is
+    built so term order is INVERSE to docid order — a silent cap would
+    surface as the wrong docids in the filter top-k."""
+    from lucene_spark.oracle import build_oracle_index
+    from lucene_spark.queries.ast import REWRITE_CONST_FILTER, Prefix
+
+    n = 1500
+    docs = [(i, f"za{n - i:04d} filler") for i in range(n)]
+    idx = build_oracle_index(docs, analyzer="whitespace")
+    # uncapped filter: every doc matches → top-10 by docid asc = 0..9
+    hits = oracle_search(idx, ConstantScore(Prefix("za")), k=10)
+    assert [d for d, _s in hits] == list(range(10))
+    assert all(s == 1.0 for _d, s in hits)
+    hits2 = oracle_search(
+        idx, Prefix("za", rewrite_method=REWRITE_CONST_FILTER), k=10)
+    assert [d for d, _s in hits2] == list(range(10))
+    # capped boolean rewrite: only the first 1024 terms in TERM order
+    # (za0001..za1024 ↔ docids 476..1499) can match
+    from lucene_spark.oracle import expand_multiterm
+    capped = expand_multiterm(idx.terms_sorted, Prefix("za"))
+    assert len(capped) == 1024
+    uncapped = expand_multiterm(idx.terms_sorted, Prefix("za"),
+                                max_clauses=None)
+    assert len(uncapped) == n
+
+
+def test_const_filter_consistent_across_apis(searcher):
+    """search / matching / count / search_many must agree on a top-level
+    constant-score-filter query (all take the same uncapped pushdown)."""
+    from lucene_spark.queries.ast import REWRITE_CONST_FILTER, Prefix
+
+    q = Prefix("seven", rewrite_method=REWRITE_CONST_FILTER)
+    top = [(int(r["docid"]), float(r["score"]))
+           for r in searcher.search(q, k=10).collect()]
+    all_ids = sorted(int(r["docid"]) for r in searcher.matching(q).collect())
+    assert [d for d, _s in top] == all_ids[:10]
+    assert searcher.count(q) == len(all_ids)
+    batch = searcher.search_many({"f": q}, k=10).collect()
+    assert [(int(r["docid"]), float(r["score"])) for r in batch] == top
+
+
+def test_manifest_config_tolerates_pre_upgrade_manifests(tmp_path):
+    """An old index (manifests without field_analyzers) appended to by new
+    code must still pass config validation, in either manifest order."""
+    import json as _json
+    import os as _os
+
+    from lucene_spark.indexing.build import read_manifest_config
+
+    base = {"analyzer": "whitespace", "analyzed_fields": [],
+            "keyword_fields": ["lang", "url"], "store_positions": True,
+            "block_size": 128, "status": "committed"}
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    old = dict(base)  # pre-upgrade: no field_analyzers key
+    new = dict(base, field_analyzers={})
+    for order, (a, b) in enumerate(((old, new), (new, old))):
+        for p in mdir.glob("*.json"):
+            _os.remove(p)
+        (mdir / "seg_000000.json").write_text(_json.dumps(a))
+        (mdir / "seg_000001.json").write_text(_json.dumps(b))
+        cfg = read_manifest_config(str(tmp_path))
+        assert cfg["field_analyzers"] == {}, order
+
+
+def test_compact_updates_destination_manifest_docs(spark, tmp_path_factory):
+    """compact_segments must re-level the DESTINATION manifest (docs =
+    group total): find_merges levels by manifest docs, and a stale
+    per-source count would re-merge the big destination with every fresh
+    small batch (LogMergePolicy.java:41 cascade)."""
+    import json as _json
+    import os as _os
+
+    from lucene_spark.indexing.merge import compact_segments
+    from tests.conftest import write_pages_files
+
+    d = str(tmp_path_factory.mktemp("pages_cmp"))
+    out = str(tmp_path_factory.mktemp("idx_cmp"))
+    write_pages_files(d, 120, 4)
+    build_index(spark, d, out, target_docs_per_seg=30)
+    merge_index(spark, out)
+    compact_segments(spark, out, [0, 1, 2])
+    with open(_os.path.join(out, "manifests", "seg_000000.json")) as f:
+        m = _json.load(f)
+    assert m["docs"] == 90
+    assert m["merged_from"] == [0, 1, 2]
+    assert m["docid_range"] == [0, 89]
+
+
+def test_multimodal_truncated_raises_valueerror():
+    from lucene_spark.multimodal import build_jpeg, build_png, decode_meta
+
+    for blob in (build_png(10, 10)[:20], build_jpeg(8, 8)[:6]):
+        with pytest.raises(ValueError):
+            decode_meta(blob)
+
+
+def test_unknown_field_matches_nothing(searcher, oracle_index):
+    """Schema-free field semantics (reference QueryParser): an unindexed
+    field name yields a field-scoped query that matches nothing — never a
+    silent fallback to the default field."""
+    for qs in ['author:"one hundred"', "author:one", "author:on*",
+               "author:one~1"]:
+        q = searcher.parse(qs)
+        assert searcher.search(q, k=5).count() == 0, qs
+        assert oracle_search(oracle_index, q, 5) == [], qs
