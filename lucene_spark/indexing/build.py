@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading as _threading
 import time
 
 import numpy as np
@@ -634,16 +635,48 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     tp = time.time()
     # commit point: per-seg manifest with lineage + metrics (written last).
-    # Stats scan only the tiny scalar columns (seg/salt/df — parquet column
-    # pruning keeps the blobs on disk); postings bytes come from file sizes.
-    stats = {r["seg"]: r for r in (
-        spark.read.parquet(os.path.join(out_dir, "postings"))
-        .where(F.col("seg").isin(segs))
-        .groupBy("seg")
-        .agg(F.count("*").alias("posting_rows"),
-             F.sum((F.col("salt") == 0).cast("long")).alias("terms"),
-             F.sum("df").alias("postings"))
-        .collect())}
+    # Two tiny stats jobs — postings counters (scan only the scalar
+    # seg/salt/df columns; parquet pruning keeps the blobs on disk) and
+    # per-seg doclen sums from the forward index (one row per doc). The
+    # length sums let merge_index fold the corpus stats (N, avgdl,
+    # total_tokens) from manifests on the driver with NO Spark job — at two
+    # cores vs eight that job was pure serial floor. Both collects run
+    # concurrently so the chunk pays one job-latency, not two.
+    stats: dict = {}
+    dstats: dict = {}
+    _thread_err: list[BaseException] = []
+
+    def _collect_postings_stats():
+        try:
+            for r in (spark.read.parquet(os.path.join(out_dir, "postings"))
+                      .where(F.col("seg").isin(segs))
+                      .groupBy("seg")
+                      .agg(F.count("*").alias("posting_rows"),
+                           F.sum((F.col("salt") == 0).cast("long")).alias("terms"),
+                           F.sum("df").alias("postings"))
+                      .collect()):
+                stats[r["seg"]] = r
+        except BaseException as e:  # re-raised on the caller thread
+            _thread_err.append(e)
+
+    _pt = _threading.Thread(target=_collect_postings_stats)
+    _pt.start()
+    for r in (tok.groupBy("seg").agg(
+            F.sum("doclen").alias("sum_doclen")).collect()):
+        dstats[r["seg"]] = {"sum_doclen": int(r["sum_doclen"] or 0)}
+    if analyzed_fields:
+        # per-field sums + doc counts: merge_index folds per-field avgdl
+        # (the per-field norms stats, reference index/NormsWriter.java:61)
+        for r in (tok.select("seg", F.explode("fdl").alias("field", "dl"))
+                  .groupBy("seg", "field")
+                  .agg(F.sum("dl").alias("s"), F.count("dl").alias("c"))
+                  .collect()):
+            d = dstats.setdefault(r["seg"], {})
+            d.setdefault("sum_fdl", {})[r["field"]] = int(r["s"])
+            d.setdefault("docs_fdl", {})[r["field"]] = int(r["c"])
+    _pt.join()
+    if _thread_err:
+        raise _thread_err[0]
     # docs per segment come from the plan (docid ranges are assigned from
     # file row counts, so plan rows ≡ written docmap rows); counting the
     # docmap again was one more serial Spark job per chunk — deep
@@ -671,6 +704,10 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "terms": int(s["terms"]) if s else 0,
             "posting_rows": int(s["posting_rows"]) if s else 0,
             "postings": int(s["postings"]) if s else 0,
+            "sum_doclen": int(dstats.get(seg, {}).get("sum_doclen", 0)),
+            **({"sum_fdl": dstats.get(seg, {}).get("sum_fdl", {}),
+                "docs_fdl": dstats.get(seg, {}).get("docs_fdl", {})}
+               if analyzed_fields else {}),
             "postings_bytes": _seg_bytes(seg),
             "wall_ms": int(wall * 1000),
             # chunk-level phase walls (shared by every segment in this

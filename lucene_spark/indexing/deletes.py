@@ -183,5 +183,43 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
 
     shutil.rmtree(deleted_path(index_dir), ignore_errors=True)
+
+    # refresh the affected manifests: merge_index folds corpus stats (N,
+    # avgdl) from manifest docs/sum_doclen, so the physical removal must
+    # land there or the fold would resurrect expunged docs. One small agg
+    # over the rewritten docmap partitions; rename-commit per manifest.
+    import json
+
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")) \
+        .where(F.col("seg").isin(segs))
+    aggs = [F.count("*").alias("docs"), F.sum("doclen").alias("sum_doclen")]
+    per_seg = {int(r["seg"]): r for r in dm.groupBy("seg").agg(*aggs).collect()}
+    fdl_sums: dict = {}
+    if "fdl" in dm.columns and cfg.get("analyzed_fields"):
+        for r in (dm.select("seg", F.explode("fdl").alias("field", "dl"))
+                  .groupBy("seg", "field")
+                  .agg(F.sum("dl").alias("s"), F.count("dl").alias("c"))
+                  .collect()):
+            d = fdl_sums.setdefault(int(r["seg"]), {"sum_fdl": {}, "docs_fdl": {}})
+            d["sum_fdl"][r["field"]] = int(r["s"])
+            d["docs_fdl"][r["field"]] = int(r["c"])
+    for s in segs:
+        mp = os.path.join(index_dir, "manifests", f"seg_{s:06d}.json")
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as f:
+            m = json.load(f)
+        r = per_seg.get(s)
+        m["docs"] = int(r["docs"]) if r is not None else 0
+        m["sum_doclen"] = int(r["sum_doclen"] or 0) if r is not None else 0
+        if s in fdl_sums:
+            m.update(fdl_sums[s])
+        elif cfg.get("analyzed_fields"):
+            m["sum_fdl"], m["docs_fdl"] = {}, {}
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, mp)
+
     stats = merge_index(spark, index_dir)
     return {"expunged": int(n_del), "segments": sorted(segs), "stats": stats}

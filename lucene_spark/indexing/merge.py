@@ -34,20 +34,104 @@ from .build import POSTINGS_SCHEMA
 
 
 def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> dict:
-    """Build term_dict/ (globally sorted by term) + stats.json."""
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (postings.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
-             F.countDistinct("seg").alias("n_segs"),
-             F.count("*").alias("n_rows"))
-        .repartitionByRange(dict_partitions, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict")))
+    """Build term_dict/ (globally sorted by term) + stats.json.
 
-    docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
-    row = docmap.agg(F.count("*").alias("N"), F.avg("doclen").alias("avgdl"),
-                     F.sum("doclen").alias("total_tokens"),
-                     F.countDistinct("seg").alias("n_segments")).collect()[0]
+    The dictionary is the only corpus-sized job here: groupBy(term) over the
+    per-seg postings metadata columns, persisted before the range
+    repartition so the RangePartitioner's sampling pass reads the cached
+    aggregate instead of re-running the postings scan. Corpus stats (N,
+    avgdl, total_tokens, per-field avgdl) fold from the per-segment
+    manifests on the driver — zero Spark jobs — whenever every committed
+    manifest carries `sum_doclen` (written by _build_chunk); the docmap
+    aggregation remains as the fallback for indexes built before that
+    field existed. validate_index independently recomputes N/avgdl from
+    the docmap and asserts equality to 1e-9, so the fold is not trusted
+    blindly. The dictionary write runs on a helper thread concurrent with
+    the (rare) stats fallback job."""
+    import threading
+
+    from pyspark import StorageLevel
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    agg = (postings.groupBy("term")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _err: list[BaseException] = []
+
+    def _write_dict():
+        try:
+            (agg.repartitionByRange(dict_partitions, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "term_dict")))
+        except BaseException as e:
+            _err.append(e)
+
+    th = threading.Thread(target=_write_dict)
+    th.start()
+
+    analyzer = None
+    field_analyzers: dict = {}
+    analyzed_fields: list = []
+    keyword_fields: list = ["lang", "url"]
+    committed: list[dict] = []
+    mdir = os.path.join(out_dir, "manifests")
+    if os.path.isdir(mdir):
+        for n in sorted(os.listdir(mdir)):
+            if not n.endswith(".json"):
+                continue
+            with open(os.path.join(mdir, n)) as f:
+                m = json.load(f)
+            if analyzer is None:
+                analyzer = m.get("analyzer")
+                field_analyzers = m.get("field_analyzers", {})
+                analyzed_fields = m.get("analyzed_fields", [])
+                keyword_fields = m.get("keyword_fields", keyword_fields)
+            if m.get("status") == "committed":
+                committed.append(m)
+
+    foldable = (bool(committed)
+                and all("sum_doclen" in m for m in committed)
+                and (not analyzed_fields
+                     or all("sum_fdl" in m for m in committed)))
+    if foldable:
+        n_docs = sum(int(m.get("docs", 0)) for m in committed)
+        total_tokens = sum(int(m["sum_doclen"]) for m in committed)
+        n_segments = len(committed)
+        avgdl = (float(total_tokens) / n_docs) if n_docs else 0.0
+        avgdl_fields = {}
+        if analyzed_fields:
+            sums: dict = {}
+            cnts: dict = {}
+            for m in committed:
+                for fld, s in (m.get("sum_fdl") or {}).items():
+                    sums[fld] = sums.get(fld, 0) + int(s)
+                for fld, c in (m.get("docs_fdl") or {}).items():
+                    cnts[fld] = cnts.get(fld, 0) + int(c)
+            avgdl_fields = {fld: float(sums[fld]) / cnts[fld]
+                            for fld in sums if cnts.get(fld)}
+    else:
+        docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+        row = docmap.agg(
+            F.count("*").alias("N"), F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+            F.countDistinct("seg").alias("n_segments")).collect()[0]
+        n_docs = int(row["N"])
+        avgdl = float(row["avgdl"] or 0.0)
+        total_tokens = int(row["total_tokens"] or 0)
+        n_segments = int(row["n_segments"])
+        # per-field average length (per-field norms stats — the avgdl of
+        # each extra ANALYZED field, reference index/NormsWriter.java:61)
+        avgdl_fields = {}
+        if analyzed_fields and "fdl" in docmap.columns:
+            rows_f = (docmap.select(F.explode("fdl").alias("field", "dl"))
+                      .groupBy("field").agg(F.avg("dl").alias("avgdl")).collect())
+            avgdl_fields = {r["field"]: float(r["avgdl"]) for r in rows_f}
+
+    th.join()
+    agg.unpersist()
+    if _err:
+        raise _err[0]
     # n_terms from parquet footers (driver-side metadata, no Spark job)
     td_dir = os.path.join(out_dir, "term_dict")
     import pyarrow.parquet as pq
@@ -55,39 +139,17 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         pq.ParquetFile(os.path.join(r, n)).metadata.num_rows
         for r, _d, names in os.walk(td_dir) for n in names
         if n.endswith(".parquet"))
-    analyzer = None
-    field_analyzers: dict = {}
-    analyzed_fields: list = []
-    keyword_fields: list = ["lang", "url"]
-    mdir = os.path.join(out_dir, "manifests")
-    if os.path.isdir(mdir):
-        for n in sorted(os.listdir(mdir)):
-            if n.endswith(".json"):
-                with open(os.path.join(mdir, n)) as f:
-                    m = json.load(f)
-                analyzer = m.get("analyzer")
-                field_analyzers = m.get("field_analyzers", {})
-                analyzed_fields = m.get("analyzed_fields", [])
-                keyword_fields = m.get("keyword_fields", keyword_fields)
-                break
-    # per-field average length (per-field norms stats — the avgdl of each
-    # extra ANALYZED field, reference index/NormsWriter.java:61 per-field)
-    avgdl_fields: dict = {}
-    if analyzed_fields and "fdl" in docmap.columns:
-        rows_f = (docmap.select(F.explode("fdl").alias("field", "dl"))
-                  .groupBy("field").agg(F.avg("dl").alias("avgdl")).collect())
-        avgdl_fields = {r["field"]: float(r["avgdl"]) for r in rows_f}
     stats = {
         "analyzer": analyzer or "standard",
         "field_analyzers": field_analyzers,
-        "N": int(row["N"]),
-        "avgdl": float(row["avgdl"] or 0.0),
+        "N": int(n_docs),
+        "avgdl": float(avgdl),
         "avgdl_fields": avgdl_fields,
         "analyzed_fields": analyzed_fields,
         "keyword_fields": keyword_fields,
-        "total_tokens": int(row["total_tokens"] or 0),
+        "total_tokens": int(total_tokens),
         "n_terms": int(n_terms),
-        "n_segments": int(row["n_segments"]),
+        "n_segments": int(n_segments),
     }
     tmp = os.path.join(out_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
@@ -275,6 +337,10 @@ def compact_segments(
                              spark.createDataFrame(moved_tombstones))
     group_docs = 0
     group_postings = 0
+    group_doclen = 0
+    doclen_known = True  # pre-sum_doclen manifests can't fold lengths
+    group_fdl: dict = {}
+    group_docs_fdl: dict = {}
     ranges: list[list[int]] = []
     for s in seg_group:
         mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
@@ -283,6 +349,14 @@ def compact_segments(
                 m = json.load(f)
             group_docs += int(m.get("docs", 0))
             group_postings += int(m.get("postings", 0))
+            if "sum_doclen" in m:
+                group_doclen += int(m["sum_doclen"])
+            else:
+                doclen_known = False
+            for fld, v in (m.get("sum_fdl") or {}).items():
+                group_fdl[fld] = group_fdl.get(fld, 0) + int(v)
+            for fld, v in (m.get("docs_fdl") or {}).items():
+                group_docs_fdl[fld] = group_docs_fdl.get(fld, 0) + int(v)
             if m.get("docid_range"):
                 ranges.append(m["docid_range"])
     for s in seg_group:
@@ -313,6 +387,18 @@ def compact_segments(
             m = json.load(f)
         m["docs"] = group_docs
         m["postings"] = group_postings
+        if doclen_known:
+            m["sum_doclen"] = group_doclen
+        else:
+            # a source without length sums poisons the fold — drop the key
+            # so merge_index falls back to the docmap aggregation
+            m.pop("sum_doclen", None)
+        if group_fdl and doclen_known:
+            m["sum_fdl"] = group_fdl
+            m["docs_fdl"] = group_docs_fdl
+        elif not doclen_known:
+            m.pop("sum_fdl", None)
+            m.pop("docs_fdl", None)
         m["merged_from"] = sorted(seg_group)
         if ranges:
             m["docid_range"] = [min(r[0] for r in ranges),
