@@ -592,14 +592,25 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     tok = spark.read.parquet(os.path.join(out_dir, "tokens")).where(F.col("seg").isin(segs))
 
-    # docmap: one row per doc already — pure column projection, no shuffle
+    # docmap: one row per doc already — pure column projection, no shuffle.
+    # It reads the just-written tokens files, same as the postings job, so
+    # the two run CONCURRENTLY (helper thread): the tiny projection fills
+    # scheduler gaps in the big shuffle instead of adding its own job
+    # barrier to the chunk's critical path.
     tp = time.time()
-    (tok.select("seg", "docid", "url", "lang", "doclen", "fdl")
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
-        .parquet(os.path.join(out_dir, "docmap")))
-    phases["docmap_ms"] = int((time.time() - tp) * 1000)
+    _dm_err: list[BaseException] = []
 
-    tp = time.time()
+    def _write_docmap():
+        try:
+            (tok.select("seg", "docid", "url", "lang", "doclen", "fdl")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic").partitionBy("seg")
+                .parquet(os.path.join(out_dir, "docmap")))
+        except BaseException as e:
+            _dm_err.append(e)
+
+    _dm_t = _threading.Thread(target=_write_docmap)
+    _dm_t.start()
     # postings: ONE corpus shuffle (repartition by seg — bounded groups, the
     # segment is the salt), then a JVM Tungsten sort within each partition
     # by (seg, term, docid) feeding the streaming encoder. Output lands one
@@ -631,6 +642,12 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                      schema=POSTINGS_SCHEMA)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
+    _dm_t.join()
+    if _dm_err:
+        raise _dm_err[0]
+    # joint wall of the overlapped docmap+postings jobs (docmap_ms kept at 0
+    # for schema continuity — its work is inside postings_ms now)
+    phases["docmap_ms"] = 0
     phases["postings_ms"] = int((time.time() - tp) * 1000)
 
     tp = time.time()
