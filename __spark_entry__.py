@@ -448,15 +448,15 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 def _q_dedup_simhash(spark, sf_dir):
     """60-bit SimHash over whitespace tokens, tf-weighted. The 60 per-bit
-    signed sums are 60 conditional-aggregation COLUMNS over the (doc, term,
-    tf) table — the round-1 version exploded one row per bit (60× shuffle
-    blowup); this shape is map-side combinable and shuffles the tf table
-    once, then packs the sign bits JVM-side."""
-    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"))
-    tf = tf.withColumn("h", _h60("term"))
-    per = tf.groupBy("doc_id").agg(
-        *[F.sum(F.col("tf") * (F.expr(f"(h >> {b}) & 1") * 2 - 1)).alias(f"s{b}")
+    signed sums are 60 aggregation COLUMNS over raw token instances — the
+    tf-weighted sum over distinct terms equals the plain sign sum over
+    instances (sum_t tf(t)*sign_b(t) == sum over occurrences of sign_b), so
+    no intermediate (doc,term) tf aggregation is needed: ONE map-side
+    combinable shuffle of the token table, sign bits packed JVM-side.
+    (Round 1 exploded one row per bit — a 60x shuffle blowup.)"""
+    tok = _tokens(spark, sf_dir).withColumn("h", _h60("term"))
+    per = tok.groupBy("doc_id").agg(
+        *[F.sum(F.expr(f"(h >> {b}) & 1") * 2 - 1).alias(f"s{b}")
           for b in range(60)])
     simhash = None
     for b in range(60):
