@@ -340,7 +340,12 @@ _JAC_MIN = 0.5
 
 
 def _cand_pairs_by_shingle(sh: DataFrame) -> DataFrame:
-    """Candidate pairs sharing ≥1 non-head shingle + exact jaccard verify."""
+    """Candidate pairs sharing ≥1 non-head shingle + exact jaccard verify.
+
+    `sh` should be the persisted shingle table (_shingles_cached): it ends
+    in a distinct() (a full shuffle) and is consumed three times below
+    (bucket counts, capped join sides, per-doc sizes) — recomputing the
+    distinct per consumer would triple the dominant shuffle at any scale."""
     ok = sh.groupBy("shingle").count().where(F.col("count") <= _BUCKET_CAP)
     shf = sh.join(F.broadcast(ok.select("shingle")), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
