@@ -29,6 +29,9 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -451,24 +454,56 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return _jaccard_verify(inter, sizes)
 
 
+def _simhash60_udf():
+    """Arrow-batched scalar UDF: 60-bit tf-weighted SimHash of one text.
+
+    SimHash is a PER-DOCUMENT function of the document's own tokens, so it
+    needs NO shuffle at all — earlier rounds derived it from the exploded
+    token table (round 1: 60 rows per (doc,term); round 2a: a 60-column
+    groupBy aggregate), paying a corpus-wide shuffle for what is an
+    embarrassingly parallel map. This computes it in one Arrow batch pass
+    over `text`: per-batch memoized term -> ±1 bit-vector (md5-derived, so
+    cross-engine identical to the DuckDB oracle), Counter for tf weights,
+    numpy for the 60 signed sums. Memoization is bounded by batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch), so vocabulary growth at
+    100 TB cannot accumulate executor memory."""
+    from collections import Counter
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash60(text: pd.Series) -> pd.Series:
+        memo: dict = {}
+        bitpos = np.arange(60)
+
+        def vec(t: str):
+            v = memo.get(t)
+            if v is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                v = np.fromiter((((h >> b) & 1) * 2 - 1 for b in range(60)),
+                                dtype=np.int64, count=60)
+                if len(memo) > (1 << 20):  # adversarial-vocab memory cap
+                    memo.clear()
+                memo[t] = v
+            return v
+
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, s in enumerate(text):
+            acc = np.zeros(60, dtype=np.int64)
+            for t, tf in Counter(s.split(" ")).items():
+                acc += tf * vec(t)
+            out[i] = int(((acc > 0).astype(np.int64) << bitpos).sum())
+        return pd.Series(out)
+
+    return simhash60
+
+
 def _q_dedup_simhash(spark, sf_dir):
-    """60-bit SimHash over whitespace tokens, tf-weighted. The 60 per-bit
-    signed sums are 60 aggregation COLUMNS over raw token instances — the
-    tf-weighted sum over distinct terms equals the plain sign sum over
-    instances (sum_t tf(t)*sign_b(t) == sum over occurrences of sign_b), so
-    no intermediate (doc,term) tf aggregation is needed: ONE map-side
-    combinable shuffle of the token table, sign bits packed JVM-side.
-    (Round 1 exploded one row per bit — a 60x shuffle blowup.)"""
-    tok = _tokens(spark, sf_dir).withColumn("h", _h60("term"))
-    per = tok.groupBy("doc_id").agg(
-        *[F.sum(F.expr(f"(h >> {b}) & 1") * 2 - 1).alias(f"s{b}")
-          for b in range(60)])
-    simhash = None
-    for b in range(60):
-        bit = F.when(F.col(f"s{b}") > 0,
-                     F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = bit if simhash is None else simhash + bit
-    return (per.select("doc_id", simhash.cast("long").alias("simhash"))
+    """60-bit SimHash over whitespace tokens, tf-weighted — zero-shuffle:
+    one narrow map stage over documents (see _simhash60_udf). Bit b of the
+    hash is set iff sum over token instances of (2*bit_b(md5(term))-1) > 0,
+    matching the DuckDB oracle term-for-term."""
+    return (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+            .select("doc_id", _simhash60_udf()("text").alias("simhash"))
             .orderBy("doc_id"))
 
 
