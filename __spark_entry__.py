@@ -418,7 +418,9 @@ def _minhash_sigs(spark, sf_dir, sh: DataFrame | None = None) -> DataFrame:
 
 
 def _q_dedup_minhash_sig(spark, sf_dir):
-    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
+    # the cached (shingles, sigs) pair — a bare _minhash_sigs() would
+    # re-run the dominant distinct shuffle the cache exists to share
+    return _minhash_cached(spark, sf_dir)[1].orderBy("doc_id")
 
 
 _MINHASH_CACHE: dict = {}
@@ -685,6 +687,21 @@ def _bucket_col():
     return F.expr(" + ".join(bits))
 
 
+def _bucket_py(vec) -> int:
+    """Driver-side twin of _bucket_col: the SAME left-associative double
+    fold and strict >0 sign rule (embedding floats widen exactly to double
+    on both paths). test_ann pins engine == python on fixture vectors —
+    edit BOTH or the LSH probe silently searches the wrong buckets."""
+    b = 0
+    for j, p in enumerate(_lsh_planes()):
+        acc = 0.0
+        for x, y in zip(vec, p):
+            acc += float(x) * y
+        if acc > 0.0:
+            b |= 1 << j
+    return b
+
+
 def _q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH: 8 sign bits → bucket id per vector (the
     scale path for ANN: candidate generation via bucket equality join)."""
@@ -713,17 +730,10 @@ def _q_ann_lsh_search(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     with_b = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
     qvec = _qvec(spark, sf_dir, 0)
-    # the query's own signature, folded driver-side with the identical
-    # left-associative double ops as _bucket_col (embedding floats widen
-    # exactly to double on both paths) — saves a full corpus pass that
+    # the query's own signature, folded driver-side (_bucket_py ==
+    # _bucket_col by construction + test) — saves a full corpus pass that
     # existed only to read back one row
-    qb = 0
-    for j, p in enumerate(_lsh_planes()):
-        acc = 0.0
-        for x, y in zip(qvec, p):
-            acc += x * y
-        if acc > 0.0:
-            qb |= 1 << j
+    qb = _bucket_py(qvec)
     lit_arr = _dlit_arr(qvec)
     cand = with_b.where(
         (F.col("vec_id") != 0)
@@ -787,9 +797,6 @@ def _q_ann_ivf_search(spark, sf_dir):
     # left-associative double adds the JVM aggregate would do (and the
     # same math.sqrt), so every cosine stays bit-identical to the oracle;
     # the vector's own norm is computed once, not once per cell.
-    def _d(v: float) -> str:  # exact double literal (repr round-trips)
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
-
     def _sumsq(c) -> float:
         acc = 0.0
         for a in c:
@@ -800,12 +807,12 @@ def _q_ann_ivf_search(spark, sf_dir):
               "CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
     cells = []
     for i in range(_N_IVF_CELLS):
-        arr = ", ".join(_d(v) for v in cents_np[i])
+        arr = ", ".join(_dlit(v) for v in cents_np[i])
         nb = float(np.sqrt(_sumsq(cents_np[i])))
         dot = (f"aggregate(zip_with(embedding, array({arr}), "
                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
                f"(acc, x) -> acc + x)")
-        cells.append(f"round({dot} / (sqrt(na) * {_d(nb)}), 10)")
+        cells.append(f"round({dot} / (sqrt(na) * {_dlit(nb)}), 10)")
     cos_arr = F.expr("array(" + ", ".join(cells) + ")")
     assign = (
         emb.withColumn("na", F.expr(na_sql))

@@ -34,13 +34,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
 OUT_DDL = "key string, url string, first_ts timestamp"
-STATE_DDL = "url string, first long, n_dups long"
+# first/last are event-time MICROSECONDS (sub-second order matters for the
+# first-occurrence tiebreak; whole seconds would collapse it)
+STATE_DDL = "url string, first long, last long, n_dups long"
 
 
 def _keyed(spark: SparkSession, input_dir: str, watermark: str) -> DataFrame:
+    # pages with NULL text carry no dedup signal: excluded up front so both
+    # variants (and the batch twin) agree instead of one fabricating a
+    # null-key group
     return (
         spark.readStream.schema(PAGES_DDL).parquet(input_dir)
         .withWatermark("warc_ts", watermark)
+        .where(F.col("text").isNotNull())
         .select(F.md5(F.col("text").cast("binary")).alias("key"),
                 "url", "warc_ts")
     )
@@ -52,8 +58,11 @@ def streaming_dedup_pages(
     *,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """First occurrence per content key, duplicates dropped while the key
-    is within the watermark window (built-in bounded-state dedup)."""
+    """ONE representative per content key while the key is within the
+    watermark window (built-in bounded-state dedup). Note Spark's contract:
+    the survivor is whichever duplicate is PROCESSED first, which inside a
+    single micro-batch is not necessarily the earliest warc_ts — use the
+    stateful variant when the earliest-(ts, url) pick matters."""
     return (
         _keyed(spark, input_dir, watermark)
         .dropDuplicatesWithinWatermark(["key"])
@@ -68,10 +77,16 @@ def streaming_dedup_pages_stateful(
     ttl_s: int = 86_400,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """First occurrence per content key with a TTL decoupled from the
-    watermark: duplicates are suppressed until no occurrence has been seen
-    for `ttl_s` of EVENT time, then the key is evicted."""
+    """First occurrence (earliest event time, url tiebreak) per content key
+    with a TTL decoupled from the watermark: duplicates are suppressed
+    until no occurrence has been seen for `ttl_s` of EVENT time, then the
+    key is evicted."""
     stream = _keyed(spark, input_dir, watermark)
+    # Arrow hands the UDF session-timezone-naive timestamps; the state
+    # timeout compares against the TRUE event-time watermark epoch, so the
+    # naive values must be localized back through the session zone (a
+    # non-UTC session would otherwise evict keys offset by the UTC gap)
+    tz = spark.conf.get("spark.sql.session.timeZone")
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -86,23 +101,29 @@ def streaming_dedup_pages_stateful(
                 for ts, url in zip(pdf["warc_ts"], pdf["url"]):
                     # NaT-safe: a null event time cannot order a first-seen
                     if ts is not None and ts == ts:
-                        rows.append((int(ts.timestamp()), str(url)))
+                        us = ts.tz_localize(tz).value // 1_000
+                        rows.append((us, str(url)))
             rows.sort()
             if rows:
                 if state.exists:
-                    url0, first, n_dups = state.get
-                    last = rows[-1][0]
-                    state.update((url0, first, n_dups + len(rows)))
+                    url0, first, last, n_dups = state.get
+                    # max(): a LATE duplicate must not move the TTL horizon
+                    # backwards and shorten the documented suppression window
+                    last = max(last, rows[-1][0])
+                    state.update((url0, first, last, n_dups + len(rows)))
                 else:
                     first, url0 = rows[0]
                     last = rows[-1][0]
-                    state.update((url0, first, len(rows) - 1))
-                    out.append((k, url0, pd.Timestamp(first, unit="s")))
+                    state.update((url0, first, last, len(rows) - 1))
+                    out.append((k, url0,
+                                pd.Timestamp(first * 1_000, unit="ns",
+                                             tz="UTC").tz_convert(tz)
+                                .tz_localize(None)))
                 # evict when the watermark passes last occurrence + TTL;
                 # clamp above the current watermark (Spark rejects a
                 # timeout at/under it — see streaming/sessions.py)
                 state.setTimeoutTimestamp(
-                    max((last + ttl_s) * 1000,
+                    max(last // 1_000 + ttl_s * 1_000,
                         state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(out, columns=["key", "url", "first_ts"])
 

@@ -37,6 +37,11 @@ def streaming_sessionize(
     stream = (spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
               .withWatermark("ts", watermark)
               .select("user_id", "ts"))
+    # Arrow hands the UDF session-timezone-naive timestamps while the state
+    # timeout compares against the TRUE event-time watermark epoch — localize
+    # through the session zone or a non-UTC session flushes sessions offset
+    # by the UTC gap (same contract as streaming/dedup.py)
+    tz = spark.conf.get("spark.sql.session.timeZone")
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -52,7 +57,7 @@ def streaming_sessionize(
             ts: list[int] = []
             for pdf in pdfs:
                 # NaT-safe: null event times carry no session information
-                ts.extend(int(v.timestamp()) for v in pdf["ts"]
+                ts.extend(int(v.tz_localize(tz).timestamp()) for v in pdf["ts"]
                           if v is not None and v == v)
             ts.sort()
             if state.exists:

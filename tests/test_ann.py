@@ -57,3 +57,17 @@ def test_ivf_recall_at_10():
     ivf = ids[cmask][np.argsort(-cos_to_q(x[cmask]))[:10]]
     recall = len(set(brute) & set(ivf)) / 10.0
     assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_bucket_py_matches_engine(spark):
+    """_bucket_py (driver-side LSH signature fold used for the query's own
+    bucket) must equal the engine's _bucket_col for every fixture vector —
+    the invariant that keeps multi-probe search honest."""
+    import __spark_entry__ as entrymod
+
+    got = {int(r["vec_id"]): int(r["bucket"])
+           for r in entrymod.extra_queries()["ann_lsh_buckets"](
+               spark, SF_DIR).collect()}
+    ids, x = _vectors()
+    for vid, vec in list(zip(ids, x))[:50]:
+        assert got[int(vid)] == entrymod._bucket_py(vec), int(vid)

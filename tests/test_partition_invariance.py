@@ -10,8 +10,7 @@ that any LogMergePolicy state of the same documents scores identically
 import math
 
 from lucene_spark.indexing import IndexReader, build_index, merge_index
-from lucene_spark.oracle import build_oracle_index, oracle_search
-from lucene_spark.fixtures import pages_pdf
+from lucene_spark.oracle import oracle_search
 from lucene_spark.queries import parse_query
 from lucene_spark.queries.planner import Searcher
 
@@ -26,7 +25,8 @@ def _build(spark, pages_dir, out, per_seg):
     return IndexReader(spark, out)
 
 
-def test_segment_layout_invariance(spark, pages_dir, tmp_path_factory):
+def test_segment_layout_invariance(spark, pages_dir, oracle_index,
+                                   tmp_path_factory):
     coarse = _build(spark, pages_dir,
                     str(tmp_path_factory.mktemp("inv_coarse")), 400)
     fine = _build(spark, pages_dir,
@@ -40,8 +40,7 @@ def test_segment_layout_invariance(spark, pages_dir, tmp_path_factory):
     assert math.isclose(coarse.avgdl, fine.avgdl, rel_tol=1e-12)
 
     sc, sf = Searcher(coarse), Searcher(fine)
-    oracle = build_oracle_index(
-        list(enumerate(pages_pdf(400)["text"].tolist())))
+    oracle = oracle_index
     for qs in QUERIES:
         a = [(int(r["docid"]), float(r["score"]))
              for r in sc.search(qs, k=K).collect()]

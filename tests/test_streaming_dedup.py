@@ -15,7 +15,7 @@ def _write_pages(path, name, rows):
     """rows: (url, ts_str, text)."""
     os.makedirs(path, exist_ok=True)
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
-    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], format="ISO8601")
     pdf["html"] = [t.encode() for t in pdf["text"]]
     pdf["lang"] = "en"
     pdf = pdf[["url", "warc_ts", "html", "text", "lang"]]
@@ -71,7 +71,11 @@ def test_dedup_stateful_ttl(spark, tmp_path):
     src = str(tmp_path / "pages_dds")
     _write_pages(src, "w1.parquet", [
         ("u2", "2026-01-01 10:05:00", "alpha beta"),  # later ts, same batch
-        ("u1", "2026-01-01 10:00:00", "alpha beta"),  # earliest -> emitted
+        # sub-second earlier than a0 below: microsecond order must decide
+        # (a0 sorts FIRST alphabetically, so whole-second truncation would
+        # wrongly pick it via the url tiebreak)
+        ("u1", "2026-01-01 10:00:00.250", "alpha beta"),
+        ("a0", "2026-01-01 10:00:00.750", "alpha beta"),
         ("u3", "2026-01-01 10:00:00", "gamma delta"),
     ])
     # watermark 1 minute, TTL 1 day: the dup below arrives 2 h later —
