@@ -91,7 +91,11 @@ def main() -> None:
     # host is shared and its effective CPU speed swings ~4x on minute
     # timescales (BENCH.md §1), so a single-shot latency measures the
     # co-tenant, not the engine.
-    N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+    # 3 rounds: round 1 often pays one-time cache materialization (shingle
+    # table, IVF centroids) AND this shared host's co-tenant bursts can eat
+    # a whole round — with 2 rounds the min sometimes never sees a warm,
+    # quiet pass (measured 11 s vs 3 s steady-state on identical code)
+    N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 
     def best_of(fn) -> float:
         return min(_timed(fn) for _ in range(N_ROUNDS))
