@@ -63,16 +63,22 @@ def main() -> None:
     spark.read.parquet(warm_p).count()
 
     # --- 1. index build (timed: build + merge, fresh output) ---------------
+    # best-of-2 like every latency below (reference contrib/benchmark
+    # "Rounds" semantics): the build is the HEADLINE metric and a single
+    # shot on this shared host measures the co-tenant as often as the
+    # engine (observed 1.5k vs 2.9k docs/s on identical code)
     idx_dir = os.path.join(WORK, f"idx_{N_DOCS}_c{CPUS}")
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(
-        spark, corpus, idx_dir,
-        analyzer="standard", store_positions=True,
-        target_docs_per_seg=max(2000, N_DOCS // 64),
-    )
-    merge_index(spark, idx_dir)
-    t_build = time.time() - t0
+    t_build = float("inf")
+    for _ in range(int(os.environ.get("BENCH_BUILD_ROUNDS", "2"))):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            spark, corpus, idx_dir,
+            analyzer="standard", store_positions=True,
+            target_docs_per_seg=max(2000, N_DOCS // 64),
+        )
+        merge_index(spark, idx_dir)
+        t_build = min(t_build, time.time() - t0)
     docs_per_sec = N_DOCS / t_build
 
     # --- 2. reference query set over the built index -----------------------
