@@ -349,8 +349,11 @@ def _cand_pairs_by_shingle(sh: DataFrame) -> DataFrame:
     in a distinct() (a full shuffle) and is consumed three times below
     (bucket counts, capped join sides, per-doc sizes) — recomputing the
     distinct per consumer would triple the dominant shuffle at any scale."""
-    ok = sh.groupBy("shingle").count().where(F.col("count") <= _BUCKET_CAP)
-    shf = sh.join(F.broadcast(ok.select("shingle")), "shingle")
+    # broadcast the OVER-cap (head) shingle set and anti-join: the head set
+    # is tiny by Zipf (the under-cap complement is one row per distinct
+    # shingle — corpus-sized, never broadcastable at 10^9 docs)
+    bad = sh.groupBy("shingle").count().where(F.col("count") > _BUCKET_CAP)
+    shf = sh.join(F.broadcast(bad.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     a = shf.alias("a")
     b = shf.alias("b")
@@ -365,13 +368,20 @@ def _cand_pairs_by_shingle(sh: DataFrame) -> DataFrame:
 
 def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     """(a, b, i) + per-doc sizes → verified pairs. Filter on the RAW ratio
-    (matching the oracle), round only for output."""
+    (matching the oracle), round only for output.
+
+    No broadcast hint on `sizes`: it has ONE ROW PER DOCUMENT, so a
+    broadcast would ship a corpus-sized table to every executor (driver
+    OOM at 10^9 docs). The candidate-pair side (`inter`) is the small side
+    after banding/bucketing — AQE picks the join strategy from measured
+    sizes, and at scale this is a shuffled join keyed on doc_id (or an AQE
+    broadcast of `inter` itself, never of `sizes`)."""
     raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "a")
-                               .withColumnRenamed("ns", "na")), "a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b")
-                          .withColumnRenamed("ns", "nb")), "b")
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("ns", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("ns", "nb"), "b")
         .where(raw >= _JAC_MIN)
         .select("a", "b", F.round(raw, 4).alias("jac"))
         .orderBy("a", "b")
@@ -532,35 +542,53 @@ _STOPWORDS = sorted(
 )
 
 
+def _stop_arr():
+    return F.expr(  # one parsed literal, not 33 py4j lit calls
+        "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")")
+
+
 def _q_text_quality(spark, sf_dir):
     """Per-doc quality metrics: token/type counts, TTR, mean token length,
-    stopword ratio (the reference 33-word English stop set)."""
-    tok = _tokens(spark, sf_dir)
-    stop_arr = F.expr(  # one parsed literal, not 33 py4j lit calls
-        "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")")
+    stopword ratio (the reference 33-word English stop set).
+
+    ZERO-SHUFFLE: every metric is a pure function of one doc's own
+    `split(text)` array, so it is computed with higher-order array
+    functions in a single narrow projection — no posexplode, no
+    groupBy(doc_id) shuffle of O(corpus tokens) rows (the same treatment
+    simhash got in round 2; the contract orderBy is the only exchange).
+    Integer counts widen exactly to double, so ttr/mean_len/stop_ratio
+    match the oracle's explode-groupBy arithmetic bit-for-bit."""
+    arr = F.split("text", " ")
+    n_tokens = F.size(arr).cast("long")
+    n_types = F.size(F.array_distinct(arr)).cast("long")
+    sum_len = F.aggregate(arr, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(arr, lambda x: F.array_contains(_stop_arr(), x)))
     return (
-        tok.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.countDistinct("term").cast("long").alias("n_types"),
-            F.round(F.countDistinct("term") / F.count("*"), 4).alias("ttr"),
-            F.round(F.avg(F.length("term")), 4).alias("mean_len"),
-            F.round(F.sum(F.array_contains(stop_arr, F.col("term")).cast("int"))
-                    / F.count("*"), 4).alias("stop_ratio"),
+        _docs(spark, sf_dir).where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_types.alias("n_types"),
+            F.round(n_types / n_tokens, 4).alias("ttr"),
+            F.round(sum_len / n_tokens, 4).alias("mean_len"),
+            F.round(n_stop / n_tokens, 4).alias("stop_ratio"),
         )
         .orderBy("doc_id")
     )
 
 
 def _q_text_langid(spark, sf_dir):
-    """Stopword-hit-rate language ID heuristic (deterministic)."""
-    tok = _tokens(spark, sf_dir)
-    stop_arr = F.expr(  # one parsed literal, not 33 py4j lit calls
-        "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")")
-    ratio = F.sum(F.array_contains(stop_arr, F.col("term")).cast("int")) / F.count("*")
+    """Stopword-hit-rate language ID heuristic (deterministic). Zero-shuffle
+    like _q_text_quality: per-doc ratio from the doc's own token array."""
+    arr = F.split("text", " ")
+    ratio = (F.size(F.filter(arr, lambda x: F.array_contains(_stop_arr(), x)))
+             / F.size(arr))
     return (
-        tok.groupBy("doc_id")
-        .agg(F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
-             .alias("pred_lang"))
+        _docs(spark, sf_dir).where(F.col("text").isNotNull())
+        .select("doc_id",
+                F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+                .alias("pred_lang"))
         .orderBy("doc_id")
     )
 
@@ -751,12 +779,20 @@ _IVF_NPROBE = 2
 _IVF_CENT_CACHE: dict = {}
 
 
+_IVF_TRAIN_CAP = 65536  # deterministic training-sample bound (see below)
+
+
 def _ivf_centroids(spark, sf_dir):
     """Offline IVF training: deterministic Lloyd's k-means
     (lucene_spark/ann.py — init first-K, cosine assignment rounded 1e-10,
-    centroid means rounded 1e-6, 3 iterations) over the collected vectors.
-    At 100 TB this collect becomes a bounded uniform SAMPLE — training is
-    the cheap offline step; full-corpus ASSIGNMENT stays distributed.
+    centroid means rounded 1e-6, 3 iterations) over a BOUNDED training
+    sample: vec_id < _IVF_TRAIN_CAP (a deterministic prefix — the synthetic
+    ids are uniform, so this is the IVF-norm bounded uniform sample). The
+    collect is therefore capped at CAP×dim doubles (~32 MB) no matter the
+    corpus size — training is the cheap offline step; full-corpus
+    ASSIGNMENT stays distributed (map-only argmax, _q_ann_ivf_search).
+    The DuckDB oracle trains on the SAME vec_id < CAP slice, so quantizer
+    parity holds at every scale, not just below the cap.
     Trained centroids are memoized per (session, sf_dir): a quantizer is
     index-time state, not per-query work."""
     import numpy as np
@@ -767,7 +803,8 @@ def _ivf_centroids(spark, sf_dir):
     if key not in _IVF_CENT_CACHE:
         train = np.array(
             [r["embedding"] for r in
-             _emb(spark, sf_dir).orderBy("vec_id").select("embedding").collect()],
+             _emb(spark, sf_dir).where(F.col("vec_id") < _IVF_TRAIN_CAP)
+             .orderBy("vec_id").select("embedding").collect()],
             dtype=np.float64)
         _IVF_CENT_CACHE[key] = kmeans_train(train, _N_IVF_CELLS)
     return _IVF_CENT_CACHE[key]
@@ -1388,7 +1425,10 @@ def _ivf_sql(iters: int = 3) -> str:
     """Unrolled Lloyd's k-means in SQL mirroring lucene_spark/ann.py's
     determinism contract: init = first K vectors; assignment = argmax of
     cosine rounded to 10 decimals (ties → lowest cell); centroid update =
-    per-component mean rounded to 6 decimals; fixed iteration count."""
+    per-component mean rounded to 6 decimals; fixed iteration count.
+    Training reads ONLY the bounded vec_id < _IVF_TRAIN_CAP sample (`exr`)
+    — the same deterministic cap the engine's _ivf_centroids collects —
+    while the final assignment + probe re-rank run over the full table."""
     k, nprobe = _N_IVF_CELLS, _IVF_NPROBE
     assign_cos = ("round(sum(e.ev * c.cv) / (sqrt(sum(e.ev * e.ev)) "
                   "* sqrt(sum(c.cv * c.cv))), 10)")
@@ -1396,20 +1436,22 @@ def _ivf_sql(iters: int = 3) -> str:
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          generate_subscripts(embedding, 1) - 1 AS d
   FROM embeddings)""",
-            f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM ex WHERE vec_id < {k})"]
+            f"exr AS (SELECT * FROM ex WHERE vec_id < {_IVF_TRAIN_CAP})",
+            f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM exr WHERE vec_id < {k})"]
     for i in range(1, iters + 2):  # final pass = assignment under c{iters}
+        src = "exr" if i <= iters else "ex"  # train on the sample; assign all
         ctes.append(f"""a{i} AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {assign_cos} DESC, c.cell ASC) AS rnk
-    FROM ex e JOIN c{i - 1} c ON e.d = c.d
+    FROM {src} e JOIN c{i - 1} c ON e.d = c.d
     GROUP BY e.vec_id, c.cell)
   WHERE rnk = 1)""")
         if i <= iters:
             ctes.append(f"""c{i} AS (
   SELECT a.cell, e.d, round(avg(e.ev), 6) AS cv
-  FROM a{i} a JOIN ex e USING (vec_id) GROUP BY a.cell, e.d)""")
+  FROM a{i} a JOIN exr e USING (vec_id) GROUP BY a.cell, e.d)""")
     ctes.append(f"""probe AS (
   SELECT cell FROM (
     SELECT c.cell,
