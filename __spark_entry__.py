@@ -221,12 +221,20 @@ def _hydrate_hits(spark, sf_dir, out):
 
 
 def _q_ft_suggest(spark, sf_dir):
-    """Spell suggestion (contrib spellchecker SpellChecker.java): trigram
-    candidate join over the dictionary + JVM levenshtein re-rank."""
-    from lucene_spark.suggest import suggest_similar
+    """Spell suggestion (contrib spellchecker SpellChecker.java): served
+    from the PERSISTED boundary-trigram auxiliary index (indexDictionary
+    analog, built once per cached contract index) — each query is a
+    pushed-down `g IN (…)` scan + JVM levenshtein re-rank, no per-query
+    dictionary explode."""
+    import os as _os
 
-    td = _index(spark, sf_dir).term_dict().where(~F.col("term").contains(":"))
-    return suggest_similar(td, "spakr", n=5, max_edits=2)
+    from lucene_spark.suggest import (
+        build_spellgram_index, spellgram_path, suggest_similar_indexed)
+
+    idx_dir = _index(spark, sf_dir).index_dir
+    if not _os.path.isdir(spellgram_path(idx_dir)):
+        build_spellgram_index(spark, idx_dir)
+    return suggest_similar_indexed(spark, idx_dir, "spakr", n=5, max_edits=2)
 
 
 def _q_ft_highlight(spark, sf_dir):

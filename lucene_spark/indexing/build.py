@@ -45,7 +45,7 @@ from .plan import BuildPlan, make_build_plan, read_build_plan, write_build_plan
 TOKENS_SCHEMA = (
     "seg int, docid long, url string, lang string, doclen int, "
     "terms array<string>, tfs array<int>, positions array<array<int>>, "
-    "dls array<int>, fdl map<string,int>"
+    "dls array<int>, fdl map<string,int>, boost float"
 )
 
 POSTINGS_SCHEMA = (
@@ -131,7 +131,8 @@ def _invert_batch_vectorized(texts, kind: str):
 
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                    keyword_fields: tuple = (), analyzed_fields: tuple = (),
-                   field_analyzers: dict | None = None):
+                   field_analyzers: dict | None = None,
+                   boost_col: str | None = None):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -167,6 +168,10 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
         for pdf in batches:
             c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
             c_terms, c_tfs, c_pos, c_dls, c_fdl = [], [], [], [], []
+            # index-time document boost (document/Document.java:88 setBoost):
+            # carried per doc through the forward index; 1.0 when unset
+            boosts = (pdf[boost_col] if boost_col and boost_col in pdf
+                      else None)
             fps = pdf["fp"].map(lambda p: base_by_path[_norm(p)])
             texts = pdf["text"] if "text" in pdf else None
             htmls = pdf["html"] if "html" in pdf else None
@@ -260,10 +265,16 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 c_pos.append(pos)
                 c_dls.append(dls)
                 c_fdl.append(fdl)
+            if boosts is not None:
+                c_boost = [1.0 if (b is None or b != b) else float(b)
+                           for b in boosts]
+            else:
+                c_boost = [1.0] * len(c_seg)
             yield pd.DataFrame({
                 "seg": c_seg, "docid": c_docid, "url": c_url, "lang": c_lang,
                 "doclen": c_dl, "terms": c_terms, "tfs": c_tfs,
                 "positions": c_pos, "dls": c_dls, "fdl": c_fdl,
+                "boost": c_boost,
             })
 
     return fn
@@ -467,6 +478,7 @@ def build_index(
     keyword_fields: tuple = (),
     analyzed_fields: tuple = (),
     field_analyzers: dict | None = None,
+    boost_col: str | None = None,
 ) -> dict:
     """Build (or resume) the index for parquet pages at input_path.
 
@@ -511,7 +523,7 @@ def build_index(
         segs = pending[ci : ci + chunk]
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
                      max_postings_per_row, block_size, keyword_fields,
-                     analyzed_fields, field_analyzers)
+                     analyzed_fields, field_analyzers, boost_col)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -521,7 +533,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  analyzer: str, store_positions: bool,
                  max_postings_per_row: int, block_size: int,
                  keyword_fields: tuple = (), analyzed_fields: tuple = (),
-                 field_analyzers: dict | None = None) -> None:
+                 field_analyzers: dict | None = None,
+                 boost_col: str | None = None) -> None:
     import pyarrow.parquet as pq
 
     t0 = time.time()
@@ -541,6 +554,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     for kf in keyword_fields:
         if kf in src_schema and kf not in ("lang", "url"):
             cols.insert(1, F.col(kf))
+    if boost_col and boost_col in src_schema:
+        cols.insert(1, F.col(boost_col))
     pages = spark.read.parquet(*paths).select(*cols)
 
     # co-locate each segment's pages in one task BEFORE tokenizing, so the
@@ -581,7 +596,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
-                       keyword_fields, analyzed_fields, field_analyzers),
+                       keyword_fields, analyzed_fields, field_analyzers,
+                       boost_col),
         schema=TOKENS_SCHEMA,
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
@@ -602,7 +618,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
     def _write_docmap():
         try:
-            (tok.select("seg", "docid", "url", "lang", "doclen", "fdl")
+            (tok.select("seg", "docid", "url", "lang", "doclen", "fdl",
+                        "boost")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic").partitionBy("seg")
                 .parquet(os.path.join(out_dir, "docmap")))
@@ -649,6 +666,18 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     # for schema continuity — its work is inside postings_ms now)
     phases["docmap_ms"] = 0
     phases["postings_ms"] = int((time.time() - tp) * 1000)
+
+    if boost_col:
+        # norms side-car: per-doc boost quantized to the reference norm
+        # byte (index/NormsWriter.java:61 via util/SmallFloat.floatToByte315)
+        # — written per segment like the .del tombstones; unboosted builds
+        # skip this entirely (no dir, no kernel work)
+        from .norms import write_norms
+
+        tp = time.time()
+        write_norms(spark, out_dir,
+                    tok.select("seg", "docid", "boost"), mode="overwrite")
+        phases["norms_ms"] = int((time.time() - tp) * 1000)
 
     tp = time.time()
     # commit point: per-seg manifest with lineage + metrics (written last).
@@ -732,6 +761,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             # docmap projection, the postings shuffle+encode, stats collects
             "phase_ms": dict(phases),
             "attempt": 1,
+            "boost_col": boost_col,
             "analyzer": analyzer,
             "analyzed_fields": list(analyzed_fields),
             "field_analyzers": dict(field_analyzers or {}),

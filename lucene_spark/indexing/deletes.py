@@ -148,7 +148,8 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     # layouts fall back to the doc-level doclen
     has_dls = "dls" in tok.columns
     dm_cols = ["seg", "docid", "url", "lang", "doclen"] + (
-        ["fdl"] if "fdl" in tok.columns else [])
+        ["fdl"] if "fdl" in tok.columns else []) + (
+        ["boost"] if "boost" in tok.columns else [])
     zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf"),
                 F.col("positions").alias("positions")] + (
         [F.col("dls").alias("dl")] if has_dls else [])
@@ -183,6 +184,12 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
 
     shutil.rmtree(deleted_path(index_dir), ignore_errors=True)
+
+    # norms side-car: regenerate the affected segments from the rewritten
+    # docmap (expunged docs lose their boost rows with their postings)
+    from .norms import rebuild_norms_for_segs
+
+    rebuild_norms_for_segs(spark, index_dir, segs)
 
     # refresh the affected manifests: merge_index folds corpus stats (N,
     # avgdl) from manifest docs/sum_doclen, so the physical removal must

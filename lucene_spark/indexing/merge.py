@@ -335,6 +335,12 @@ def compact_segments(
         if len(moved_tombstones):
             delete_by_docids(spark, out_dir,
                              spark.createDataFrame(moved_tombstones))
+    # norms side-car follows its docs into dest the same way: the absorbed
+    # segments' partitions drop, dest regenerates from the merged docmap
+    # (the authoritative per-doc boost column — indexing/norms.py)
+    from .norms import rebuild_norms_for_segs
+
+    rebuild_norms_for_segs(spark, out_dir, seg_group)
     group_docs = 0
     group_postings = 0
     group_doclen = 0

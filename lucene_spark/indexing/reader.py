@@ -9,6 +9,196 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# RAM dictionary size guard (parquet bytes on disk). The reference holds the
+# term-index (.tii — every 128th term + offsets) in RAM for exactly this
+# reason: dictionary probes must not pay an IO round-trip per query
+# (index/TermInfosReader.java:40 reads the whole index stream into arrays at
+# open). Our term_dict parquet is small enough to hold WHOLE at any
+# single-searcher-node scale (a 10M-term dictionary is ~100 MB of parquet);
+# above the guard — the 10^12-doc global dictionary — probes fall back to
+# the pushed-down distributed scan, which is the only honest option there.
+RAM_DICT_MAX_BYTES = int(os.environ.get(
+    "LUCENE_SPARK_RAM_DICT_MAX", str(256 * 1024 * 1024)))
+
+
+class RamDict:
+    """Driver-resident term dictionary snapshot: sorted terms + df.
+
+    Loaded ONCE per reader straight from the term_dict parquet files with
+    pyarrow (driver-side IO, no Spark job — the .tii-in-RAM analog). Serves
+    the two planner needs that otherwise each cost a Spark job per query:
+
+    - ``doc_freqs`` (Weight's global-stats bind, search/Weight.java:49)
+    - MultiTermQuery enumeration (FilteredTermEnum over the in-RAM sorted
+      term list: prefix/range via binary search, wildcard via the literal-
+      prefix cut + anchored regex — search/WildcardTermEnum.java does the
+      same constant-prefix optimization — fuzzy via the termCompare
+      arithmetic of search/FuzzyTermEnum.java re-stated in Python).
+
+    Enumeration order and arithmetic are pinned to the Spark scan path
+    (term-asc, same float formulas); tests/test_ram_dict.py asserts
+    RAM == Spark on every kind."""
+
+    def __init__(self, terms: list[str], dfs: list[int]):
+        import numpy as np
+
+        order = np.argsort(np.asarray(terms, dtype=object), kind="stable")
+        self.terms = [terms[i] for i in order]
+        self.dfs = [int(dfs[i]) for i in order]
+        self._idx = {t: i for i, t in enumerate(self.terms)}
+
+    def __contains__(self, term: str) -> bool:
+        return term in self._idx
+
+    def df_of(self, term: str) -> int:
+        i = self._idx.get(term)
+        return 0 if i is None else self.dfs[i]
+
+    def doc_freqs(self, terms) -> dict[str, int]:
+        return {t: self.dfs[self._idx[t]] for t in terms if t in self._idx}
+
+    # --- FilteredTermEnum analogs -----------------------------------------
+    def _scan(self, start: int, keep, stop, limit: int,
+              unfielded: bool) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        for i in range(start, len(self.terms)):
+            t = self.terms[i]
+            if stop is not None and stop(t):
+                break
+            if unfielded and ":" in t:
+                continue
+            if keep(t):
+                out.append((t, self.dfs[i]))
+                if len(out) >= limit:
+                    break
+        return out
+
+    def expand_prefix(self, prefix: str, limit: int,
+                      unfielded: bool) -> list[tuple[str, int]]:
+        from bisect import bisect_left
+
+        return self._scan(bisect_left(self.terms, prefix),
+                          lambda t: True,
+                          lambda t: not t.startswith(prefix),
+                          limit, unfielded)
+
+    def expand_range(self, lo, hi, inc_lo: bool, inc_hi: bool, limit: int,
+                     unfielded: bool) -> list[tuple[str, int]]:
+        from bisect import bisect_left, bisect_right
+
+        start = 0
+        if lo is not None:
+            start = bisect_left(self.terms, lo) if inc_lo \
+                else bisect_right(self.terms, lo)
+
+        def stop(t):
+            if hi is None:
+                return False
+            return t > hi if inc_hi else t >= hi
+
+        return self._scan(start, lambda t: True, stop, limit, unfielded)
+
+    def expand_regex(self, pattern: str, limit: int,
+                     unfielded: bool) -> list[tuple[str, int]]:
+        """Anchored-regex enumeration for WILDCARD-derived patterns only
+        (scoring.wildcard_to_regex emits the `^`, `\\`-escaped-literal, `.`,
+        `.*` subset, on which Python and Java regex agree character for
+        character). User-supplied Regexp queries stay on the Spark scan —
+        the two regex dialects diverge outside this subset."""
+        import re as _re
+        from bisect import bisect_left
+
+        rx = _re.compile(pattern)
+        # constant-prefix cut (WildcardTermEnum.java): the pattern is
+        # anchored, so everything up to the first metacharacter bounds the
+        # scan range like a prefix query
+        lit = []
+        i = 1  # skip '^'
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern):
+                lit.append(pattern[i + 1])
+                i += 2
+                continue
+            if c in ".$":
+                break
+            lit.append(c)
+            i += 1
+        prefix = "".join(lit)
+        start = bisect_left(self.terms, prefix) if prefix else 0
+        stop = ((lambda t: not t.startswith(prefix)) if prefix else None)
+        return self._scan(start, lambda t: rx.search(t) is not None,
+                          stop, limit, unfielded)
+
+    def expand_fuzzy(self, term: str, prefix_length: int, max_edits: int,
+                     min_similarity, limit: int) -> list[tuple[str, int]]:
+        """FuzzyTermEnum termCompare (search/FuzzyTermEnum.java:95,129-136,
+        185-216) — the same arithmetic as planner._fuzzy_cond's Column
+        expression, float-for-float (both paths do exact int edit distance,
+        then one double division)."""
+        from bisect import bisect_left
+
+        from ..scoring import levenshtein
+
+        pre_len = min(prefix_length, len(term))
+        fielded = ":" in term
+        field_ns = term.split(":", 1)[0] + ":" if fielded else None
+        pre = term[:pre_len]
+        start = bisect_left(self.terms, pre) if pre_len else 0
+        tsuf = term[pre_len:]
+        n = len(tsuf)
+
+        def keep(t: str) -> bool:
+            if fielded:
+                if not t.startswith(field_ns):
+                    return False
+            elif ":" in t:
+                return False
+            if min_similarity is None:
+                if not (len(term) - max_edits <= len(t)
+                        <= len(term) + max_edits):
+                    return False
+                return levenshtein(t, term) <= max_edits
+            suf = t[pre_len:]
+            m = len(suf)
+            if n == 0:
+                sim = (1.0 - m / float(pre_len)) if pre_len else 0.0
+            elif m == 0:
+                sim = (1.0 - n / float(pre_len)) if pre_len else 0.0
+            else:
+                sim = 1.0 - levenshtein(suf, tsuf) / (float(pre_len)
+                                                      + float(min(m, n)))
+            return sim > float(min_similarity)
+
+        stop = ((lambda t: not t.startswith(pre)) if pre_len else None)
+        # the unfielded/namespace rule lives in keep() — never skip via the
+        # generic unfielded branch (fielded fuzzies DO match ':' terms)
+        return self._scan(start, keep, stop, limit, unfielded=False)
+
+
+def _load_ram_dict(term_dict_dir: str) -> RamDict | None:
+    """Read term_dict parquet driver-side (pyarrow, no Spark job); None if
+    missing or over the RAM_DICT_MAX_BYTES guard."""
+    if not os.path.isdir(term_dict_dir):
+        return None
+    files = sorted(
+        os.path.join(r, n)
+        for r, _d, names in os.walk(term_dict_dir) for n in names
+        if n.endswith(".parquet"))
+    if not files:
+        return None
+    if sum(os.path.getsize(f) for f in files) > RAM_DICT_MAX_BYTES:
+        return None
+    import pyarrow.parquet as pq
+
+    terms: list[str] = []
+    dfs: list[int] = []
+    for f in files:
+        t = pq.read_table(f, columns=["term", "df"])
+        terms.extend(t.column("term").to_pylist())
+        dfs.extend(t.column("df").to_pylist())
+    return RamDict(terms, dfs)
+
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -80,13 +270,65 @@ class IndexReader:
         return self._snapshot(self.spark.read.parquet(
             os.path.join(self.index_dir, "tokens")))
 
+    # --- NRT reopen (index/IndexReader.java reopen: share unchanged state) ---
+    def _dict_fingerprint(self) -> tuple:
+        """(path, size, mtime_ns) of every term_dict parquet file — cheap
+        driver-side identity of the dictionary generation."""
+        d = os.path.join(self.index_dir, "term_dict")
+        if not os.path.isdir(d):
+            return ()
+        out = []
+        for r, _dirs, names in os.walk(d):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    p = os.path.join(r, n)
+                    st = os.stat(p)
+                    out.append((p, st.st_size, st.st_mtime_ns))
+        return tuple(out)
+
+    def reopen(self) -> "IndexReader":
+        """Incremental reopen (reference index/IndexReader.java reopen:
+        returns a reader over the CURRENT commit point, sharing unchanged
+        sub-reader state; the old reader keeps its snapshot). Here: a new
+        reader re-reads stats.json and the committed-segment set (so
+        freshly committed segments become visible), and the RAM term
+        dictionary — the expensive driver-side state — is SHARED with this
+        reader when the term_dict files are byte-identical (size+mtime
+        fingerprint), instead of re-read from disk. self is untouched:
+        its snapshot, stats, and dictionary keep serving the old point in
+        time."""
+        new = IndexReader(self.spark, self.index_dir)
+        if (hasattr(self, "_ram") and self._ram is not None
+                and getattr(self, "_ram_fp", None) == new._dict_fingerprint()):
+            new._ram = self._ram
+            new._ram_fp = self._ram_fp
+        return new
+
     # --- driver-side lookups (query planning) --------------------------------
+    def ram_dict(self) -> RamDict | None:
+        """The in-RAM dictionary snapshot (.tii analog,
+        index/TermInfosReader.java:40), loaded lazily once per reader.
+        None when term_dict is missing (pre-merge index) or larger than
+        RAM_DICT_MAX_BYTES — every caller falls back to the pushed-down
+        distributed scan in that case."""
+        if not hasattr(self, "_ram"):
+            self._ram_fp = self._dict_fingerprint()
+            self._ram = _load_ram_dict(
+                os.path.join(self.index_dir, "term_dict"))
+        return self._ram
+
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global df per query term — the two-phase Weight stats binding
         (reference search/Weight.java:49-103: idf uses GLOBAL stats so every
-        shard scores identically; ours: one pushed-down dictionary probe)."""
+        shard scores identically). Served from the RAM dictionary (zero
+        Spark jobs — this ran as its own job per query and was half the
+        per-query latency floor); falls back to one pushed-down dictionary
+        probe when the dictionary exceeds the RAM guard."""
         if not terms:
             return {}
+        ram = self.ram_dict()
+        if ram is not None:
+            return ram.doc_freqs(sorted(set(terms)))
         from ..queries.planner import _terms_pred
 
         rows = (self.term_dict()
@@ -101,15 +343,36 @@ class IndexReader:
                              limit: int = 1024) -> list[tuple[str, int]]:
         """MultiTermQuery enumeration against the dictionary
         (reference search/MultiTermQuery.java:98-146; FilteredTermEnum).
-        kind: 'prefix' | 'wildcard_regex' | 'range'. Pushed down to the
-        parquet dictionary scan where the predicate allows. Returns
-        (term, df) pairs — the SAME scan that enumerates also binds each
-        term's global df, so the planner never re-probes the dictionary
-        with a 1024-literal IN list (that second probe and its giant In
-        expression used to cost more than the kernel stage itself)."""
+        kind: 'prefix' | 'wildcard' | 'wildcard_regex' | 'range'. Served
+        from the RAM dictionary where loaded (binary-search cut + in-RAM
+        scan, no Spark job); otherwise pushed down to the parquet
+        dictionary scan. Returns (term, df) pairs — the SAME pass that
+        enumerates also binds each term's global df, so the planner never
+        re-probes the dictionary with a 1024-literal IN list.
+        'wildcard' takes the RAW Lucene wildcard pattern (so the RAM path
+        can apply the constant-prefix cut and the safe regex subset);
+        'wildcard_regex' is a user regex and always scans distributed —
+        Java and Python regex dialects only agree on the wildcard subset."""
+        ram = self.ram_dict()
+        if ram is not None and kind in ("prefix", "wildcard", "range"):
+            if kind == "prefix":
+                return ram.expand_prefix(arg, limit, ":" not in arg)
+            if kind == "wildcard":
+                from ..scoring import wildcard_to_regex
+
+                return ram.expand_regex(wildcard_to_regex(arg), limit,
+                                        ":" not in arg)
+            lo, hi, inc_lo, inc_hi = arg
+            unf = not any(b and ":" in b for b in (lo, hi))
+            return ram.expand_range(lo, hi, inc_lo, inc_hi, limit, unf)
         td = self.term_dict()
         if kind == "prefix":
             df = td.where(F.col("term").startswith(arg))
+            unfielded = ":" not in arg
+        elif kind == "wildcard":
+            from ..scoring import wildcard_to_regex
+
+            df = td.where(F.col("term").rlike(wildcard_to_regex(arg)))
             unfielded = ":" not in arg
         elif kind == "wildcard_regex":
             df = td.where(F.col("term").rlike(arg))

@@ -51,6 +51,10 @@ class OracleIndex:
     # match — reference QueryParser.java:513 / PerFieldAnalyzerWrapper)
     analyzer: str = "standard"
     field_analyzers: dict[str, str] = field(default_factory=dict)
+    # index-time document boost, byte315-quantized at build like the
+    # reference norm byte (document/Document.java:88 setBoost folded by
+    # index/NormsWriter.java:61) — absent docid ⇒ 1.0
+    boosts: dict[int, float] = field(default_factory=dict)
 
     @property
     def terms_sorted(self) -> list[str]:
@@ -80,6 +84,9 @@ class OracleIndex:
                 return self.dl_of(t, docid)
         return self.dl_of(terms[0], docid)
 
+    def boost_of(self, docid: int) -> float:
+        return self.boosts.get(docid, 1.0)
+
 
 def _pairs_fn(name: str):
     """Analyzer name → positional (term, pos) pairs function — delegates to
@@ -93,15 +100,23 @@ def _pairs_fn(name: str):
 def build_oracle_index(docs: list[tuple[int, str]],
                        extra_fields: dict[str, dict[int, str]] | None = None,
                        analyzer: str = "standard",
-                       field_analyzers: dict[str, str] | None = None
+                       field_analyzers: dict[str, str] | None = None,
+                       boosts: dict[int, float] | None = None
                        ) -> OracleIndex:
     """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
     terms namespaced field:term with their own length stats (the reference
     multi-field document model). `field_analyzers` maps an extra field to
-    its own chain (PerFieldAnalyzerWrapper.java:47)."""
+    its own chain (PerFieldAnalyzerWrapper.java:47). `boosts`:
+    {docid: boost} index-time document boosts — quantized through the SAME
+    byte315 codec the engine's norms side-car stores, so both engines score
+    with the identical post-quantization multiplier."""
+    from .scoring import byte315_to_float, float_to_byte315
+
     idx = OracleIndex()
     idx.analyzer = analyzer
     idx.field_analyzers = dict(field_analyzers or {})
+    idx.boosts = {d: float(byte315_to_float(float_to_byte315([b]))[0])
+                  for d, b in (boosts or {}).items() if b != 1.0}
     analyze_main = _pairs_fn(analyzer)
     total = 0
     for docid, text in docs:
@@ -141,7 +156,9 @@ def _eval_term(idx: OracleIndex, q: Term) -> dict[int, float]:
     for docid, positions in plist.items():
         w = float(bm25_tf_weight(len(positions), idx.dl_of(q.term, docid),
                                  idx.avgdl_of(q.term)))
-        out[docid] = q.boost * idf * w
+        # index-time doc boost multiplies LAST — same association order as
+        # the kernel's apply_boost over (q.boost * idf * tfw)
+        out[docid] = q.boost * idf * w * idx.boost_of(docid)
     return out
 
 
@@ -172,6 +189,7 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     return {
         d: q.boost * idf * float(
             bm25_tf_weight(f, idx.dl_of(t0, d), idx.avgdl_of(t0)))
+        * idx.boost_of(d)
         for d, f in freqs.items()
     }
 
@@ -204,7 +222,8 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
         f = phrase_freq([sp[d] for sp in slot_pos], qpos, q.slop)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of_any(uniq, d), idx.avgdl_of(uniq[0])))
+                bm25_tf_weight(f, idx.dl_of_any(uniq, d),
+                               idx.avgdl_of(uniq[0]))) * idx.boost_of(d)
     return out
 
 
@@ -261,7 +280,8 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
         f = span_freq(sp_arr, wmin)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of_any(uniq, d), idx.avgdl_of(uniq[0])))
+                bm25_tf_weight(f, idx.dl_of_any(uniq, d),
+                               idx.avgdl_of(uniq[0]))) * idx.boost_of(d)
     return out
 
 

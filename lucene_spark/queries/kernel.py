@@ -47,20 +47,28 @@ _SAFETY = 1.0 + 1e-9  # pruning bound slack: ties always fall back to full eval
 
 
 _DELETED_TERM = "\x00deleted"  # tombstone side-car rows (indexing/deletes.py)
+_BOOST_TERM = "\x00boost"      # norms side-car rows (indexing/norms.py)
 
 
 class SegmentPostings:
     """Lazy decoded view of one segment's posting rows for the query terms.
     Tombstone rows (term == \\x00deleted) are split out into ``deleted`` —
-    the per-segment ``.del`` bitmap analog (util/BitVector.java:35)."""
+    the per-segment ``.del`` bitmap analog (util/BitVector.java:35). Norms
+    rows (term == \\x00boost) decode into the per-doc boost table — the
+    ``.nrm`` analog (index/NormsWriter.java:61): the tfs slot carries the
+    byte315-quantized index-time document boost; docs without a row are
+    boost 1.0."""
 
     def __init__(self, pdf: pd.DataFrame, block_size: int = BLOCK_SIZE):
         self.block_size = block_size
         self.rows: dict[str, list[dict]] = {}
         del_rows: list[dict] = []
+        boost_rows: list[dict] = []
         for rec in pdf.to_dict("records"):
             if rec["term"] == _DELETED_TERM:
                 del_rows.append(rec)
+            elif rec["term"] == _BOOST_TERM:
+                boost_rows.append(rec)
             else:
                 self.rows.setdefault(rec["term"], []).append(rec)
         for term in self.rows:
@@ -70,7 +78,36 @@ class SegmentPostings:
             self.deleted: np.ndarray | None = np.unique(np.concatenate(parts))
         else:
             self.deleted = None
+        if boost_rows:
+            from ..scoring import byte315_to_float
+
+            dec = [decode_postings(r, block_size)[:2] for r in boost_rows]
+            bids = np.concatenate([d[0] for d in dec])
+            bvals = byte315_to_float(np.concatenate([d[1] for d in dec]))
+            order = np.argsort(bids, kind="stable")
+            self.boost_ids: np.ndarray | None = bids[order]
+            self.boost_vals = np.asarray(bvals, dtype=np.float64)[order]
+            # admissible pruning scale: no doc's multiplier exceeds this
+            self.max_boost = float(max(self.boost_vals.max(), 1.0))
+        else:
+            self.boost_ids = None
+            self.max_boost = 1.0
         self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def apply_boost(self, ids: np.ndarray, sc: np.ndarray) -> np.ndarray:
+        """Multiply per-doc scores by the index-time boost (the norms read
+        every leaf scorer does, search/TermScorer.java norms[doc]); identity
+        when the segment has no norms side-car."""
+        if self.boost_ids is None or not ids.size:
+            return sc
+        pos = np.searchsorted(self.boost_ids, ids)
+        pos_c = np.minimum(pos, self.boost_ids.size - 1)
+        hit = self.boost_ids[pos_c] == ids
+        if not hit.any():
+            return sc
+        out = sc.copy()
+        out[hit] = out[hit] * self.boost_vals[pos_c[hit]]
+        return out
 
     def has(self, term: str) -> bool:
         return term in self.rows
@@ -194,7 +231,7 @@ def _eval_term_full(sp: SegmentPostings, ctx: Ctx, q: Term):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ids, tfs, dls = sp.full(q.term)
     sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(q.term))
-    return ids, sc
+    return ids, sp.apply_boost(ids, sc)
 
 
 _DOC_OFFSET = np.int64(1) << 24  # > max position (maxTokenLength-bounded docs)
@@ -285,7 +322,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
         l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids_arr)
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
         sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
-        return ids_arr, sc
+        return ids_arr, sp.apply_boost(ids_arr, sc)
 
     cand = per_term[0][0]
     for ids, _ in per_term[1:]:
@@ -313,7 +350,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids)
     dls = l_dls[np.searchsorted(l_ids, ids)]
     sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
-    return ids, sc
+    return ids, sp.apply_boost(ids, sc)
 
 
 def _dl_map(sp: SegmentPostings, terms: list[str], ids: np.ndarray) -> np.ndarray:
@@ -391,7 +428,7 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
         return empty
     dls = _dl_map(sp, uniq, ids_arr)
     sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
-    return ids_arr, sc
+    return ids_arr, sp.apply_boost(ids_arr, sc)
 
 
 def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
@@ -425,7 +462,7 @@ def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
     idf = float(sum(ctx.idf(t) for t in uniq))
     dls = _dl_map(sp, uniq, docs)
     sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
-    return docs, sc
+    return docs, sp.apply_boost(docs, sc)
 
 
 def _is_term_disjunction(q: Bool) -> bool:
@@ -468,8 +505,12 @@ _OR_PRUNE_MAX_CLAUSES = 64
 
 
 def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
-    """MaxScore over a pure term disjunction (see module docstring)."""
-    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl_of(c.term)) * c.boost)
+    """MaxScore over a pure term disjunction (see module docstring).
+    Index-time boosts scale each upper bound by the segment's max boost
+    (sp.max_boost) — admissible since no doc's multiplier exceeds it, so
+    pruning stays exact on boosted segments too."""
+    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl_of(c.term))
+              * c.boost * sp.max_boost)
              for c in q.should if sp.has(c.term)]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -477,8 +518,9 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
         results = []
         for c, _ub in terms:
             ids, tfs, dls = sp.full(c.term)
-            results.append((ids, c.boost * ctx.idf(c.term)
-                            * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))))
+            results.append((ids, sp.apply_boost(
+                ids, c.boost * ctx.idf(c.term)
+                * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))))
         return _combine_sum(results, q.boost)
     # evaluation must preserve clause order for FP-identical sums → we keep
     # per-clause results and sum in clause order at the end; pruning only
@@ -501,7 +543,8 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
             ids, tfs, dls = sp.lookup(c.term, acc_ids)
         else:
             ids, tfs, dls = sp.full(c.term)
-        sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))
+        sc = sp.apply_boost(ids, c.boost * ctx.idf(c.term)
+                            * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
         clause_results[oi] = (ids, sc)
         acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, ids, sc)
         theta = _topk_theta(acc_ids, acc_sc, ctx.k)
@@ -599,7 +642,9 @@ def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
                 if not sp.has(c.term):
                     return empty
                 ids, tfs, dls = sp.lookup(c.term, cand)
-                sc = c.boost * ctx.idf(c.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term))
+                sc = sp.apply_boost(
+                    ids, c.boost * ctx.idf(c.term)
+                    * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
             else:
                 ids, sc = eval_query(sp, ctx, c)
             if ids.size == 0:
@@ -646,6 +691,121 @@ def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
     if q.boost != 1.0:
         sc = sc * q.boost
     return cand, sc
+
+
+EXPLAIN_SCHEMA = ("docid long, component string, kind string, freq double, "
+                  "dl long, idf double, weight double, score double")
+
+
+def _explain_rows(recs, docids, component, kind, freqs, dls, idf, weights,
+                  scores):
+    recs.extend(
+        {"docid": int(d), "component": component, "kind": kind,
+         "freq": float(f), "dl": int(dl), "idf": float(idf),
+         "weight": float(w), "score": float(s)}
+        for d, f, dl, w, s in zip(docids, freqs, dls, weights, scores))
+
+
+def _explain_node(sp: SegmentPostings, ctx: Ctx, q: Query, scale: float,
+                  recs: list) -> None:
+    """Weight.explain analog (search/Weight.java:59): flatten the query
+    tree into per-(doc, component) rows. `scale` folds ancestor boolean/
+    dismax boosts so that, for pure-sum trees, per-doc component scores sum
+    to the search() score. must_not clauses contribute no score and emit no
+    rows; DisjunctionMax/Boosting components are emitted with their leaf
+    scores (their combination rule — max+tie·rest / demote — is the
+    consumer's to apply, as in the reference Explanation tree)."""
+    if isinstance(q, Term):
+        if not sp.has(q.term):
+            return
+        ids, sc = _eval_term_full(sp, ctx, q)
+        _, tfs, dls = sp.full(q.term)
+        w = bm25_tf_weight(tfs, dls, ctx.avgdl_of(q.term))
+        _explain_rows(recs, ids, q.term, "term", tfs.astype(np.float64),
+                      dls, ctx.idf(q.term), w, sc * scale)
+        return
+    if isinstance(q, (Phrase, MultiPhrase)):
+        is_multi = isinstance(q, MultiPhrase)
+        uniq = list(dict.fromkeys(q.terms()))
+        label = ("multiphrase(" if is_multi else "phrase(") \
+            + " ".join(uniq) + (f")~{q.slop}" if q.slop else ")")
+        ids, sc = (_eval_multiphrase(sp, ctx, q) if is_multi
+                   else _eval_phrase(sp, ctx, q))
+        if not ids.size:
+            return
+        idf = float(sum(ctx.idf(t) for t in uniq))
+        dls = _dl_map(sp, uniq, ids)
+        # freq back-derived from the scored weight would lose the greedy
+        # sloppyFreq sum; recompute it the same way the scorer did
+        boosted = sp.apply_boost(ids, np.ones(ids.size))
+        w = sc / (q.boost * idf * boosted) if idf else np.zeros(ids.size)
+        # invert tf-weight → freq: w = (k1+1)f / (f + k1·B) ⇒
+        # f = k1·B·w / (k1+1−w) with B = 1−b+b·dl/avgdl
+        from .. import BM25_B, BM25_K1
+
+        B = 1.0 - BM25_B + BM25_B * dls.astype(np.float64) / ctx.avgdl_of(uniq[0])
+        freqs = BM25_K1 * B * w / ((BM25_K1 + 1.0) - w)
+        _explain_rows(recs, ids, label, "phrase", freqs, dls, idf, w,
+                      sc * scale)
+        return
+    if isinstance(q, SpanQuery):
+        uniq = list(dict.fromkeys(q.terms()))
+        label = "span(" + " ".join(uniq) + ")"
+        ids, sc = _eval_span(sp, ctx, q)
+        if not ids.size:
+            return
+        idf = float(sum(ctx.idf(t) for t in uniq))
+        dls = _dl_map(sp, uniq, ids)
+        boosted = sp.apply_boost(ids, np.ones(ids.size))
+        w = sc / (q.boost * idf * boosted) if idf else np.zeros(ids.size)
+        from .. import BM25_B, BM25_K1
+
+        B = 1.0 - BM25_B + BM25_B * dls.astype(np.float64) / ctx.avgdl_of(uniq[0])
+        freqs = BM25_K1 * B * w / ((BM25_K1 + 1.0) - w)
+        _explain_rows(recs, ids, label, "span", freqs, dls, idf, w,
+                      sc * scale)
+        return
+    if isinstance(q, ConstantScore):
+        ids, _sc = eval_query(sp, ctx, q)
+        if not ids.size:
+            return
+        ones = np.ones(ids.size)
+        label = "const(" + " ".join(dict.fromkeys(q.terms())) + ")"
+        _explain_rows(recs, ids, label, "const", ones,
+                      np.zeros(ids.size, dtype=np.int64), 0.0, ones,
+                      np.full(ids.size, q.boost * scale))
+        return
+    if isinstance(q, Bool):
+        for c in list(q.must) + list(q.should):
+            _explain_node(sp, ctx, c, scale * q.boost, recs)
+        return
+    if isinstance(q, DisjunctionMax):
+        for c in q.queries:
+            _explain_node(sp, ctx, c, scale * q.boost, recs)
+        return
+    if isinstance(q, Boosting):
+        _explain_node(sp, ctx, q.match, scale * q.boost, recs)
+        return
+    # MatchAll / unknown shapes: nothing postings-backed to decompose
+
+
+def segment_explain(pdf: pd.DataFrame, q: Query, ctx: Ctx,
+                    block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """applyInPandas entry point for Searcher.explain_full."""
+    sp = SegmentPostings(pdf, block_size)
+    recs: list[dict] = []
+    _explain_node(sp, ctx, q, 1.0, recs)
+    if not recs:
+        return pd.DataFrame({
+            "docid": pd.Series(dtype="int64"),
+            "component": pd.Series(dtype="object"),
+            "kind": pd.Series(dtype="object"),
+            "freq": pd.Series(dtype="float64"),
+            "dl": pd.Series(dtype="int64"),
+            "idf": pd.Series(dtype="float64"),
+            "weight": pd.Series(dtype="float64"),
+            "score": pd.Series(dtype="float64")})
+    return pd.DataFrame(recs)
 
 
 def segment_topk_many(pdf: pd.DataFrame, qs: dict[str, Query], ctx_by: dict[str, Ctx],

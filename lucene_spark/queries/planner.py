@@ -45,7 +45,7 @@ from .ast import (
     TermRange,
     Wildcard,
 )
-from .kernel import Ctx, segment_topk, segment_topk_many
+from .kernel import Ctx
 from .parser import parse_query
 
 MAX_CLAUSES = 1024  # reference BooleanQuery.maxClauseCount (search/BooleanQuery.java:34)
@@ -96,6 +96,103 @@ class Searcher:
         # enumeration fills it as a side effect (expand_terms_with_df), so
         # e.g. a 1024-term prefix expansion never re-probes the dictionary.
         self._df_cache: dict[str, int] = {}
+        # cached per-searcher plan constants: each conf.get is a py4j
+        # round-trip, and the per-query latency budget is ~0.35 s total
+        self._shuffle_parts = int(self.reader.spark.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+
+    # --- constant kernel UDFs (created once, reused every query) ----------
+    # groupBy(...).applyInPandas(closure) re-registers a fresh pandas UDF
+    # per call — cloudpickle + ~15 py4j round-trips ≈ 0.17 s of pure driver
+    # latency per query. Instead the three kernels are CONSTANT GROUPED_MAP
+    # UDFs (registered once per searcher, judf cached by pyspark) and the
+    # per-query payload (query AST + Ctx) rides a tiny pickled binary
+    # literal column `_job` — the same channel a real serving tier would
+    # use (query plans are data, not code). Posting rows per query are few
+    # (terms × segs × salts), so the repeated literal is KBs, not MBs.
+    @staticmethod
+    def _apply_grouped(rows: DataFrame, udf) -> DataFrame:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # GroupedData.apply deprecation
+            return rows.groupBy("seg").apply(udf)
+
+    @property
+    def _topk_udf(self):
+        if not hasattr(self, "_topk_udf_c"):
+            import pickle
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            from .kernel import segment_topk as _topk
+
+            @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
+            def run(pdf):
+                q, ctx = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                return _topk(pdf, q, ctx)
+
+            self._topk_udf_c = run
+        return self._topk_udf_c
+
+    @property
+    def _many_udf(self):
+        if not hasattr(self, "_many_udf_c"):
+            import pickle
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            from .kernel import segment_topk_many as _many
+
+            @pandas_udf("qid string, docid long, score double",
+                        PandasUDFType.GROUPED_MAP)
+            def run(pdf):
+                qs, ctx_by = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                return _many(pdf, qs, ctx_by)
+
+            self._many_udf_c = run
+        return self._many_udf_c
+
+    @property
+    def _filter_udf(self):
+        if not hasattr(self, "_filter_udf_c"):
+            import pickle
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            from .kernel import segment_filter_ids as _fids
+
+            @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
+            def run(pdf):
+                k, boost = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                return _fids(pdf, k, boost)
+
+            self._filter_udf_c = run
+        return self._filter_udf_c
+
+    @property
+    def _explain_udf(self):
+        if not hasattr(self, "_explain_udf_c"):
+            import pickle
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            from .kernel import EXPLAIN_SCHEMA, segment_explain as _sx
+
+            @pandas_udf(EXPLAIN_SCHEMA, PandasUDFType.GROUPED_MAP)
+            def run(pdf):
+                q, ctx = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                return _sx(pdf, q, ctx)
+
+            self._explain_udf_c = run
+        return self._explain_udf_c
+
+    @staticmethod
+    def _with_job(rows: DataFrame, payload) -> DataFrame:
+        import pickle
+
+        return rows.withColumn(
+            "_job", F.lit(bytearray(pickle.dumps(payload))))
 
     def _doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global df per term, served from the searcher cache where bound."""
@@ -113,19 +210,25 @@ class Searcher:
         coalescing, and HashPartitioning(seg) already satisfies the
         downstream groupBy("seg") so no second exchange appears."""
         n_segs = int(self.reader.stats.get("n_segments", 0) or 0)
-        sp = int(self.reader.spark.conf.get("spark.sql.shuffle.partitions",
-                                            "200"))
+        sp = self._shuffle_parts
         return rows.repartition(max(1, min(n_segs or sp, sp)), "seg")
 
     # ------------------------------------------------------------------ #
     def _with_deleted(self, rows: DataFrame) -> DataFrame:
-        """Union the tombstone side-car rows into the kernel input so each
-        segment kernel can subtract its deleted set (the per-segment .del
-        bitmap, util/BitVector.java:35; see indexing/deletes.py)."""
+        """Union the side-car rows into the kernel input: tombstones so
+        each segment kernel can subtract its deleted set (the per-segment
+        .del bitmap, util/BitVector.java:35; indexing/deletes.py), and the
+        norms rows carrying index-time document boosts (the .nrm analog,
+        index/NormsWriter.java:61; indexing/norms.py). Both ride the
+        postings IO path and shuffle on seg with the query rows."""
         from ..indexing.deletes import deleted_rows
+        from ..indexing.norms import norms_rows
 
-        dr = deleted_rows(self.reader.spark, self.reader.index_dir)
-        return rows if dr is None else rows.unionByName(dr)
+        for side in (deleted_rows(self.reader.spark, self.reader.index_dir),
+                     norms_rows(self.reader.spark, self.reader.index_dir)):
+            if side is not None:
+                rows = rows.unionByName(side)
+        return rows
 
     def _live_docmap(self) -> DataFrame:
         from ..indexing.deletes import deleted_docids
@@ -261,8 +364,10 @@ class Searcher:
             pairs = self.reader.expand_terms_with_df(
                 "prefix", q.prefix, MAX_CLAUSES)
         elif isinstance(q, Wildcard):
+            # raw pattern: the reader's RAM path applies the constant-prefix
+            # cut + the (Python==Java) wildcard regex subset itself
             pairs = self.reader.expand_terms_with_df(
-                "wildcard_regex", wildcard_to_regex(q.pattern), MAX_CLAUSES)
+                "wildcard", q.pattern, MAX_CLAUSES)
         elif isinstance(q, Fuzzy):
             pairs = self._expand_fuzzy_with_df(q)
         elif isinstance(q, Regexp):
@@ -314,9 +419,16 @@ class Searcher:
         return [t for t, _df in self._expand_fuzzy_with_df(q)]
 
     def _expand_fuzzy_with_df(self, q: Fuzzy) -> list[tuple[str, int]]:
-        """FuzzyTermEnum: dictionary scan with prefix/length pre-filters
-        pushed to parquet, exact Levenshtein on the survivors JVM-side;
-        df bound in the same scan (no second dictionary probe)."""
+        """FuzzyTermEnum: served from the RAM dictionary where loaded
+        (prefix cut + the same termCompare arithmetic in Python,
+        RamDict.expand_fuzzy — zero Spark jobs); else a dictionary scan
+        with prefix/length pre-filters pushed to parquet and exact
+        Levenshtein on the survivors JVM-side. Both paths bind df in the
+        same pass (no second dictionary probe); tests pin RAM == Spark."""
+        ram = self.reader.ram_dict()
+        if ram is not None:
+            return ram.expand_fuzzy(q.term, q.prefix_length, q.max_edits,
+                                    q.min_similarity, MAX_CLAUSES)
         rows = (
             self.reader.term_dict().where(self._fuzzy_cond(q))
             .select("term", "df").orderBy("term").limit(MAX_CLAUSES).collect()
@@ -368,7 +480,6 @@ class Searcher:
         same rule for top-level filter shapes; NESTED filter nodes rewrite
         through the capped boolean path."""
         from .ast import REWRITE_CONST_FILTER
-        from .kernel import segment_filter_ids
 
         boost, node = 1.0, q
         if isinstance(q, ConstantScore) and isinstance(q.query, _MULTITERM):
@@ -381,13 +492,10 @@ class Searcher:
         pred = self._multiterm_pred(node)
         if pred is None:
             return None
-        rows = self._with_deleted(self.reader.postings().where(pred))
-
-        def run(pdf):
-            return segment_filter_ids(pdf, k, boost)
-
-        return (self._kernel_rows(rows).groupBy("seg")
-                .applyInPandas(run, schema="docid long, score double"))
+        rows = self._with_job(
+            self._with_deleted(self.reader.postings().where(pred)),
+            (k, boost))
+        return self._apply_grouped(self._kernel_rows(rows), self._filter_udf)
 
     def _multiterm_filter_topk(self, q: Query, k: int) -> DataFrame | None:
         """Global docid-asc top-k over _multiterm_filter_ids (constant
@@ -423,14 +531,10 @@ class Searcher:
                   avgdl_fields=self.reader.avgdl_fields)
 
         qterms = [t for t in terms if t in dfs]
-        rows = self._with_deleted(
-            self.reader.postings().where(_terms_pred(qterms)))
-
-        def run(pdf):
-            return segment_topk(pdf, q, ctx)
-
-        per_seg = (self._kernel_rows(rows).groupBy("seg")
-                   .applyInPandas(run, schema="docid long, score double"))
+        rows = self._with_job(
+            self._with_deleted(self.reader.postings().where(_terms_pred(qterms))),
+            (q, ctx))
+        per_seg = self._apply_grouped(self._kernel_rows(rows), self._topk_udf)
         out = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._hydrate(out) if hydrate else out
 
@@ -472,15 +576,12 @@ class Searcher:
         parts = list(filter_parts)
         if kernel_qs and dfs:
             qterms = [t for t in all_terms if t in dfs]
-            rows = self._with_deleted(
-                self.reader.postings().where(_terms_pred(qterms)))
-
-            def run(pdf):
-                return segment_topk_many(pdf, kernel_qs, ctx_by)
-
-            per_seg = (self._kernel_rows(rows).groupBy("seg")
-                       .applyInPandas(
-                run, schema="qid string, docid long, score double"))
+            rows = self._with_job(
+                self._with_deleted(
+                    self.reader.postings().where(_terms_pred(qterms))),
+                (kernel_qs, ctx_by))
+            per_seg = self._apply_grouped(self._kernel_rows(rows),
+                                          self._many_udf)
             w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
             parts.append(per_seg.withColumn("rn", F.row_number().over(w))
                          .where(F.col("rn") <= k).drop("rn"))
@@ -516,14 +617,11 @@ class Searcher:
             return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
                   avgdl_fields=self.reader.avgdl_fields)
-        rows = self._with_deleted(
-            self.reader.postings().where(_terms_pred(list(dfs))))
-
-        def run(pdf):
-            return segment_topk(pdf, q, ctx)
-
-        return (self._kernel_rows(rows).groupBy("seg")
-                .applyInPandas(run, schema="docid long, score double"))
+        rows = self._with_job(
+            self._with_deleted(
+                self.reader.postings().where(_terms_pred(list(dfs)))),
+            (q, ctx))
+        return self._apply_grouped(self._kernel_rows(rows), self._topk_udf)
 
     def facets(self, query: Query | str | None = None, top_n: int = 10) -> DataFrame:
         """Facet counts → DataFrame(term, n_docs), count desc / term asc.
@@ -666,6 +764,37 @@ class Searcher:
                         idf.alias("idf"), w.alias("tf_weight"),
                         (idf * w).alias("score"))
                 .orderBy("docid", "term"))
+
+    def explain_full(self, query: Query | str) -> DataFrame:
+        """Score decomposition for EVERY query shape —
+        DataFrame(docid, component, kind, freq, dl, idf, weight, score):
+        term rows carry tf, phrase/span rows carry the sloppyFreq sum (pf)
+        with the summed-idf and tf-weight factors, constant-score rows the
+        uniform boost. Ancestor Bool boosts fold into each row's score, so
+        for pure-sum trees per-doc component scores sum to the search()
+        score (the reference Explanation-tree invariant, search/Weight
+        .java:59); dismax/boosting components are emitted with leaf scores
+        and their combination rule left to the consumer, like the nested
+        Explanation nodes. The legacy term-only ``explain`` (the driver
+        contract's ft_explain) is unchanged."""
+        q = self.parse(query) if isinstance(query, str) else query
+        q = self.rewrite(q)
+        terms = sorted(set(q.terms()))
+        dfs = self._doc_freqs(terms)
+        empty = self.reader.spark.createDataFrame(
+            [], "docid long, component string, kind string, freq double, "
+                "dl long, idf double, weight double, score double")
+        if not dfs:
+            return empty
+        ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
+                  avgdl_fields=self.reader.avgdl_fields)
+        rows = self._with_job(
+            self._with_deleted(
+                self.reader.postings().where(_terms_pred(list(dfs)))),
+            (q, ctx))
+        return (self._apply_grouped(self._kernel_rows(rows),
+                                    self._explain_udf)
+                .orderBy("docid", "component"))
 
     def more_like_this(self, docid: int, *, max_terms: int = 8, k: int = 10,
                        min_tf: int = 1, min_df: int = 2) -> DataFrame:

@@ -41,6 +41,36 @@ def bm25_term_upper_bound(N: int, df: int, max_tf: int, min_dl: int, avgdl: floa
 
 
 # ---------------------------------------------------------------------------
+# Index-time boost quantization — the reference norm byte (util/SmallFloat
+# .java floatToByte315/byte315ToFloat, used by index/NormsWriter.java:61 to
+# store boost×lengthNorm in ONE byte per doc-field). Our BM25 keeps exact
+# doclens in the postings, so only the BOOST factor is quantized and stored;
+# the same 3-mantissa-bit/zeroExp-15 float8 keeps the storage parity (and
+# its precision contract: 1.0/2.0/0.5/1.5… round-trip exactly).
+# ---------------------------------------------------------------------------
+
+def float_to_byte315(f) -> np.ndarray:
+    """float32 → unsigned byte (3 mantissa bits, zero exponent 15).
+    Array-at-a-time; negative/zero → 0, overflow → 255."""
+    bits = np.asarray(f, dtype=np.float32).view(np.int32)
+    smallfloat = bits >> (24 - 3)
+    lo = (63 - 15) << 3
+    out = (smallfloat - lo).astype(np.int64)
+    out = np.where(smallfloat <= lo, np.where(bits <= 0, 0, 1), out)
+    out = np.where(smallfloat >= lo + 0x100, 255, out)
+    return out.astype(np.uint8)
+
+
+def byte315_to_float(b) -> np.ndarray:
+    """Inverse of float_to_byte315 (byte 0 → 0.0)."""
+    b = np.asarray(b, dtype=np.int64)
+    bits = (b & 0xFF) << (24 - 3)
+    bits += (63 - 15) << 24
+    out = bits.astype(np.int32).view(np.float32).astype(np.float64)
+    return np.where(b == 0, 0.0, out)
+
+
+# ---------------------------------------------------------------------------
 # Phrase matching (shared semantic, pinned):
 # a document matches iff there exist positions p_i — one from each query
 # term's position list, all distinct — such that

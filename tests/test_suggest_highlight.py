@@ -34,6 +34,62 @@ def test_suggest_exact_word_excluded(reader):
     assert all(r["term"] != "seven" for r in rows)
 
 
+@pytest.fixture(scope="module")
+def spellgrams(spark, index_dir):
+    from lucene_spark.suggest import build_spellgram_index
+
+    return build_spellgram_index(spark, index_dir)
+
+
+def test_indexed_suggest_matches_on_the_fly(spark, reader, index_dir,
+                                            spellgrams):
+    from lucene_spark.suggest import suggest_similar_indexed
+
+    for word in ("sevn", "spakr", "fortee"):
+        want = [tuple(r) for r in
+                suggest_similar(reader.term_dict(), word, n=5).collect()]
+        got = [tuple(r) for r in
+               suggest_similar_indexed(spark, index_dir, word, n=5).collect()]
+        assert got == want, word
+
+
+def test_indexed_suggest_plan_prunes_on_gram(spark, index_dir, spellgrams):
+    """The persisted-gram plan must be a pushed-down In(g, …) scan over
+    spellgrams/ — no trigram generate/explode of the dictionary at query
+    time (the whole point of the auxiliary index)."""
+    from lucene_spark.suggest import suggest_similar_indexed
+
+    plan = suggest_similar_indexed(spark, index_dir, "sevn", n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "spellgrams" in plan
+    assert "Generate" not in plan and "explode" not in plan
+    assert "PushedFilters: [" in plan and "In(g, [" in plan
+
+
+def test_indexed_suggest_fallback_without_artifact(spark, tmp_path, reader,
+                                                   index_dir):
+    """No spellgrams/ dir → the indexed entry point falls back to the
+    on-the-fly dictionary explode with identical results."""
+    from lucene_spark.suggest import suggest_similar_indexed
+
+    import shutil
+
+    clone = str(tmp_path / "nospell")
+    shutil.copytree(index_dir, clone,
+                    ignore=shutil.ignore_patterns("spellgrams"))
+    td = reader.term_dict().where(~td_fielded())
+    want = [tuple(r) for r in suggest_similar(td, "sevn", n=5).collect()]
+    got = [tuple(r) for r in
+           suggest_similar_indexed(spark, clone, "sevn", n=5).collect()]
+    assert got == want
+
+
+def td_fielded():
+    from pyspark.sql import functions as F
+
+    return F.col("term").contains(":")
+
+
 def test_highlight_wraps_terms(spark, reader, pages_dir):
     searcher = Searcher(reader)
     top = searcher.search("seven AND forty", k=5, hydrate=True)
