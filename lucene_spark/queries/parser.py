@@ -251,8 +251,11 @@ def _quoted_query(tok: str, analyzer: str = "standard",
 
 
 def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
-                kw_fields: tuple = KEYWORD_FIELDS) -> tuple[Query | None, str]:
-    """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}."""
+                kw_fields: tuple = KEYWORD_FIELDS,
+                quoted_fn=None) -> tuple[Query | None, str]:
+    """→ (query, occur) where occur in {'SHOULD','MUST','MUST_NOT'}.
+    `quoted_fn` overrides phrase handling (ComplexPhraseQueryParser routes
+    quoted tokens through its embedded-clause pass)."""
     occur = "SHOULD"
     t = lx.peek()
     if t and t[0] in ("plus", "minus", "not"):
@@ -263,7 +266,7 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
         return None, occur
     if t[0] == "lpar":
         lx.next()
-        q = _parse_or(lx, analyzer, fields, kw_fields)
+        q = _parse_or(lx, analyzer, fields, kw_fields, quoted_fn)
         nxt = lx.peek()
         if nxt and nxt[0] == "rpar":
             lx.next()
@@ -274,7 +277,8 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
         return q, occur
     if t[0] == "quoted":
         lx.next()
-        return _quoted_query(t[1], analyzer, fields, kw_fields), occur
+        fn = quoted_fn or _quoted_query
+        return fn(t[1], analyzer, fields, kw_fields), occur
     if t[0] == "range":
         lx.next()
         return _range_query(t[1]), occur
@@ -286,16 +290,17 @@ def _parse_atom(lx: _Lexer, analyzer: str, fields: tuple = (),
 
 
 def _parse_and(lx: _Lexer, analyzer: str, fields: tuple = (),
-               kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
+               kw_fields: tuple = KEYWORD_FIELDS,
+               quoted_fn=None) -> Query | None:
     clauses: list[tuple[Query, str]] = []
-    q, occur = _parse_atom(lx, analyzer, fields, kw_fields)
+    q, occur = _parse_atom(lx, analyzer, fields, kw_fields, quoted_fn)
     if q is not None:
         clauses.append((q, occur))
     while True:
         t = lx.peek()
         if t and t[0] == "and":
             lx.next()
-            q, occur = _parse_atom(lx, analyzer, fields, kw_fields)
+            q, occur = _parse_atom(lx, analyzer, fields, kw_fields, quoted_fn)
             if q is not None:
                 clauses.append((q, "MUST" if occur == "SHOULD" else occur))
                 # retroactively promote the left neighbour to MUST
@@ -336,9 +341,10 @@ def _merge_should(parts: list[Query]) -> Query:
 
 
 def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = (),
-              kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
+              kw_fields: tuple = KEYWORD_FIELDS,
+              quoted_fn=None) -> Query | None:
     parts: list[Query] = []
-    q = _parse_and(lx, analyzer, fields, kw_fields)
+    q = _parse_and(lx, analyzer, fields, kw_fields, quoted_fn)
     if q is not None:
         parts.append(q)
     while True:
@@ -348,7 +354,7 @@ def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = (),
         if t[0] == "or":
             lx.next()
             continue
-        q = _parse_and(lx, analyzer, fields, kw_fields)
+        q = _parse_and(lx, analyzer, fields, kw_fields, quoted_fn)
         if q is None:
             if lx.peek() is t:  # no progress — bail
                 lx.next()
@@ -436,3 +442,243 @@ def parse_multi_field(s: str, fields: tuple,
     expanded across `fields` (e.g. ("text", "title"))."""
     analyzed = tuple(f for f in fields if f != "text")
     return _expand_fields(parse_query(s, analyzer, analyzed), fields)
+
+
+# ---------------------------------------------------------------------------
+# contrib PrecedenceQueryParser (contrib/misc/.../precedence/
+# PrecedenceQueryParser.jj): AND binds TIGHTER than OR —
+# ``a AND b OR c`` parses as (+a +b) OR c, where the classic parser's flat
+# clause list yields +a +b c. Grammar:
+#   Query  ::= Modifier andExpr ( [OR] Modifier andExpr )*
+#   andExpr ::= Clause ( AND Modifier Clause )*
+# Modifiers before an andExpr apply to the WHOLE group.
+# ---------------------------------------------------------------------------
+
+
+def _prec_clause(lx: _Lexer, analyzer: str, fields: tuple,
+                 kw_fields: tuple) -> Query | None:
+    """Clause ::= term | "phrase" | range | ( Query ) — NO leading modifier
+    (the precedence grammar consumes modifiers at the two boolean levels)."""
+    t = lx.peek()
+    if t is None:
+        return None
+    if t[0] == "lpar":
+        lx.next()
+        q = _prec_query(lx, analyzer, fields, kw_fields)
+        nxt = lx.peek()
+        if nxt and nxt[0] == "rpar":
+            lx.next()
+        return q
+    if t[0] == "quoted":
+        lx.next()
+        return _quoted_query(t[1], analyzer, fields, kw_fields)
+    if t[0] == "range":
+        lx.next()
+        return _range_query(t[1])
+    if t[0] == "word":
+        lx.next()
+        return _word_query(t[1], analyzer, fields, kw_fields)
+    lx.next()
+    return None
+
+
+def _prec_modifier(lx: _Lexer) -> str:
+    t = lx.peek()
+    if t and t[0] in ("plus", "minus", "not"):
+        lx.next()
+        return "MUST" if t[0] == "plus" else "MUST_NOT"
+    return "SHOULD"
+
+
+def _prec_and(lx: _Lexer, analyzer: str, fields: tuple,
+              kw_fields: tuple) -> Query | None:
+    """andExpression: Clause (AND Modifier Clause)* — AND retroactively
+    promotes its left neighbour to MUST (the shared addClause rule)."""
+    clauses: list[tuple[Query, str]] = []
+    q = _prec_clause(lx, analyzer, fields, kw_fields)
+    if q is not None:
+        clauses.append((q, "SHOULD"))
+    while True:
+        t = lx.peek()
+        if not (t and t[0] == "and"):
+            break
+        lx.next()
+        occ = _prec_modifier(lx)
+        q = _prec_clause(lx, analyzer, fields, kw_fields)
+        if q is None:
+            continue
+        clauses.append((q, "MUST" if occ == "SHOULD" else occ))
+        if len(clauses) >= 2 and clauses[-2][1] == "SHOULD":
+            clauses[-2] = (clauses[-2][0], "MUST")
+    if not clauses:
+        return None
+    if len(clauses) == 1 and clauses[0][1] == "SHOULD":
+        return clauses[0][0]
+    b = Bool()
+    for q, occ in clauses:
+        {"MUST": b.must, "SHOULD": b.should,
+         "MUST_NOT": b.must_not}[occ].append(q)
+    return b
+
+
+def _prec_query(lx: _Lexer, analyzer: str, fields: tuple,
+                kw_fields: tuple) -> Query | None:
+    parts: list[tuple[Query, str]] = []
+    while True:
+        t = lx.peek()
+        if t is None or t[0] == "rpar":
+            break
+        if t[0] == "or":
+            lx.next()
+            continue
+        occ = _prec_modifier(lx)
+        before = lx.i
+        q = _prec_and(lx, analyzer, fields, kw_fields)
+        if q is None:
+            if lx.i == before:  # no progress — bail
+                lx.next()
+            continue
+        parts.append((q, occ))
+    if not parts:
+        return None
+    if len(parts) == 1 and parts[0][1] == "SHOULD":
+        return parts[0][0]
+    b = Bool()
+    for q, occ in parts:
+        # AND-groups stay NESTED under the OR level — the whole point of
+        # the precedence grammar (no classic flat-clause folding)
+        {"MUST": b.must, "SHOULD": b.should,
+         "MUST_NOT": b.must_not}[occ].append(q)
+    return b
+
+
+def parse_precedence(s: str, analyzer: str = "standard",
+                     analyzed_fields: tuple = (),
+                     keyword_fields: tuple = KEYWORD_FIELDS) -> Query:
+    """contrib PrecedenceQueryParser.parse (default operator OR)."""
+    lx = _Lexer(s)
+    had_tokens = bool(lx.tokens)
+    q = _prec_query(lx, analyzer, analyzed_fields, keyword_fields)
+    if q is None:
+        return Bool() if had_tokens else MatchAll()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# contrib ComplexPhraseQueryParser (contrib/misc/.../complexPhrase/
+# ComplexPhraseQueryParser.java): phrase bodies may hold embedded clause
+# logic — ``"(john jon) smyth~"`` — each phrase slot lifting to a span
+# clause (Term → SpanTerm, multi-term → SpanMulti wrapper, (a b) group →
+# SpanOr), sequenced by an IN-ORDER SpanNear with the phrase slop. Mixed
+# negatives follow the reference rewrite: include = SpanNear(positives,
+# slop + numNegatives), exclude = SpanNear(all clauses, slop) → SpanNot.
+# ---------------------------------------------------------------------------
+
+
+def _lift_span(q: Query):
+    from .ast import SpanMulti, SpanNot as _SpanNot, SpanOr, SpanTerm
+
+    if isinstance(q, Term):
+        return SpanTerm(q.term)
+    if isinstance(q, (Prefix, Wildcard, Fuzzy, TermRange)):
+        return SpanMulti(q)
+    from .ast import Regexp as _Regexp
+
+    if isinstance(q, _Regexp):
+        return SpanMulti(q)
+    if isinstance(q, Bool):
+        # addComplexPhraseClause: ors minus nots
+        ors = [_lift_span(c) for c in list(q.should) + list(q.must)]
+        nots = [_lift_span(c) for c in q.must_not]
+        ors = [c for c in ors if c is not None]
+        nots = [c for c in nots if c is not None]
+        if not ors:
+            return None
+        inc = ors[0] if len(ors) == 1 else SpanOr(ors)
+        if nots:
+            exc = nots[0] if len(nots) == 1 else SpanOr(nots)
+            return _SpanNot(inc, exc)
+        return inc
+    if isinstance(q, Phrase):
+        # multi-token analysis of one slot (rare) → ordered exact sub-span
+        from .ast import SpanNear as _SpanNear
+
+        return _SpanNear([SpanTerm(t) for t in q.phrase_terms], slop=0,
+                         in_order=True)
+    return None
+
+
+def _complex_phrase_body(body: str, slop: int, boost: float, analyzer: str,
+                         fields: tuple, kw_fields: tuple) -> Query | None:
+    """Phrase-content pass (the parser's pass 2): a flat, ORDER-PRESERVING
+    clause sequence with per-clause modifiers, lifted to span clauses."""
+    from .ast import SpanNear as _SpanNear, SpanNot as _SpanNot, SpanTerm
+
+    lx = _Lexer(body)
+    seq: list[tuple[Query | None, str]] = []
+    while lx.peek() is not None:
+        q, occ = _parse_atom(lx, analyzer, fields, kw_fields)
+        if q is None:
+            continue
+        seq.append((q, occ))
+    if not seq:
+        return None
+    if len(seq) == 1 and seq[0][1] != "MUST_NOT":
+        q = seq[0][0]
+        if isinstance(q, Term):  # reference: single TermQuery passes through
+            return Term(q.term, boost=boost)
+        lifted = _lift_span(q)
+        if lifted is not None:
+            lifted.boost = boost
+            return lifted
+        return q
+    spans = []
+    for q, _occ in seq:
+        s = _lift_span(q)
+        if s is None:
+            # reference inserts an unmatchable dummy so "fred smithe*" with
+            # no smithe* terms cannot degrade to matching bare "fred"
+            s = SpanTerm("\x00unmatchable")
+        spans.append(s)
+    negatives = [i for i, (_q, occ) in enumerate(seq) if occ == "MUST_NOT"]
+    if not negatives:
+        return _SpanNear(spans, slop=slop, in_order=True, boost=boost)
+    positives = [s for s, (_q, occ) in zip(spans, seq) if occ != "MUST_NOT"]
+    include = (positives[0] if len(positives) == 1
+               else _SpanNear(positives, slop=slop + len(negatives),
+                              in_order=True))
+    exclude = _SpanNear(spans, slop=slop, in_order=True)
+    return _SpanNot(include, exclude, boost=boost)
+
+
+def _complex_quoted_query(tok: str, analyzer: str = "standard",
+                          fields: tuple = (),
+                          kw_fields: tuple = KEYWORD_FIELDS) -> Query | None:
+    m = re.match(r'^(?:([A-Za-z_][A-Za-z0-9_]*):)?"([^"]*)"'
+                 r'(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$', tok)
+    assert m
+    field, body, slop = m.group(1), m.group(2), int(m.group(3) or 0)
+    boost = float(m.group(4) or 1.0)
+    # field sensitivity inside complex phrases is the reference's own open
+    # TODO (ComplexPhraseQueryParser.java parsePhraseElements comment) —
+    # like it, the embedded clauses parse against the default field
+    return _complex_phrase_body(body, slop, boost, analyzer, fields,
+                                kw_fields)
+
+
+def parse_complex_phrase(s: str, analyzer: str = "standard",
+                         analyzed_fields: tuple = (),
+                         keyword_fields: tuple = KEYWORD_FIELDS) -> Query:
+    """contrib ComplexPhraseQueryParser.parse: the classic grammar, but
+    every quoted phrase may embed clause syntax (wildcards, fuzzies,
+    (a b) alternative groups, -negatives) and rewrites to span queries."""
+    lx = _Lexer(s)
+    had_tokens = bool(lx.tokens)
+    # pass 1 = the classic grammar; pass 2 happens per quoted token inside
+    # _complex_quoted_query (the reference's two-pass design collapsed:
+    # our AST needs no IndexReader to rewrite)
+    q = _parse_or(lx, analyzer, analyzed_fields, keyword_fields,
+                  quoted_fn=_complex_quoted_query)
+    if q is None:
+        return Bool() if had_tokens else MatchAll()
+    return q

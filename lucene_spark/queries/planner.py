@@ -266,6 +266,33 @@ class Searcher:
         from .surround import parse_surround
         return self.search(parse_surround(query), k=k)
 
+    def search_precedence(self, query: str, k: int = 10) -> DataFrame:
+        """Precedence-grammar search (contrib/misc PrecedenceQueryParser:
+        AND binds tighter than OR; queries/parser.py parse_precedence)."""
+        from .parser import parse_precedence
+
+        af = self.reader.analyzed_fields
+        if self.reader.field_analyzers:
+            af = {f: self.reader.field_analyzers.get(f, self.reader.analyzer)
+                  for f in af}
+        return self.search(parse_precedence(
+            query, analyzer=self.reader.analyzer, analyzed_fields=af,
+            keyword_fields=self.reader.keyword_fields), k=k)
+
+    def search_complex_phrase(self, query: str, k: int = 10) -> DataFrame:
+        """Complex-phrase search (contrib/misc ComplexPhraseQueryParser:
+        phrases may embed wildcards/fuzzies/(a b) groups/-negatives and
+        rewrite to span queries; queries/parser.py parse_complex_phrase)."""
+        from .parser import parse_complex_phrase
+
+        af = self.reader.analyzed_fields
+        if self.reader.field_analyzers:
+            af = {f: self.reader.field_analyzers.get(f, self.reader.analyzer)
+                  for f in af}
+        return self.search(parse_complex_phrase(
+            query, analyzer=self.reader.analyzer, analyzed_fields=af,
+            keyword_fields=self.reader.keyword_fields), k=k)
+
     def search_xml(self, xml: str, k: int = 10) -> DataFrame:
         """XML-dialect search (contrib/xml-query-parser CoreParser analog;
         queries/xmlparser.py). A top-level FilteredQuery with a
