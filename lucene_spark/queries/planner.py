@@ -127,9 +127,11 @@ class Searcher:
 
             from .kernel import segment_topk as _topk
 
+            import zlib
+
             @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
             def run(pdf):
-                q, ctx = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                q, ctx = pickle.loads(zlib.decompress(bytes(pdf["_job"].iloc[0])))
                 return _topk(pdf, q, ctx)
 
             self._topk_udf_c = run
@@ -144,10 +146,13 @@ class Searcher:
 
             from .kernel import segment_topk_many as _many
 
+            import zlib
+
             @pandas_udf("qid string, docid long, score double",
                         PandasUDFType.GROUPED_MAP)
             def run(pdf):
-                qs, ctx_by = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                qs, ctx_by = pickle.loads(
+                    zlib.decompress(bytes(pdf["_job"].iloc[0])))
                 return _many(pdf, qs, ctx_by)
 
             self._many_udf_c = run
@@ -162,9 +167,12 @@ class Searcher:
 
             from .kernel import segment_filter_ids as _fids
 
+            import zlib
+
             @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
             def run(pdf):
-                k, boost = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                k, boost = pickle.loads(
+                    zlib.decompress(bytes(pdf["_job"].iloc[0])))
                 return _fids(pdf, k, boost)
 
             self._filter_udf_c = run
@@ -179,9 +187,12 @@ class Searcher:
 
             from .kernel import EXPLAIN_SCHEMA, segment_explain as _sx
 
+            import zlib
+
             @pandas_udf(EXPLAIN_SCHEMA, PandasUDFType.GROUPED_MAP)
             def run(pdf):
-                q, ctx = pickle.loads(bytes(pdf["_job"].iloc[0]))
+                q, ctx = pickle.loads(
+                    zlib.decompress(bytes(pdf["_job"].iloc[0])))
                 return _sx(pdf, q, ctx)
 
             self._explain_udf_c = run
@@ -189,10 +200,19 @@ class Searcher:
 
     @staticmethod
     def _with_job(rows: DataFrame, payload) -> DataFrame:
+        """Attach the pickled (query, ctx) payload as a literal column.
+        zlib keeps the per-row copy small — the column rides the kernel
+        exchange, whose row count is bounded by query terms × segments ×
+        salt splits (a few KB × that; for a 10k-segment corpus a term
+        query shuffles ~10-50k rows, so the compressed payload adds ~10 MB
+        worst-case to an exchange that is already that order — acceptable,
+        and single-digit KB at test scale)."""
         import pickle
+        import zlib
 
         return rows.withColumn(
-            "_job", F.lit(bytearray(pickle.dumps(payload))))
+            "_job",
+            F.lit(bytearray(zlib.compress(pickle.dumps(payload), 1))))
 
     def _doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global df per term, served from the searcher cache where bound."""
