@@ -282,6 +282,19 @@ def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     return docs + base, counts.astype(np.float64)
 
 
+def _cand_pos_indices(per_term, cand: np.ndarray) -> list[np.ndarray]:
+    """For each term, the index into its postings arrays of every candidate
+    docid (cand ⊆ that term's ids by construction). Postings rows of a
+    salt-split head term concatenate out of global order, so sort each id
+    array once (argsort + searchsorted) instead of building a Python dict
+    per posting — O(p log p) numpy instead of O(p) interpreter-speed."""
+    out = []
+    for ids, _ in per_term:
+        order = np.argsort(ids, kind="stable")
+        out.append(order[np.searchsorted(ids[order], cand)])
+    return out
+
+
 def _exact_phrase_freqs_perdoc(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     """Exact-phrase fallback without packed keys (pathological docid × doclen
     ranges): candidate intersection then per-candidate phrase_freq(slop=0).
@@ -293,10 +306,11 @@ def _exact_phrase_freqs_perdoc(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
             break
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    idx_maps = [{int(d): i for i, d in enumerate(ids)} for ids, _ in per_term]
+    cand = np.sort(cand)
+    idx_per_term = _cand_pos_indices(per_term, cand)
     out_ids, out_fr = [], []
-    for d in cand:
-        pls = [per_term[i][1][idx_maps[i][int(d)]] for i in range(len(per_term))]
+    for j, d in enumerate(cand):
+        pls = [per_term[i][1][idx_per_term[i][j]] for i in range(len(per_term))]
         f = phrase_freq(pls, qpos, 0)
         if f > 0:
             out_ids.append(int(d))
@@ -331,13 +345,12 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
             return empty
     # sloppy: per-candidate greedy window walk (python loop over candidates
     # only — candidate sets are small after intersection; positions math
-    # inside is numpy)
+    # inside is numpy, and index lookup is searchsorted, not per-posting dicts)
+    cand = np.sort(cand)
     out_ids, out_fr = [], []
-    idx_maps = [
-        {int(d): i for i, d in enumerate(ids)} for ids, _ in per_term
-    ]
-    for d in cand:
-        pls = [per_term[i][1][idx_maps[i][int(d)]] for i in range(len(per_term))]
+    idx_per_term = _cand_pos_indices(per_term, cand)
+    for j, d in enumerate(cand):
+        pls = [per_term[i][1][idx_per_term[i][j]] for i in range(len(per_term))]
         f = phrase_freq(pls, qpos, q.slop)
         if f > 0:
             out_ids.append(int(d))
@@ -412,11 +425,11 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
             cand = np.intersect1d(cand, ids, assume_unique=True)
             if cand.size == 0:
                 return empty
+        cand = np.sort(cand)
         out_ids, out_fr = [], []
-        idx_maps = [{int(d): i for i, d in enumerate(ids)}
-                    for ids, _ in slot_streams]
-        for d in cand:
-            pls = [slot_streams[i][1][idx_maps[i][int(d)]]
+        idx_per_slot = _cand_pos_indices(slot_streams, cand)
+        for j, d in enumerate(cand):
+            pls = [slot_streams[i][1][idx_per_slot[i][j]]
                    for i in range(len(slot_streams))]
             f = phrase_freq(pls, qpos, q.slop)
             if f > 0:
