@@ -1121,6 +1121,24 @@ def _q_ft_xml(spark, sf_dir):
     return _topk(spark, sf_dir, parse_xml(xml))
 
 
+def _q_ft_precedence(spark, sf_dir):
+    """Precedence grammar (contrib/misc PrecedenceQueryParser.jj): AND
+    binds tighter than OR, so 'data AND spark OR vector' is
+    (data AND spark) OR vector — the group scores as a unit."""
+    from lucene_spark.queries.parser import parse_precedence
+
+    return _topk(spark, sf_dir, parse_precedence("data AND spark OR vector"))
+
+
+def _q_ft_complex_phrase(spark, sf_dir):
+    """Complex phrase (contrib/misc ComplexPhraseQueryParser.java):
+    '"(order sort) scan"' — alternation group inside a phrase rewrites to
+    SpanNear([SpanOr(order, sort), scan], slop=0, ordered)."""
+    from lucene_spark.queries.parser import parse_complex_phrase
+
+    return _topk(spark, sf_dir, parse_complex_phrase('"(order sort) scan"'))
+
+
 def _q_ft_flt(spark, sf_dir):
     """contrib FuzzyLikeThisQuery (FuzzyLikeThisQuery.java:254): fuzzify
     'datq sparj', keep the globally best 8 variants by sim² × idf(source
@@ -1229,6 +1247,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_surround": _q_ft_surround,
         "ft_xml": _q_ft_xml,
         "ft_flt": _q_ft_flt,
+        # round 3: the two remaining contrib parser surfaces
+        "ft_precedence": _q_ft_precedence,
+        "ft_complex_phrase": _q_ft_complex_phrase,
     }
 
 
@@ -1963,6 +1984,36 @@ SELECT * FROM sigs ORDER BY doc_id""",
 WITH {_LSH_BUCKETS_CTE}
 SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
         "ft_surround": _sql_span_near("table", "scan", 3),
+        # precedence: (data AND spark) OR vector — the AND-group contributes
+        # its clause-score sum only when BOTH terms match; vector adds freely
+        "ft_precedence": f"""WITH {_PRELUDE},
+per AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ('data', 'spark') THEN s END) AS s_grp,
+         count(CASE WHEN term IN ('data', 'spark') THEN 1 END) AS n_grp,
+         sum(CASE WHEN term = 'vector' THEN s END) AS s_v
+  FROM scored WHERE term IN ('data', 'spark', 'vector')
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(coalesce(CASE WHEN n_grp = 2 THEN s_grp END, 0)
+             + coalesce(s_v, 0), 4) AS score
+FROM per WHERE n_grp = 2 OR s_v IS NOT NULL
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # complex phrase "(order sort) scan": SpanNear(SpanOr(order|sort),
+        # scan, slop 0, ordered) — greedy chaining to the earliest following
+        # 'scan', weight 1/(1+gap), Σidf over the tree's unique terms
+        "ft_complex_phrase": _sql_pf_score(
+            """spanm AS (
+  SELECT a.doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  WHERE a.term IN ('order', 'sort') AND b.term = 'scan'
+  GROUP BY a.doc_id, a.pos
+),
+sf AS (
+  SELECT doc_id, sum(1.0 / (bpos - apos)) AS pf
+  FROM spanm WHERE bpos - apos - 1 <= 0 GROUP BY doc_id
+)""", _sql_idf_sum(["order", "sort", "scan"])),
         "ft_xml": f"""WITH {_PRELUDE}
 SELECT doc_id, round(sum(s), 4) AS score FROM scored
 WHERE term IN ('data', 'spark')
