@@ -83,16 +83,22 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         write_pages(spark, N_DOCS, corpus, partitions=max(CPUS * 4, 16))
 
-    # warm the execution paths the build exercises (codegen, Arrow Python
-    # workers, parquet committer) so the metric is engine throughput, not
-    # JVM startup — the reference benchmark's warm rounds
-    # (contrib/benchmark conf/*.alg "Rounds") do the same
+    # warm the execution paths the build exercises so the metric is engine
+    # throughput, not JVM/Python-worker startup — the reference benchmark's
+    # warm rounds (contrib/benchmark conf/*.alg "Rounds") do the same. A
+    # MINIATURE REAL BUILD is the only warmup that actually loads the
+    # tokenizer + numpy into every reused Python worker and compiles the
+    # full build plan's codegen; a generic mapInPandas round-trip leaves the
+    # first timed build ~2x slow (observed 25-30 s cold vs 15 s warm at 50k)
     spark.range(100_000).selectExpr("sum(id)").collect()
-    wdf = spark.range(10_000).toDF("x")
-    wdf.mapInPandas(lambda it: (p for p in it), schema="x long").count()
-    warm_p = os.path.join(WORK, "_warmup")
-    wdf.write.mode("overwrite").parquet(warm_p)
-    spark.read.parquet(warm_p).count()
+    warm_corpus = os.path.join(WORK, "pages_warm2000")
+    if not os.path.exists(os.path.join(warm_corpus, "_SUCCESS")):
+        write_pages(spark, 2000, warm_corpus, partitions=CPUS)
+    warm_idx = os.path.join(WORK, "_warmup_idx")
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(spark, warm_corpus, warm_idx, analyzer="standard",
+                store_positions=True, target_docs_per_seg=1000)
+    merge_index(spark, warm_idx)
 
     rounds: dict[str, list[float]] = {}
     cpu_control: dict[str, list[float]] = {"build": [], "query": [],
@@ -105,7 +111,7 @@ def main() -> None:
     # identical code)
     idx_dir = os.path.join(WORK, f"idx_{N_DOCS}_c{CPUS}")
     rounds["build"] = []
-    for _ in range(int(os.environ.get("BENCH_BUILD_ROUNDS", "2"))):
+    for _ in range(int(os.environ.get("BENCH_BUILD_ROUNDS", "3"))):
         cpu_control["build"].append(round(_burn(), 3))
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
