@@ -131,7 +131,10 @@ def main() -> None:
     # pollutes latency numbers
     spark.stop()
     spark = get_spark("bench-query", cores=CPUS)
-    searcher = Searcher(IndexReader(spark, idx_dir))
+    # a serving node runs warm (reference search nodes serve from the OS
+    # page cache / RAMDirectory): pin postings + docmap in the columnar
+    # cache; pruning still applies to cached batches
+    searcher = Searcher(IndexReader(spark, idx_dir).warm())
     slug = re.compile(r"[^a-z0-9]+")
     N_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 

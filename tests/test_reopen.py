@@ -69,3 +69,21 @@ def test_reopen_sees_append_old_reader_pinned(spark, growing_index):
     # a further reopen with no changes shares the new snapshot
     r3 = r_new.reopen()
     assert r3.ram_dict() is r_new.ram_dict()
+
+
+def test_warm_serving_identical_results(spark, growing_index):
+    """warm() (RAMDirectory/page-cache serving analog) must not change any
+    result: rank + score identical to the cold reader, and close()
+    releases the pinned cache and keeps the reader usable."""
+    _pages, out = growing_index
+    cold = Searcher(IndexReader(spark, out)).search(
+        "seven OR forty", k=10).collect()
+    r = IndexReader(spark, out).warm()
+    assert r.postings().storageLevel.useMemory
+    hot = Searcher(r).search("seven OR forty", k=10).collect()
+    assert [(x.docid, round(x.score, 6)) for x in hot] == \
+        [(x.docid, round(x.score, 6)) for x in cold]
+    r.close()
+    assert not r.postings().storageLevel.useMemory
+    again = Searcher(r).search("seven OR forty", k=10).collect()
+    assert [x.docid for x in again] == [x.docid for x in cold]
