@@ -304,24 +304,54 @@ class IndexReader:
             new._ram_fp = self._ram_fp
         return new
 
-    def warm(self) -> "IndexReader":
+    # cached-partition sizing for warm(): every query's scan stage launches
+    # one task per cached partition, so partitions should track DATA volume,
+    # not the (file-count-derived) parquet split count — a 50k-doc index
+    # arrives as 26 file partitions of ~0.4 MB whose 26 per-query scan tasks
+    # cost more than the scan itself
+    WARM_TARGET_BYTES = 32 << 20
+
+    def _dir_bytes(self, sub: str) -> int:
+        total = 0
+        for root, _, files in os.walk(os.path.join(self.index_dir, sub)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def warm(self, max_parts: int | None = None) -> "IndexReader":
         """Pin postings + docmap into Spark's in-memory columnar cache and
         materialize them — the serving-node analog of the reference holding
         its index in the OS page cache / RAMDirectory
         (store/RAMDirectory.java; search nodes always serve warm). Cached
         batches keep min/max stats, so the kernel's pushed-down
         ``term IN (...)`` and the snapshot's ``seg`` pruning still skip
-        irrelevant data in memory. Only sensible when the index fits this
+        irrelevant data in memory. Each table is coalesced to
+        ~WARM_TARGET_BYTES per cached partition first (never above its
+        file-partition count): per-query scan-task count then tracks index
+        SIZE, so a small index serves from a handful of tasks while a big
+        one keeps its parallelism. Only sensible when the index fits this
         session's storage memory — at web scale you shard searchers and
         each shard warms its slice; a reader over a too-big index should
         simply not call warm() (MEMORY_AND_DISK degrades to disk rather
-        than OOM). Measured ~20% off single-query latency at 50k docs."""
+        than OOM). Measured ~2x off single-query latency at 50k docs
+        (26-task scans -> 1, plus in-memory batches). Also pre-loads the
+        RAM term dictionary so the first query pays no dict-load."""
         from pyspark import StorageLevel
 
-        self._postings = self.postings().persist(StorageLevel.MEMORY_AND_DISK)
-        self._docmap = self.docmap().persist(StorageLevel.MEMORY_AND_DISK)
-        self._postings.count()
-        self._docmap.count()
+        for attr, sub, src in (("_postings", "postings", self.postings()),
+                               ("_docmap", "docmap", self.docmap())):
+            parts = src.rdd.getNumPartitions()
+            target = max(1, -(-self._dir_bytes(sub) // self.WARM_TARGET_BYTES))
+            if max_parts is not None:
+                target = min(target, max_parts)
+            df = src.coalesce(min(parts, target)) if target < parts else src
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            setattr(self, attr, df)
+        self.ram_dict()
         return self
 
     def close(self) -> None:

@@ -221,17 +221,36 @@ class Searcher:
             self._df_cache.update(self.reader.doc_freqs(missing))
         return {t: self._df_cache[t] for t in terms if t in self._df_cache}
 
-    def _kernel_rows(self, rows: DataFrame) -> DataFrame:
+    # target matched-postings rows per kernel task: each task's Arrow
+    # round-trip + Python-worker dispatch costs ~10-20 ms, so a single-term
+    # query over a many-segment index must NOT pay one task per segment
+    # (26 tasks of 1 row each measured ~2x the latency of 4 tasks of 7)
+    _ROWS_PER_KERNEL_TASK = 8
+
+    def _kernel_rows(self, rows: DataFrame, n_terms: int | None = None
+                     ) -> DataFrame:
         """Partition the kernel input by seg with an EXPLICIT partition
         count. AQE's coalescing (1 MB floor) would merge this small shuffle
         (a few hundred KB of posting blobs at test scale) into one
         partition and serialize every per-segment Python kernel onto a
         single worker; a user-specified repartition count is exempt from
         coalescing, and HashPartitioning(seg) already satisfies the
-        downstream groupBy("seg") so no second exchange appears."""
+        downstream groupBy("seg") so no second exchange appears.
+
+        `n_terms` (the planner's matched-dictionary term count) sizes the
+        shuffle to the WORK: the kernel input has at most n_terms rows per
+        segment (plus salt splits + side-cars), so a 1-term query over a
+        26-segment index gets ~4 partitions, not 26 near-empty tasks,
+        while a 1024-term expansion keeps full parallelism. At cluster
+        scale the same estimate scales the task count with query breadth
+        instead of pinning it to the (much larger) segment count."""
         n_segs = int(self.reader.stats.get("n_segments", 0) or 0)
         sp = self._shuffle_parts
-        return rows.repartition(max(1, min(n_segs or sp, sp)), "seg")
+        parts = max(1, min(n_segs or sp, sp))
+        if n_terms is not None:
+            est_rows = max(1, n_terms) * max(1, n_segs)
+            parts = min(parts, max(1, -(-est_rows // self._ROWS_PER_KERNEL_TASK)))
+        return rows.repartition(parts, "seg")
 
     # ------------------------------------------------------------------ #
     def _with_deleted(self, rows: DataFrame) -> DataFrame:
@@ -581,7 +600,8 @@ class Searcher:
         rows = self._with_job(
             self._with_deleted(self.reader.postings().where(_terms_pred(qterms))),
             (q, ctx))
-        per_seg = self._apply_grouped(self._kernel_rows(rows), self._topk_udf)
+        per_seg = self._apply_grouped(
+            self._kernel_rows(rows, n_terms=len(qterms)), self._topk_udf)
         out = per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         return self._hydrate(out) if hydrate else out
 
@@ -627,8 +647,8 @@ class Searcher:
                 self._with_deleted(
                     self.reader.postings().where(_terms_pred(qterms))),
                 (kernel_qs, ctx_by))
-            per_seg = self._apply_grouped(self._kernel_rows(rows),
-                                          self._many_udf)
+            per_seg = self._apply_grouped(
+                self._kernel_rows(rows, n_terms=len(qterms)), self._many_udf)
             w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
             parts.append(per_seg.withColumn("rn", F.row_number().over(w))
                          .where(F.col("rn") <= k).drop("rn"))
@@ -668,7 +688,8 @@ class Searcher:
             self._with_deleted(
                 self.reader.postings().where(_terms_pred(list(dfs)))),
             (q, ctx))
-        return self._apply_grouped(self._kernel_rows(rows), self._topk_udf)
+        return self._apply_grouped(
+            self._kernel_rows(rows, n_terms=len(dfs)), self._topk_udf)
 
     def facets(self, query: Query | str | None = None, top_n: int = 10) -> DataFrame:
         """Facet counts → DataFrame(term, n_docs), count desc / term asc.
@@ -839,8 +860,9 @@ class Searcher:
             self._with_deleted(
                 self.reader.postings().where(_terms_pred(list(dfs)))),
             (q, ctx))
-        return (self._apply_grouped(self._kernel_rows(rows),
-                                    self._explain_udf)
+        return (self._apply_grouped(
+                    self._kernel_rows(rows, n_terms=len(dfs)),
+                    self._explain_udf)
                 .orderBy("docid", "component"))
 
     def more_like_this(self, docid: int, *, max_terms: int = 8, k: int = 10,
