@@ -418,6 +418,7 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 _N_MINHASH = 8
+_LSH_BAND_CAP = 100  # skip mega band-buckets (Zipf-head collisions) — mirrored in the oracle
 
 
 def _minhash_sigs(spark, sf_dir, sh: DataFrame | None = None) -> DataFrame:
@@ -470,6 +471,18 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         f"cast(mh{2*b+1} as string)) as binary))" for b in range(4))
     bands = sigs.selectExpr(
         "doc_id", f"stack(4, {stack_args}) as (band, bh)")
+    # MEGA-BUCKET GUARD (same skew treatment as _BUCKET_CAP on the shingle
+    # path): under a Zipf-headed corpus, many docs share the globally
+    # minimum-hash shingles, so their band hashes collide — measured at a
+    # 500k-doc probe: top bucket 11,925 docs, 620M candidate pairs, a
+    # ~10^11-row verify shuffle (disk-filling; quadratic at 10^9 docs).
+    # Buckets over the cap carry no dedup precision (they are boilerplate
+    # collisions, p99 bucket = 72 at that probe), so they are skipped —
+    # standard banded-LSH practice. The over-cap set is tiny by Zipf →
+    # broadcastable; one extra map-side-combinable count pass.
+    big = (bands.groupBy("band", "bh").count()
+           .where(F.col("count") > _LSH_BAND_CAP).select("band", "bh"))
+    bands = bands.join(F.broadcast(big), ["band", "bh"], "left_anti")
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -489,6 +502,49 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         .groupBy("a", "b").agg(F.count("*").alias("i"))
     )
     return _jaccard_verify(inter, sizes)
+
+
+def _q_dedup_cluster(spark, sf_dir):
+    """Near-duplicate CLUSTERING: connected components over the verified
+    minhash-LSH pairs via iterative min-label propagation, then canonical
+    representative selection (keep = lowest doc_id per component) — the
+    step a dedup pipeline runs after pair generation to drop all-but-one
+    copy per duplicate group (reference keeps one doc per equal key the
+    same way: contrib/queries/.../DuplicateFilter.java KM_USE_FIRST_OCCURRENCE).
+
+    Scale shape: the edge table is the DUPLICATE-PAIR set — orders of
+    magnitude smaller than the corpus at any realistic dup rate — so each
+    iteration shuffles only O(|pairs|) rows, never the corpus. Iterations =
+    component diameter (near-dup clusters are near-cliques, so 2-3 rounds);
+    label lineage is truncated per round (localCheckpoint) so the plan does
+    not grow with iterations. The result is the exact component minimum —
+    deterministic under any partitioning."""
+    pairs = _q_dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    edges = (pairs.union(pairs.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+             .toDF("u", "v").cache())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(50):
+        prop = (edges.join(labels, F.col("v") == F.col("node"))
+                .groupBy("u").agg(F.min("lbl").alias("cand")))
+        nxt = (labels.join(prop, F.col("node") == F.col("u"), "left")
+               .select(F.col("node"), F.col("lbl").alias("olbl"),
+                       F.least(F.col("lbl"),
+                               F.coalesce(F.col("cand"), F.col("lbl")))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = nxt.where(F.col("lbl") != F.col("olbl")).count()
+        labels = nxt.select("node", "lbl")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("lbl").alias("cluster_id"),
+                          (F.col("lbl") == F.col("node")).cast("long")
+                          .alias("keep"))
+            .orderBy("doc_id"))
 
 
 def _simhash60_udf():
@@ -609,6 +665,78 @@ def _q_text_fingerprint(spark, sf_dir):
         .select("doc_id",
                 F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
                     F.split("text", " ")))).cast("binary")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters per document: fraction of bigram
+    occurrences taken by the top bigram, fraction of bigram / trigram
+    occurrences whose n-gram repeats within the doc (the "fraction of
+    characters in duplicate n-grams" family from the Gopher data-quality
+    rules, over whitespace tokens).
+
+    ZERO-SHUFFLE like simhash/text_quality: every metric is a function of
+    one doc's own token sequence, so it is a single Arrow-batched pandas
+    UDF in a narrow projection — no n-gram explode, no groupBy(doc_id)
+    shuffle of O(corpus tokens) rows; the contract orderBy is the only
+    exchange. The UDF returns raw doubles; rounding happens JVM-side with
+    F.round so the result bit-matches the oracle's SQL round."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("top2 double, dup2 double, dup3 double")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+        top2, dup2, dup3 = [], [], []
+        for t in texts:
+            toks = t.split(" ")
+            n = len(toks)
+            cb = Counter(zip(toks, toks[1:]))
+            tot2 = n - 1
+            top2.append(max(cb.values()) / tot2)
+            dup2.append(sum(c for c in cb.values() if c > 1) / tot2)
+            if n >= 3:
+                ct = Counter(zip(toks, toks[1:], toks[2:]))
+                dup3.append(sum(c for c in ct.values() if c > 1) / (n - 2))
+            else:
+                dup3.append(0.0)
+        return pd.DataFrame({"top2": top2, "dup2": dup2, "dup3": dup3})
+
+    r = F.col("r")
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull()
+               & (F.size(F.split("text", " ")) >= 2))
+        .select("doc_id", rep("text").alias("r"))
+        .select("doc_id",
+                F.round(r["top2"], 4).alias("top2gram_frac"),
+                F.round(r["dup2"], 4).alias("dup2gram_frac"),
+                F.round(r["dup3"], 4).alias("dup3gram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram language-model quality score: mean ln P(token) per
+    document under the corpus's own unigram distribution — the classic
+    LM-perplexity filter for training-data pipelines (low mean logprob =
+    unusual token mix).
+
+    Unlike text_quality/langid this metric GENUINELY needs global statistics
+    (corpus term counts), so its two shuffles are inherent, and both are the
+    scale-safe kind: groupBy(term) is map-side combinable (vocab << tokens
+    after partial agg), and the token→count join shuffles on term — never a
+    broadcast of the corpus-sized vocabulary."""
+    tok = _tokens(spark, sf_dir)
+    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    return (
+        tok.join(tc, "term").crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4)
+             .alias("mean_logprob"))
         .orderBy("doc_id")
     )
 
@@ -1250,6 +1378,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 3: the two remaining contrib parser surfaces
         "ft_precedence": _q_ft_precedence,
         "ft_complex_phrase": _q_ft_complex_phrase,
+        # round 3: training-data pipeline depth — dedup clustering +
+        # Gopher repetition rules + unigram-LM quality scoring
+        "dedup_cluster": _q_dedup_cluster,
+        "text_repetition": _q_text_repetition,
+        "text_unigram_logprob": _q_text_unigram_logprob,
     }
 
 
@@ -1446,6 +1579,39 @@ sigs AS (
          {", ".join(f"min(CASE WHEN seed = {j} THEN h END) AS mh{j}"
                     for j in range(_N_MINHASH))}
   FROM seeded GROUP BY doc_id
+)
+"""
+
+
+# banded-LSH candidate generation + shingle-intersection counting, shared by
+# the dedup_minhash_lsh oracle (jaccard verify tail) and the dedup_cluster
+# oracle (connected components over the verified pairs)
+_LSH_INTER_SQL = f"""
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, "
+      f"md5(CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bh "
+      f"FROM sigs" for b in range(4))}
+),
+bigb AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) > {_LSH_BAND_CAP}
+),
+bandsf AS (
+  SELECT b.doc_id, b.band, b.bh FROM bands b
+  LEFT JOIN bigb g ON b.band = g.band AND b.bh = g.bh
+  WHERE g.band IS NULL
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandsf x JOIN bandsf y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
 )
 """
 
@@ -1734,24 +1900,7 @@ inter AS (
 )
 {_JACCARD_VERIFY_SQL}""",
         "dedup_minhash_lsh": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL},
-bands AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, "
-      f"md5(CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bh "
-      f"FROM sigs" for b in range(4))}
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-),
-inter AS (
-  SELECT c.a, c.b, count(*) AS i
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
-  GROUP BY c.a, c.b
-)
+{_LSH_INTER_SQL}
 {_JACCARD_VERIFY_SQL}""",
         "dedup_simhash": f"""WITH {_PRELUDE},
 th AS (SELECT doc_id, term, tf, {_H60_SQL.format(s="term")} AS h FROM tfs),
@@ -2067,4 +2216,57 @@ hits AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM hits
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        # connected components over the verified LSH pairs: transitive
+        # closure by recursive CTE, cluster id = component minimum —
+        # the exact value min-label propagation converges to
+        "dedup_cluster": f"""WITH RECURSIVE {_PRELUDE}, {_SHINGLES_SQL},
+{_MINHASH_SQL}, {_LSH_INTER_SQL},
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i * 1.0 / (sa.ns + sb.ns - i.i) >= {_JAC_MIN}
+),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION ALL SELECT b AS u, a AS v FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+       CAST(least(u, min(v)) = u AS BIGINT) AS keep
+FROM reach GROUP BY u ORDER BY u""",
+        "text_repetition": f"""WITH {_PRELUDE},
+big AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS g
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       FROM bc GROUP BY doc_id),
+tri AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS g
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+tc3 AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tm AS (SELECT doc_id, sum(c) AS tot,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       FROM tc3 GROUP BY doc_id)
+SELECT b.doc_id,
+       round(b.mx * 1.0 / b.tot, 4) AS top2gram_frac,
+       round(b.dup * 1.0 / b.tot, 4) AS dup2gram_frac,
+       round(coalesce(t.dup * 1.0 / t.tot, 0.0), 4) AS dup3gram_frac
+FROM bm b LEFT JOIN tm t USING (doc_id)
+ORDER BY b.doc_id""",
+        "text_unigram_logprob": f"""WITH {_PRELUDE},
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tc.c * 1.0 / tot.n)), 4) AS mean_logprob
+FROM tok t JOIN tc USING (term) CROSS JOIN tot
+GROUP BY t.doc_id ORDER BY t.doc_id""",
     }
