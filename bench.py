@@ -163,9 +163,11 @@ def main() -> None:
     import __spark_entry__ as entry
 
     PIPELINE = ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-                "text_quality", "ann_cosine_topk", "ann_knn_join",
+                "dedup_cluster", "text_quality", "text_repetition",
+                "ann_cosine_topk", "ann_knn_join",
                 "ann_ivf_search", "events_sessionize")
-    efns = entry.queries()
+    efns = dict(entry.queries())
+    efns.update(entry.extra_queries())
     for name in PIPELINE:
         rounds[name] = []
     for _ in range(N_ROUNDS):
