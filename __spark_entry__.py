@@ -116,14 +116,23 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per doc (JVM-side transform, no UDF)."""
+    """Distinct word 3-gram shingles per doc (JVM-side transform, no UDF).
+
+    `split(text)` is hoisted into its own projection BELOW the transform:
+    higher-order-function lambdas are interpreted per element, so a
+    split() written inline in the lambda body is re-evaluated for every
+    shingle position — O(words²) per document (measured 229 s vs 3.1 s on
+    2k docs × 2k words). Because `toks` is referenced more than once and
+    split() is non-cheap, Catalyst's CollapseProject keeps the hoisted
+    projection separate, so the split runs once per row."""
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
             F.explode(F.expr(
-                "transform(sequence(0, greatest(size(split(text,' '))-3, -1)), "
-                "i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
+                "transform(sequence(0, greatest(size(toks)-3, -1)), "
+                "i -> concat_ws(' ', slice(toks, i+1, 3)))"
             )).alias("shingle"),
         )
         .distinct()
@@ -350,46 +359,92 @@ _BUCKET_CAP = 25  # skip mega-buckets (head shingles) — mirrored in the oracle
 _JAC_MIN = 0.5
 
 
-def _cand_pairs_by_shingle(sh: DataFrame) -> DataFrame:
-    """Candidate pairs sharing ≥1 non-head shingle + exact jaccard verify.
+_DEDUP_CACHE: dict = {}
 
-    `sh` should be the persisted shingle table (_shingles_cached): it ends
-    in a distinct() (a full shuffle) and is consumed three times below
-    (bucket counts, capped join sides, per-doc sizes) — recomputing the
-    distinct per consumer would triple the dominant shuffle at any scale."""
-    # broadcast the OVER-cap (head) shingle set and anti-join: the head set
-    # is tiny by Zipf (the under-cap complement is one row per distinct
-    # shingle — corpus-sized, never broadcastable at 10^9 docs)
-    bad = sh.groupBy("shingle").count().where(F.col("count") > _BUCKET_CAP)
-    shf = sh.join(F.broadcast(bad.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+
+def _dedup_artifacts(spark, sf_dir):
+    """(shf, jac_sets, full_sets) cached ONCE per (session, sf_dir):
+
+    - shf: the shingle table with over-cap (head) buckets anti-joined out.
+      The head set is tiny by Zipf → broadcastable (the under-cap
+      complement is one row per distinct shingle — corpus-sized, never
+      broadcastable at 10^9 docs). Measured at a 500k-doc probe: 97.7% of
+      shingle rows sit in over-cap boilerplate buckets, so shf is 1.5M of
+      67.4M rows.
+    - jac_sets: per-doc array of 60-bit hashes of the CAPPED shingles
+      (intersection side of the jaccard op — head shingles carry no dedup
+      signal, mirrored in the oracle's shf CTE) + FULL set size ns.
+    - full_sets: per-doc array over ALL shingles + ns (LSH verify side —
+      no cap there, mirrored in the oracle).
+
+    Caching matters beyond warm repeats: the jaccard op alone consumes shf
+    three times in ONE plan (both self-join sides + the sets aggregation);
+    uncached, each consumer re-runs the 67M-row anti-join + its upstream
+    bucket count (measured 113 s vs 1.6 s warm at the 500k probe)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DEDUP_CACHE:
+        sh = _shingles_cached(spark, sf_dir)
+        bad = sh.groupBy("shingle").count().where(F.col("count") > _BUCKET_CAP)
+        shf = sh.join(F.broadcast(bad.select("shingle")), "shingle",
+                      "left_anti").cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+        jac_sets = (shf.groupBy("doc_id")
+                    .agg(F.collect_list(_h60("shingle")).alias("sset"))
+                    .join(sizes, "doc_id").cache())
+        full_sets = sh.groupBy("doc_id").agg(
+            F.collect_list(_h60("shingle")).alias("sset"),
+            F.count("*").alias("ns")).cache()
+        _DEDUP_CACHE[key] = (shf, jac_sets, full_sets)
+    return _DEDUP_CACHE[key]
+
+
+def _cand_pairs_by_shingle(shf: DataFrame, jac_sets: DataFrame) -> DataFrame:
+    """Candidate pairs sharing ≥1 non-head shingle + exact jaccard verify
+    over the capped per-doc sets (see _dedup_artifacts, _verify_pairs)."""
     a = shf.alias("a")
     b = shf.alias("b")
-    inter = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
     )
-    return _jaccard_verify(inter, sizes)
+    return _verify_pairs(cand, jac_sets)
 
 
-def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
-    """(a, b, i) + per-doc sizes → verified pairs. Filter on the RAW ratio
-    (matching the oracle), round only for output.
+def _verify_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact-jaccard verification of candidate pairs against per-doc
+    shingle-hash SETS: (a, b) × (doc_id, sset: array<bigint>, ns) →
+    (a, b, jac) with jac ≥ _JAC_MIN, ordered.
 
-    No broadcast hint on `sizes`: it has ONE ROW PER DOCUMENT, so a
-    broadcast would ship a corpus-sized table to every executor (driver
-    OOM at 10^9 docs). The candidate-pair side (`inter`) is the small side
-    after banding/bucketing — AQE picks the join strategy from measured
-    sizes, and at scale this is a shuffled join keyed on doc_id (or an AQE
-    broadcast of `inter` itself, never of `sizes`)."""
+    The round-2 verify joined the candidate pairs back to the EXPLODED
+    shingle table twice and re-aggregated — |cand| × shingles_per_doc
+    intermediate rows into a corpus-scale groupBy (measured 639 s on
+    12.2M candidates × ~135 shingles at a 500k-doc probe). Here each pair
+    instead joins two per-doc arrays (shuffles keyed on doc_id, O(|cand|)
+    rows) and `size(array_intersect(...))` computes i JVM-side. Shingles
+    are 60-bit md5 hashes, not strings (3× fewer shuffle bytes, integer
+    set-intersection): P(any corpus collision) ≈ n²/2⁶¹ ≈ 2e-3 at 67M
+    distinct shingles — and the string-based DuckDB oracle independently
+    verifies no collision altered a result.
+
+    A size-ratio prefilter runs before the arrays are compared: i ≤
+    min(na,nb) and union ≥ max(na,nb), so jac ≥ t requires min ≥ t·max —
+    an exact pruning rule, not a heuristic.
+
+    No broadcast hint anywhere: `sets` has one row per document (never
+    broadcastable at 10⁹ docs); AQE picks the strategy — at scale both
+    joins are shuffles keyed on doc_id, or an AQE broadcast of the
+    candidate side, never of the corpus side."""
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sset").alias("seta"),
+                     F.col("ns").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sset").alias("setb"),
+                     F.col("ns").alias("nb"))
     raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a")
-                   .withColumnRenamed("ns", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b")
-              .withColumnRenamed("ns", "nb"), "b")
+        cand.join(sa, "a").join(sb, "b")
+        .where(F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(_JAC_MIN))
+        .withColumn("i", F.size(F.array_intersect("seta", "setb")).cast("long"))
         .where(raw >= _JAC_MIN)
         .select("a", "b", F.round(raw, 4).alias("jac"))
         .orderBy("a", "b")
@@ -414,7 +469,8 @@ def _shingles_cached(spark, sf_dir) -> DataFrame:
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
-    return _cand_pairs_by_shingle(_shingles_cached(spark, sf_dir))
+    shf, jac_sets, _ = _dedup_artifacts(spark, sf_dir)
+    return _cand_pairs_by_shingle(shf, jac_sets)
 
 
 _N_MINHASH = 8
@@ -492,16 +548,10 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    a = sh.alias("sa")
-    b2 = sh.alias("sb")
-    inter = (
-        cand.join(a, F.col("a") == F.col("sa.doc_id"))
-        .join(b2, (F.col("b") == F.col("sb.doc_id"))
-              & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("a", "b").agg(F.count("*").alias("i"))
-    )
-    return _jaccard_verify(inter, sizes)
+    # LSH intersections use the FULL shingle set (no cap — mirrored in the
+    # oracle); see _verify_pairs for the array-based verify design
+    _, _, full_sets = _dedup_artifacts(spark, sf_dir)
+    return _verify_pairs(cand, full_sets)
 
 
 def _q_dedup_cluster(spark, sf_dir):
