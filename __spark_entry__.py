@@ -130,9 +130,16 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
+            # CASE guard for <3-token docs: Spark's sequence(0, n) runs
+            # DESCENDING when n < 0 ([0,-1] → slice start 0 → runtime
+            # error), so short docs must yield array() (explode then drops
+            # the row — same as the oracle's positional self-join, which
+            # produces no shingle rows for them)
             F.explode(F.expr(
-                "transform(sequence(0, greatest(size(toks)-3, -1)), "
-                "i -> concat_ws(' ', slice(toks, i+1, 3)))"
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(0, size(toks)-3), "
+                "i -> concat_ws(' ', slice(toks, i+1, 3))) "
+                "ELSE array() END"
             )).alias("shingle"),
         )
         .distinct()
