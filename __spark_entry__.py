@@ -561,6 +561,35 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return _verify_pairs(cand, full_sets)
 
 
+_DECON_BENCH_N = 10   # doc_id < 10 form the held-out benchmark set
+_DECON_MIN_SHARED = 3  # flag at >= 3 shared distinct 3-gram shingles
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing ≥ K distinct
+    word-3-gram shingles with any document of a held-out benchmark set
+    (here: doc_id < _DECON_BENCH_N stands in for the eval suite) — the
+    pre-training hygiene step run before a model ever sees the data.
+    Cross-SET containment, not within-set near-dup: a doc is flagged for
+    overlapping the benchmark even when it duplicates nothing else in the
+    corpus.
+
+    Scale shape: the benchmark side is SMALL BY DEFINITION (thousands of
+    eval docs vs 10^9 training docs), so this is the one shingle table a
+    broadcast hint is CORRECT for — the corpus side streams map-side
+    through the broadcast hash join with zero corpus shuffle before the
+    per-(doc, bench) count (itself map-side combinable)."""
+    sh = _shingles_cached(spark, sf_dir)
+    bench = (sh.where(F.col("doc_id") < _DECON_BENCH_N)
+             .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    return (sh.where(F.col("doc_id") >= _DECON_BENCH_N)
+            .join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= _DECON_MIN_SHARED)
+            .orderBy("doc_id", "bench_id"))
+
+
 def _q_dedup_cluster(spark, sf_dir):
     """Near-duplicate CLUSTERING: connected components over the verified
     minhash-LSH pairs via iterative min-label propagation, then canonical
@@ -1440,6 +1469,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": _q_dedup_cluster,
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        # round 3: benchmark decontamination (cross-set shingle overlap)
+        "text_decontaminate": _q_text_decontaminate,
     }
 
 
@@ -2326,4 +2357,11 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln(tc.c * 1.0 / tot.n)), 4) AS mean_logprob
 FROM tok t JOIN tc USING (term) CROSS JOIN tot
 GROUP BY t.doc_id ORDER BY t.doc_id""",
+        "text_decontaminate": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}
+SELECT s.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN sh b ON s.shingle = b.shingle
+ AND b.doc_id < {_DECON_BENCH_N} AND s.doc_id >= {_DECON_BENCH_N}
+GROUP BY s.doc_id, b.doc_id
+HAVING count(*) >= {_DECON_MIN_SHARED}
+ORDER BY s.doc_id, b.doc_id""",
     }

@@ -31,6 +31,7 @@ _DOC_OPS = [
     "text_fingerprint",
     "text_token_count",
     "text_repetition",
+    "text_decontaminate",
 ]
 
 _TEXTS = [
