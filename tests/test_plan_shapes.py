@@ -1,0 +1,123 @@
+"""Physical-plan regression guards for the pipeline operators.
+
+Round 2's verdict flagged two at-scale plan hazards that were since fixed:
+a corpus-sized ``F.broadcast(sizes)`` in the near-dup verify tail and an
+exploded-token shuffle in text_quality/langid. These tests pin the fixed
+plan *shapes* so a refactor cannot silently reintroduce them:
+
+- the per-document text/simhash ops must stay narrow (their only Exchange
+  is the final contract ``orderBy`` rangepartitioning — no hash shuffle,
+  no broadcast anywhere);
+- IVF search must stay map-only (broadcast-centroid argmax, zero Exchange);
+- with auto-broadcast disabled, the only broadcasts left in the near-dup
+  plans are *explicit hints*, and every one of them must be a bounded
+  exclusion table (mega-shingle / mega-band lists produced by a
+  ``count > cap`` filter), never a per-document table.
+
+Catalyst/AQE size-based auto-broadcasts at tiny SF are fine and expected —
+they disappear on their own at scale — so the broadcast whitelist test
+turns them off to expose only what the code forces.
+"""
+import os
+import re
+from contextlib import contextmanager
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present")
+
+# Ops whose whole body is per-document JVM expressions: one narrow
+# projection, then the contract orderBy. (simhash is an Arrow map, same
+# shape.)
+NARROW_OPS = [
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_token_count",
+]
+
+
+def _exec_plan(spark, name):
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k, None)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", NARROW_OPS)
+def test_per_doc_ops_stay_narrow(spark, name):
+    plan = _exec_plan(spark, name)
+    exchanges = re.findall(r"Exchange \w+", plan)
+    # Exactly one Exchange: the rangepartitioning for the deterministic
+    # contract sort. Any hashpartitioning means a groupBy/join crept back in.
+    assert len(exchanges) == 1, f"{name}: {exchanges}\n{plan}"
+    assert "hashpartitioning" not in plan, f"{name} reintroduced a shuffle"
+    assert "BroadcastExchange" not in plan, f"{name} reintroduced a broadcast"
+
+
+def test_ivf_search_is_map_only(spark):
+    # IVF assignment is a broadcast-centroid (driver literal) argmax under
+    # TakeOrderedAndProject — there must be no Exchange at all (PLANS.md §3).
+    plan = _exec_plan(spark, "ann_ivf_search")
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_exact_single_agg_shuffle(spark):
+    plan = _exec_plan(spark, "dedup_exact")
+    # One map-side-combinable aggregation shuffle + the contract sort.
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1, plan
+
+
+@pytest.mark.parametrize("name,allowed", [
+    # Bounded mega-bucket exclusion lists are the ONLY tables the code may
+    # force-broadcast: shingles with >cap docs / (band,bh) with >cap docs.
+    ("dedup_ngram_jaccard", r"Project \[shingle#\d+\]"),
+    ("dedup_minhash_lsh", r"Project \[band#\d+, bh#\d+\]"),
+])
+def test_neardup_explicit_broadcasts_are_bounded(spark, name, allowed):
+    with _no_auto_broadcast(spark):
+        plan = _exec_plan(spark, name)
+    lines = plan.splitlines()
+    bx_children = [lines[i + 1] for i, ln in enumerate(lines)
+                   if "BroadcastExchange" in ln and i + 1 < len(lines)]
+    assert bx_children, f"{name}: expected the explicit exclusion-table hints"
+    for child in bx_children:
+        # The round-2 regression was F.broadcast() of a one-row-per-document
+        # table (doc_id keyed). Anything per-doc under a forced broadcast is
+        # an at-scale OOM.
+        assert "doc_id" not in child, f"{name} broadcasts a per-doc table:\n{child}"
+        assert re.search(allowed, child), f"{name} unexpected broadcast:\n{child}"
+
+
+def test_embedding_cosine_no_forced_broadcast(spark):
+    # The LSH-bucket self-join must rely on Catalyst for strategy; with
+    # auto-broadcast off it should contain no BroadcastExchange at all.
+    with _no_auto_broadcast(spark):
+        plan = _exec_plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastExchange" not in plan, plan
