@@ -827,6 +827,62 @@ def _q_text_unigram_logprob(spark, sf_dir):
     )
 
 
+# Stratified-sampling mix: per-language keep thresholds out of 10,000
+# (en-heavy, zh downweighted — the usual web-corpus mixing shape).
+_MIX_THRESHOLDS = {"en": 9000, "es": 6000, "de": 6000, "fr": 6000, "zh": 3000}
+_MIX_DEFAULT_THRESHOLD = 5000
+
+
+def _q_text_sample_mix(spark, sf_dir):
+    """Deterministic stratified corpus sampling for training-data mixing:
+    keep a document iff knuth_hash(doc_id) mod 10000 falls under its
+    language's quota, and carry the inverse-rate importance weight so
+    downstream token statistics stay unbiased (the standard data-mixture
+    resampling step in web-scale pipelines).
+
+    The hash is pure int64 arithmetic ((doc_id * 2654435761) mod 2^32 —
+    Knuth's multiplicative hash), so the selection is reproducible in any
+    engine, seedless, and stable under repartitioning; the whole op is a
+    narrow filter + projection (zero shuffle below the contract orderBy)."""
+    thr = F.lit(_MIX_DEFAULT_THRESHOLD)
+    for lang, t in _MIX_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", h.alias("h"), thr.alias("thr"))
+        .where(F.col("h") < F.col("thr"))
+        .select("doc_id", "lang",
+                F.round(F.lit(10000.0) / F.col("thr"), 4)
+                .alias("sample_weight"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_source_stats(spark, sf_dir):
+    """Per-source corpus health stats — the aggregation behind source-level
+    keep/drop decisions in a crawl pipeline: document count, token volume,
+    mean length, and the within-source exact-duplicate rate.
+
+    Scale shape: one aggregation keyed on (source, text) for the distinct
+    count folded with a groupBy(source) — both map-side combinable, output
+    cardinality = number of sources. No broadcast, no per-doc wide rows."""
+    ntok = F.size(F.split("text", " "))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(ntok).cast("long").alias("total_tokens"),
+             F.round(F.avg(ntok), 4).alias("mean_tokens"),
+             F.countDistinct("text").cast("long").alias("n_unique_texts"))
+        .select("source", "n_docs", "total_tokens", "mean_tokens",
+                "n_unique_texts",
+                F.round(F.lit(1.0) - F.col("n_unique_texts")
+                        / F.col("n_docs"), 4).alias("dup_rate"))
+        .orderBy("source")
+    )
+
+
 def _dlit(v: float) -> str:
     """Exact SQL double literal (repr round-trips to the identical bits)."""
     return f"CAST('{float(v)!r}' AS DOUBLE)"
@@ -1471,6 +1527,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         # round 3: benchmark decontamination (cross-set shingle overlap)
         "text_decontaminate": _q_text_decontaminate,
+        # round 3: data-mixture sampling + per-source corpus health
+        "text_sample_mix": _q_text_sample_mix,
+        "text_source_stats": _q_text_source_stats,
     }
 
 
@@ -2364,4 +2423,22 @@ FROM sh s JOIN sh b ON s.shingle = b.shingle
 GROUP BY s.doc_id, b.doc_id
 HAVING count(*) >= {_DECON_MIN_SHARED}
 ORDER BY s.doc_id, b.doc_id""",
+        "text_sample_mix": f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 4294967296 % 10000 AS h,
+         CASE lang
+           {' '.join(f"WHEN '{lang}' THEN {t}"
+                     for lang, t in _MIX_THRESHOLDS.items())}
+           ELSE {_MIX_DEFAULT_THRESHOLD} END AS thr
+  FROM documents)
+SELECT doc_id, lang, round(10000.0 / thr, 4) AS sample_weight
+FROM r WHERE h < thr ORDER BY doc_id""",
+        "text_source_stats": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS mean_tokens,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate
+FROM documents GROUP BY source ORDER BY source""",
     }

@@ -40,12 +40,31 @@ NARROW_OPS = [
     "text_langid",
     "text_fingerprint",
     "text_token_count",
+    "text_repetition",
+    "text_sample_mix",
 ]
 
 
-def _exec_plan(spark, name):
-    df = E.queries()[name](spark, SF)
+def _exec_plan(spark, name, sf=SF):
+    registry = {**E.queries(), **E.extra_queries()}
+    df = registry[name](spark, sf)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def fresh_sf(tmp_path):
+    """A per-test symlink alias of the sf0.001 tables. The dedup ops pin
+    session-level cached artifacts keyed on (appId, sf_dir); once those are
+    materialized (e.g. by test_contract_extras earlier in the suite) the
+    explicit broadcast hints live inside the InMemoryRelation and no longer
+    appear in a compiled plan. A fresh path = a cold cache key, so the
+    lineage — hints included — is always visible, independent of suite
+    order. Plans are only compiled here, never executed, so the aliased
+    cache entries stay unmaterialized."""
+    for t in ("documents", "embeddings"):
+        os.symlink(os.path.join(SF, f"{t}.parquet"),
+                   str(tmp_path / f"{t}.parquet"))
+    return str(tmp_path)
 
 
 @contextmanager
@@ -100,9 +119,9 @@ def test_dedup_exact_single_agg_shuffle(spark):
     ("dedup_ngram_jaccard", r"Project \[shingle#\d+\]"),
     ("dedup_minhash_lsh", r"Project \[band#\d+, bh#\d+\]"),
 ])
-def test_neardup_explicit_broadcasts_are_bounded(spark, name, allowed):
+def test_neardup_explicit_broadcasts_are_bounded(spark, fresh_sf, name, allowed):
     with _no_auto_broadcast(spark):
-        plan = _exec_plan(spark, name)
+        plan = _exec_plan(spark, name, sf=fresh_sf)
     lines = plan.splitlines()
     bx_children = [lines[i + 1] for i, ln in enumerate(lines)
                    if "BroadcastExchange" in ln and i + 1 < len(lines)]
@@ -115,9 +134,9 @@ def test_neardup_explicit_broadcasts_are_bounded(spark, name, allowed):
         assert re.search(allowed, child), f"{name} unexpected broadcast:\n{child}"
 
 
-def test_embedding_cosine_no_forced_broadcast(spark):
+def test_embedding_cosine_no_forced_broadcast(spark, fresh_sf):
     # The LSH-bucket self-join must rely on Catalyst for strategy; with
     # auto-broadcast off it should contain no BroadcastExchange at all.
     with _no_auto_broadcast(spark):
-        plan = _exec_plan(spark, "dedup_embedding_cosine")
+        plan = _exec_plan(spark, "dedup_embedding_cosine", sf=fresh_sf)
     assert "BroadcastExchange" not in plan, plan
