@@ -32,6 +32,8 @@ _DOC_OPS = [
     "text_token_count",
     "text_repetition",
     "text_decontaminate",
+    "text_sample_mix",
+    "text_source_stats",
 ]
 
 _TEXTS = [
