@@ -480,7 +480,11 @@ def build_index(
     field_analyzers: dict | None = None,
     boost_col: str | None = None,
 ) -> dict:
-    """Build (or resume) the index for parquet pages at input_path.
+    """Build (or resume) the index for the pages corpus at input_path — a
+    parquet directory or an Iceberg table source string
+    (``iceberg:catalog.db.table[@snapshot-id=N|@as-of=TS]``, see
+    lucene_spark/sources/pages.py; the Iceberg segment plan comes from one
+    ``.files`` metadata scan and is snapshot-pinned for exact resume).
 
     Returns summary metrics. Layout under out_dir:
       build_plan.json, tokens/seg=k/, postings/seg=k/, docmap/seg=k/,
@@ -506,7 +510,13 @@ def build_index(
                     os.remove(os.path.join(out_dir, fn))
                 except FileNotFoundError:
                     pass
-        plan = make_build_plan(input_path, target_docs_per_seg)
+        from ..sources.pages import parse_source
+        spec = parse_source(input_path)
+        if spec.kind == "iceberg":
+            from .plan import make_build_plan_iceberg
+            plan = make_build_plan_iceberg(spark, spec, target_docs_per_seg)
+        else:
+            plan = make_build_plan(spec.location, target_docs_per_seg)
         write_build_plan(plan, out_dir)
 
     done = completed_segments(out_dir) if resume else set()
@@ -543,7 +553,12 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     cols = ["url", "lang",
             F.col("_metadata.file_path").alias("fp"),
             F.col("_metadata.row_index").alias("ri")]
-    src_schema = pq.ParquetFile(paths[0]).schema_arrow.names  # footer only, no job
+    try:
+        src_schema = pq.ParquetFile(paths[0]).schema_arrow.names  # footer only, no job
+    except (OSError, FileNotFoundError):
+        # non-local data files (s3a://, hdfs:// — the Iceberg plan path):
+        # resolve the schema JVM-side; still footer-only, no Spark job
+        src_schema = spark.read.parquet(paths[0]).schema.names
     if "text" in src_schema:
         cols.insert(1, F.col("text"))
     if "html" in src_schema:

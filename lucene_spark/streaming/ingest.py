@@ -52,13 +52,36 @@ def append_to_index(
 
     from ..indexing.build import read_manifest_config
 
+    from ..sources.pages import parse_source
+
+    spec = parse_source(input_path)
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, "build_plan.json")):
         plan = read_build_plan(index_dir)
     else:
-        plan = BuildPlan(input_path=os.path.abspath(input_path),
-                         n_docs=0, n_segments=0, files=[])
-    new_segs = extend_build_plan(plan, input_path, target_docs_per_seg)
+        src = (input_path if spec.kind == "iceberg"
+               else os.path.abspath(spec.location))
+        plan = BuildPlan(input_path=src, n_docs=0, n_segments=0, files=[])
+    if spec.kind == "iceberg":
+        # incremental crawl indexing: diff the current snapshot's data-file
+        # listing against the plan — appends never rewrite files in an
+        # append-only table, so the diff is exactly the new documents
+        from dataclasses import replace
+
+        from ..indexing.plan import extend_plan_from_iceberg_listing
+        from ..sources.pages import (iceberg_current_snapshot_id,
+                                     iceberg_data_files)
+
+        snap = spec.snapshot_id
+        if snap is None and spec.as_of is None:
+            snap = iceberg_current_snapshot_id(spark, spec)
+            if snap is not None:
+                spec = replace(spec, snapshot_id=snap)
+        rows = [r.asDict() for r in iceberg_data_files(spark, spec).collect()]
+        new_segs = extend_plan_from_iceberg_listing(
+            plan, rows, target_docs_per_seg, new_snapshot=snap)
+    else:
+        new_segs = extend_build_plan(plan, spec.location, target_docs_per_seg)
     if new_segs:
         write_build_plan(plan, index_dir)
     done = completed_segments(index_dir)

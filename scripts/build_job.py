@@ -9,8 +9,14 @@ layout are fixed by the path-sorted build plan (lucene_spark/indexing/plan.py),
 so output is identical at any parallelism.
 
 Usage:
-  scripts/spark_submit_build.sh INPUT_PARQUET OUT_DIR [--docs-per-seg N]
+  scripts/spark_submit_build.sh INPUT OUT_DIR [--docs-per-seg N]
       [--analyzer standard] [--no-positions] [--query 'foo AND bar']
+
+INPUT is a parquet directory or an Iceberg table source
+(``iceberg:catalog.db.pages`` with optional ``@snapshot-id=``/``@as-of=``
+time-travel pin — see lucene_spark/sources/pages.py). Iceberg runs need the
+runtime jar: add ``--packages org.apache.iceberg:iceberg-spark-runtime-...``
+and catalog conf to the spark-submit flags.
 """
 
 from __future__ import annotations
@@ -21,7 +27,8 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("input")
+    ap.add_argument("input",
+                    help="parquet dir or iceberg:catalog.db.table[@pin]")
     ap.add_argument("out")
     ap.add_argument("--docs-per-seg", type=int, default=50_000)
     ap.add_argument("--analyzer", default="standard")
