@@ -1,5 +1,12 @@
 """Page-corpus source abstraction: parquet directories and Iceberg tables.
 
+Reference parity: this is the engine's Directory abstraction analog
+(reference src/java/org/apache/lucene/store/Directory.java:25 — "A
+Directory is a flat list of files"; FSDirectory/RAMDirectory are its
+storage bindings). Here the "directory" of the CORPUS is a flat list of
+parquet data files resolved from either a filesystem path or an Iceberg
+snapshot, and the index's own storage binding is Spark's Hadoop FS layer.
+
 The north rule's corpus is "an Iceberg table of Common-Crawl-style web pages"
 with columns (url string, warc_ts timestamp, html binary, text string,
 lang string). This module is the single place that turns a *source string*
