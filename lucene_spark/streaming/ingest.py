@@ -78,8 +78,14 @@ def append_to_index(
             if snap is not None:
                 spec = replace(spec, snapshot_id=snap)
         rows = [r.asDict() for r in iceberg_data_files(spark, spec).collect()]
+        snap_before = plan.source_snapshot
         new_segs = extend_plan_from_iceberg_listing(
             plan, rows, target_docs_per_seg, new_snapshot=snap)
+        # persist snapshot-only advances too (new commits that added zero
+        # data files, e.g. metadata/ops commits) so the plan records what
+        # it has reconciled against
+        if plan.source_snapshot != snap_before and not new_segs:
+            write_build_plan(plan, index_dir)
     else:
         new_segs = extend_build_plan(plan, spec.location, target_docs_per_seg)
     if new_segs:
