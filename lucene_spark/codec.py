@@ -222,3 +222,24 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
         out.append(seg)
         ofs += int(tf)
     return out
+
+
+def decode_positions_at(blob: bytes, tfs: np.ndarray,
+                        sel: np.ndarray) -> list[np.ndarray]:
+    """Per-doc absolute position arrays for ONLY the docs at (sorted)
+    posting indices `sel`. The flat vbyte decode stays whole-blob
+    vectorized, but the per-doc split+cumsum — the O(postings) interpreter
+    cost of decode_positions — runs only for the selected docs. This is the
+    lazy .prx consumption analog: the reference reads a doc's positions
+    only after the docid streams agree (index/SegmentTermPositions.java
+    lazySkip/skipPositions), it never materializes every doc's positions."""
+    total = int(tfs.sum())
+    flat, _ = vbyte_decode(bytes(blob), 0, total)
+    flat = flat.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    out: list[np.ndarray] = []
+    for j in sel:
+        seg = flat[offs[j]:offs[j + 1]].copy()
+        np.cumsum(seg, out=seg)
+        out.append(seg)
+    return out

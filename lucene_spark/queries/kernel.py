@@ -28,7 +28,8 @@ import numpy as np
 import pandas as pd
 
 from .. import BLOCK_SIZE
-from ..codec import decode_block, decode_positions, decode_postings
+from ..codec import (decode_block, decode_positions, decode_positions_at,
+                     decode_postings)
 from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
 from .ast import (
     Bool,
@@ -180,6 +181,30 @@ class SegmentPostings:
                 ids = ids[keep]
         return ids, pos_all
 
+    def positions_for(self, term: str,
+                      targets: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+        """(docids ∩ targets, per-doc position arrays) with the per-doc
+        position split done ONLY for target docs. `targets` must be sorted,
+        unique, and already tombstone-free (callers intersect live docid
+        streams from full()). For a phrase of one rare + one common term
+        this removes the O(postings) per-doc Python split of positions()
+        on the common term — the reference's lazy .prx skip
+        (index/SegmentTermPositions.java:103 lazySkip): positions are read
+        only for docs the docid streams agreed on."""
+        out_ids: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        for r in self.rows[term]:
+            ids, tfs, _ = decode_postings(r, self.block_size)
+            sel = np.flatnonzero(np.isin(ids, targets, assume_unique=True))
+            if not sel.size:
+                continue
+            out_ids.append(ids[sel])
+            out_pos.extend(decode_positions_at(r["positions_blob"], tfs, sel))
+        if not out_ids:
+            z = np.empty(0, dtype=np.int64)
+            return z, []
+        return np.concatenate(out_ids), out_pos
+
     def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
         ub = 0.0
         for r in self.rows[term]:
@@ -324,8 +349,19 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     if any(not sp.has(t) for t in q.phrase_terms):
         return empty
     qpos = q.qpositions()
+    # candidate docids FIRST, from the cheap doc-only decode (cached in
+    # _full and reused by the dl lookup below) — positions blobs are never
+    # split per-doc for docs outside the intersection, and never touched at
+    # all when the terms don't co-occur (the reference's docid-streams-
+    # agree-before-.prx-read rule, search/PhrasePositions.java)
+    cand = sp.full(q.phrase_terms[0])[0]
+    for t in q.phrase_terms[1:]:
+        cand = np.intersect1d(cand, sp.full(t)[0], assume_unique=True)
+        if cand.size == 0:
+            return empty
+    cand = np.sort(cand)
     per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
-        sp.positions(t) for t in q.phrase_terms
+        sp.positions_for(t, cand) for t in q.phrase_terms
     ]
     idf = float(sum(ctx.idf(t) for t in dict.fromkeys(q.phrase_terms)))
 
@@ -337,16 +373,9 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
         sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
         return ids_arr, sp.apply_boost(ids_arr, sc)
-
-    cand = per_term[0][0]
-    for ids, _ in per_term[1:]:
-        cand = np.intersect1d(cand, ids, assume_unique=True)
-        if cand.size == 0:
-            return empty
     # sloppy: per-candidate greedy window walk (python loop over candidates
     # only — candidate sets are small after intersection; positions math
     # inside is numpy, and index lookup is searchsorted, not per-posting dicts)
-    cand = np.sort(cand)
     out_ids, out_fr = [], []
     idx_per_term = _cand_pos_indices(per_term, cand)
     for j, d in enumerate(cand):
@@ -407,9 +436,27 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
     """MultiPhraseQuery (search/MultiPhraseQuery.java:39): per-slot position
     union, then the same vectorized exact / sloppy phrase kernels."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    slot_streams = []
+    # candidate docids FIRST (union within a slot, intersection across
+    # slots) from the cheap doc-only decode; positions are split per-doc
+    # only for the intersection — same lazy-.prx rule as _eval_phrase
+    live_slots: list[list[str]] = []
+    cand: np.ndarray | None = None
     for slot in q.slots:
-        alts = [sp.positions(t) for t in slot if sp.has(t)]
+        terms = [t for t in slot if sp.has(t)]
+        if not terms:
+            return empty
+        live_slots.append(terms)
+        slot_ids = (sp.full(terms[0])[0] if len(terms) == 1 else
+                    np.unique(np.concatenate([sp.full(t)[0] for t in terms])))
+        cand = slot_ids if cand is None else np.intersect1d(
+            cand, slot_ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    cand = np.sort(cand)
+    slot_streams = []
+    for terms in live_slots:
+        alts = [sp.positions_for(t, cand) for t in terms]
+        alts = [a for a in alts if a[0].size]
         if not alts:
             return empty
         slot_streams.append(_merged_slot(alts))
