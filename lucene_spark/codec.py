@@ -224,22 +224,38 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def decode_positions_at(blob: bytes, tfs: np.ndarray,
-                        sel: np.ndarray) -> list[np.ndarray]:
-    """Per-doc absolute position arrays for ONLY the docs at (sorted)
-    posting indices `sel`. The flat vbyte decode stays whole-blob
-    vectorized, but the per-doc split+cumsum — the O(postings) interpreter
-    cost of decode_positions — runs only for the selected docs. This is the
-    lazy .prx consumption analog: the reference reads a doc's positions
-    only after the docid streams agree (index/SegmentTermPositions.java
-    lazySkip/skipPositions), it never materializes every doc's positions."""
+def decode_positions_flat_at(blob: bytes, tfs: np.ndarray,
+                             sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lens, flat_abs) for ONLY the docs at (sorted) posting indices `sel`:
+    per-doc position counts and their ABSOLUTE position arrays concatenated
+    in sel order. Fully vectorized — one global cumsum turns the per-doc
+    delta streams into running absolutes, a ragged gather pulls the selected
+    docs' slices, and subtracting each doc's predecessor restores the
+    per-doc frame; no per-doc Python at all. This is the lazy .prx
+    consumption analog: the reference reads a doc's positions only after
+    the docid streams agree (index/SegmentTermPositions.java lazySkip/
+    skipPositions), it never materializes every doc's positions."""
     total = int(tfs.sum())
     flat, _ = vbyte_decode(bytes(blob), 0, total)
     flat = flat.astype(np.int64)
+    np.cumsum(flat, out=flat)  # running absolutes across the whole blob
     offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-    out: list[np.ndarray] = []
-    for j in sel:
-        seg = flat[offs[j]:offs[j + 1]].copy()
-        np.cumsum(seg, out=seg)
-        out.append(seg)
-    return out
+    starts = offs[sel]
+    lens = offs[sel + 1] - starts
+    n = int(lens.sum())
+    if n == 0:
+        return lens, np.empty(0, dtype=np.int64)
+    out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.arange(n, dtype=np.int64) + np.repeat(starts - out_starts, lens)
+    # within-doc absolute = running absolute − running absolute just before
+    # the doc's first position (deltas restart per doc at encode time)
+    base = np.where(starts > 0, flat[starts - 1], 0)
+    return lens, flat[idx] - np.repeat(base, lens)
+
+
+def decode_positions_at(blob: bytes, tfs: np.ndarray,
+                        sel: np.ndarray) -> list[np.ndarray]:
+    """Per-doc view split of decode_positions_flat_at — for callers that
+    need one array per doc (sloppy-phrase / span walks)."""
+    lens, flat = decode_positions_flat_at(blob, tfs, sel)
+    return np.split(flat, np.cumsum(lens)[:-1])

@@ -28,8 +28,8 @@ import numpy as np
 import pandas as pd
 
 from .. import BLOCK_SIZE
-from ..codec import (decode_block, decode_positions, decode_positions_at,
-                     decode_postings)
+from ..codec import (decode_block, decode_positions,
+                     decode_positions_flat_at, decode_postings)
 from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
 from .ast import (
     Bool,
@@ -181,29 +181,43 @@ class SegmentPostings:
                 ids = ids[keep]
         return ids, pos_all
 
-    def positions_for(self, term: str,
-                      targets: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
-        """(docids ∩ targets, per-doc position arrays) with the per-doc
-        position split done ONLY for target docs. `targets` must be sorted,
-        unique, and already tombstone-free (callers intersect live docid
-        streams from full()). For a phrase of one rare + one common term
-        this removes the O(postings) per-doc Python split of positions()
-        on the common term — the reference's lazy .prx skip
-        (index/SegmentTermPositions.java:103 lazySkip): positions are read
-        only for docs the docid streams agreed on."""
+    def positions_flat_for(self, term: str, targets: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids ∩ targets, per-doc counts, concatenated absolute
+        positions) with position decode done ONLY for target docs — and in
+        flat ragged form, so the exact-phrase packed-key kernel consumes it
+        with zero per-doc Python. `targets` must be sorted, unique, and
+        already tombstone-free (callers intersect live docid streams from
+        full()). For a phrase of one rare + one common term this removes
+        the O(postings) per-doc split of positions() on the common term —
+        the reference's lazy .prx skip (index/SegmentTermPositions.java:103
+        lazySkip): positions are read only for docs the docid streams
+        agreed on."""
         out_ids: list[np.ndarray] = []
-        out_pos: list[np.ndarray] = []
+        out_lens: list[np.ndarray] = []
+        out_flat: list[np.ndarray] = []
         for r in self.rows[term]:
             ids, tfs, _ = decode_postings(r, self.block_size)
             sel = np.flatnonzero(np.isin(ids, targets, assume_unique=True))
             if not sel.size:
                 continue
+            lens, flat = decode_positions_flat_at(r["positions_blob"], tfs, sel)
             out_ids.append(ids[sel])
-            out_pos.extend(decode_positions_at(r["positions_blob"], tfs, sel))
+            out_lens.append(lens)
+            out_flat.append(flat)
         if not out_ids:
             z = np.empty(0, dtype=np.int64)
-            return z, []
-        return np.concatenate(out_ids), out_pos
+            return z, z.copy(), z.copy()
+        return (np.concatenate(out_ids), np.concatenate(out_lens),
+                np.concatenate(out_flat))
+
+    def positions_for(self, term: str,
+                      targets: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+        """Per-doc-list view of positions_flat_for (sloppy-phrase path)."""
+        ids, lens, flat = self.positions_flat_for(term, targets)
+        if not ids.size:
+            return ids, []
+        return ids, np.split(flat, np.cumsum(lens)[:-1])
 
     def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
         ub = 0.0
@@ -268,24 +282,19 @@ def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     a phrase occurrence is a key present in every term's key set, and the
     per-doc phrase freq is the key-match count per docid — no per-candidate
     Python loop (the scalar PhraseScorer PQ walk of the reference,
-    search/ExactPhraseScorer.java:31, becomes three numpy set ops)."""
+    search/ExactPhraseScorer.java:31, becomes three numpy set ops).
+    per_term[i] is a ragged (ids, lens, flat_abs) triple straight from
+    positions_flat_for — end-to-end flat, no per-doc list is ever built."""
     # rebase docids segment-locally so docid*OFFSET stays within int64 even
     # for very large global docid spaces
-    base = min(int(ids[0]) for ids, _ in per_term if ids.size)
+    base = min(int(ids[0]) for ids, _, _ in per_term if ids.size)
     # shift by max(qpos) so every packed key component is non-negative:
     # with qpos[0] > 0 (leading stopword hole) pos - qpos[i] can be negative
     # and floor division would bucket the key into the PREVIOUS docid
     qshift = np.int64(max(qpos))
-    flats, lens_l = [], []
     max_component = np.int64(0)
     max_rebased = np.int64(0)
-    for i, (ids, pos_lists) in enumerate(per_term):
-        lens = np.fromiter((p.size for p in pos_lists), count=len(pos_lists),
-                           dtype=np.int64)
-        flat = (np.concatenate(pos_lists) if pos_lists else
-                np.empty(0, dtype=np.int64))
-        flats.append(flat)
-        lens_l.append(lens)
+    for ids, _, flat in per_term:
         if flat.size:
             max_component = max(max_component, flat.max() + qshift)
         if ids.size:
@@ -297,14 +306,27 @@ def _exact_phrase_freqs(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     if max_rebased > (np.int64(1) << 62) // max(offset, np.int64(1)):
         return _exact_phrase_freqs_perdoc(per_term, qpos)
     keys = None
-    for i, (ids, pos_lists) in enumerate(per_term):
-        k = (flats[i] - np.int64(qpos[i]) + qshift
-             + np.repeat((ids - base) * offset, lens_l[i]))
+    for i, (ids, lens, flat) in enumerate(per_term):
+        k = (flat - np.int64(qpos[i]) + qshift
+             + np.repeat((ids - base) * offset, lens))
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if keys.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     docs, counts = np.unique(keys // offset, return_counts=True)
     return docs + base, counts.astype(np.float64)
+
+
+def _flat_of(stream: tuple[np.ndarray, list[np.ndarray]]
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, per-doc lists) → (ids, lens, flat) ragged triple (multi-
+    alternative MultiPhrase slots, whose per-doc union is inherently
+    list-shaped)."""
+    ids, pos_lists = stream
+    lens = np.fromiter((p.size for p in pos_lists), count=len(pos_lists),
+                       dtype=np.int64)
+    flat = (np.concatenate(pos_lists) if pos_lists else
+            np.empty(0, dtype=np.int64))
+    return ids, lens, flat
 
 
 def _cand_pos_indices(per_term, cand: np.ndarray) -> list[np.ndarray]:
@@ -323,7 +345,11 @@ def _cand_pos_indices(per_term, cand: np.ndarray) -> list[np.ndarray]:
 def _exact_phrase_freqs_perdoc(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
     """Exact-phrase fallback without packed keys (pathological docid × doclen
     ranges): candidate intersection then per-candidate phrase_freq(slop=0).
-    Same answer as the packed-key kernel, immune to int64 packing limits."""
+    Same answer as the packed-key kernel, immune to int64 packing limits.
+    Takes the same (ids, lens, flat) triples as the packed-key kernel and
+    view-splits them into per-doc lists here."""
+    per_term = [(ids, np.split(flat, np.cumsum(lens)[:-1]) if ids.size else [])
+                for ids, lens, flat in per_term]
     cand = per_term[0][0]
     for ids, _ in per_term[1:]:
         cand = np.intersect1d(cand, ids, assume_unique=True)
@@ -360,19 +386,21 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
         if cand.size == 0:
             return empty
     cand = np.sort(cand)
-    per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
-        sp.positions_for(t, cand) for t in q.phrase_terms
-    ]
     idf = float(sum(ctx.idf(t) for t in dict.fromkeys(q.phrase_terms)))
 
     if q.slop == 0:
-        ids_arr, frs = _exact_phrase_freqs(per_term, qpos)
+        # flat ragged triples end-to-end: no per-doc list is ever built
+        ids_arr, frs = _exact_phrase_freqs(
+            [sp.positions_flat_for(t, cand) for t in q.phrase_terms], qpos)
         if ids_arr.size == 0:
             return empty
         l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids_arr)
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
         sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
         return ids_arr, sp.apply_boost(ids_arr, sc)
+    per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
+        sp.positions_for(t, cand) for t in q.phrase_terms
+    ]
     # sloppy: per-candidate greedy window walk (python loop over candidates
     # only — candidate sets are small after intersection; positions math
     # inside is numpy, and index lookup is searchsorted, not per-posting dicts)
@@ -453,20 +481,35 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
         if cand.size == 0:
             return empty
     cand = np.sort(cand)
-    slot_streams = []
-    for terms in live_slots:
-        alts = [sp.positions_for(t, cand) for t in terms]
-        alts = [a for a in alts if a[0].size]
-        if not alts:
-            return empty
-        slot_streams.append(_merged_slot(alts))
     qpos = q.qpositions()
     uniq = list(dict.fromkeys(q.terms()))
     idf = float(sum(ctx.idf(t) for t in uniq))
 
     if q.slop == 0:
-        ids_arr, frs = _exact_phrase_freqs(slot_streams, qpos)
+        # flat triples per slot; only multi-alternative slots pay the
+        # per-doc union merge (inherently list-shaped), then re-flatten
+        flat_slots = []
+        for terms in live_slots:
+            if len(terms) == 1:
+                st = sp.positions_flat_for(terms[0], cand)
+            else:
+                alts = [sp.positions_for(t, cand) for t in terms]
+                alts = [a for a in alts if a[0].size]
+                if not alts:
+                    return empty
+                st = _flat_of(_merged_slot(alts))
+            if not st[0].size:
+                return empty
+            flat_slots.append(st)
+        ids_arr, frs = _exact_phrase_freqs(flat_slots, qpos)
     else:
+        slot_streams = []
+        for terms in live_slots:
+            alts = [sp.positions_for(t, cand) for t in terms]
+            alts = [a for a in alts if a[0].size]
+            if not alts:
+                return empty
+            slot_streams.append(_merged_slot(alts))
         cand = slot_streams[0][0]
         for ids, _ in slot_streams[1:]:
             cand = np.intersect1d(cand, ids, assume_unique=True)

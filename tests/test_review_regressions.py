@@ -48,8 +48,10 @@ def test_exact_phrase_negative_offset_unit():
     """A match at doc start with qpos=[1,2] must stay in ITS doc (the
     packed-key floor division previously bucketed it into docid-1)."""
     per_term = [
-        (np.array([7], dtype=np.int64), [np.array([0], dtype=np.int64)]),
-        (np.array([7], dtype=np.int64), [np.array([1], dtype=np.int64)]),
+        (np.array([7], dtype=np.int64), np.array([1], dtype=np.int64),
+         np.array([0], dtype=np.int64)),
+        (np.array([7], dtype=np.int64), np.array([1], dtype=np.int64),
+         np.array([1], dtype=np.int64)),
     ]
     docs, freqs = _exact_phrase_freqs(per_term, [1, 2])
     assert docs.tolist() == [7]
