@@ -534,12 +534,154 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
     return ids_arr, sp.apply_boost(ids_arr, sc)
 
 
+def _span_term_of(c) -> str | None:
+    """Term of a width-1 span clause: SpanTerm, or SpanMask(SpanTerm) —
+    masking changes only the field identity, the spans are the inner
+    term's (FieldMaskingSpanQuery.java getSpans delegates)."""
+    from .ast import SpanMask, SpanTerm
+    if isinstance(c, SpanTerm):
+        return c.term
+    if isinstance(c, SpanMask) and isinstance(c.inner, SpanTerm):
+        return c.inner.term
+    return None
+
+
+def _span_candidates(sp: SegmentPostings, q) -> np.ndarray:
+    """Structural docid upper bound for a span tree — the docid-streams-
+    agree-before-positions rule applied to the span algebra: Near
+    intersects its clauses, Or unions, Not/First/Mask pass their payload
+    through (exclude/position filters only ever REMOVE spans). Arrays are
+    unsorted-unique, tombstone-free (from full())."""
+    from .ast import SpanFirst, SpanMask, SpanNear, SpanNot, SpanOr, SpanTerm
+    if isinstance(q, SpanTerm):
+        return (sp.full(q.term)[0] if sp.has(q.term)
+                else np.empty(0, dtype=np.int64))
+    if isinstance(q, SpanNear):
+        cand: np.ndarray | None = None
+        for c in q.clauses:
+            ids = _span_candidates(sp, c)
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return cand
+        return cand if cand is not None else np.empty(0, dtype=np.int64)
+    if isinstance(q, SpanOr):
+        parts = [_span_candidates(sp, c) for c in q.clauses]
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.int64))
+    if isinstance(q, SpanNot):
+        return _span_candidates(sp, q.include)
+    if isinstance(q, SpanFirst):
+        return _span_candidates(sp, q.match)
+    if isinstance(q, SpanMask):
+        return _span_candidates(sp, q.inner)
+    raise TypeError(type(q))
+
+
+_SPAN_OFFSET = np.int64(1) << 24  # > max position (shared bound, _DOC_OFFSET)
+
+
+def _span_fast_freqs(sp: SegmentPostings, q
+                     ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized (docs, sloppy freqs) for the hot span shapes — ordered
+    all-(masked-)term SpanNear and SpanFirst over a (masked) term — with
+    positions consumed lazily in flat ragged form, no per-doc Python.
+    Returns None when the shape needs the generic per-doc algebra. The
+    greedy semantics are EXACTLY spans.py's: for width-1 clause spans,
+    'earliest end then start among spans starting ≥ cur_end' is simply the
+    first position ≥ cur_end, so the NearSpansOrdered chain becomes one
+    packed-key searchsorted per clause (pinned equal to eval_spans by
+    tests/test_spans.py rank identity and the fast≡generic property test)."""
+    from .ast import SpanFirst, SpanNear
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    if isinstance(q, SpanFirst):
+        t = _span_term_of(q.match)
+        if t is None:
+            return None
+        if not sp.has(t):
+            return empty
+        cand = np.sort(sp.full(t)[0])
+        if cand.size == 0:
+            return empty
+        ids, lens, flat = sp.positions_flat_for(t, cand)
+        occ_rank = np.repeat(np.searchsorted(cand, ids), lens)
+        sel = flat + 1 <= np.int64(q.end)  # span (p, p+1) must end ≤ n
+        if not sel.any():
+            return empty
+        frs = np.bincount(occ_rank[sel], minlength=cand.size).astype(np.float64)
+        keep = frs > 0
+        return cand[keep], frs[keep]
+
+    if isinstance(q, SpanNear) and q.in_order and len(q.clauses) >= 2:
+        terms = [_span_term_of(c) for c in q.clauses]
+        if any(t is None for t in terms):
+            return None
+        if any(not sp.has(t) for t in terms):
+            return empty
+        cand: np.ndarray | None = None
+        for t in terms:
+            ids = sp.full(t)[0]
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return empty
+        cand = np.sort(cand)
+        streams = [sp.positions_flat_for(t, cand) for t in terms]
+        ids0, lens0, flat0 = streams[0]
+        occ_rank = np.repeat(np.searchsorted(cand, ids0), lens0)
+        start = flat0
+        cur_end = flat0 + 1
+        gap = np.zeros_like(flat0)
+        alive = np.ones(flat0.size, dtype=bool)
+        for ids_i, lens_i, flat_i in streams[1:]:
+            keys = (np.repeat(np.searchsorted(cand, ids_i), lens_i)
+                    * _SPAN_OFFSET + flat_i)
+            keys.sort()
+            idx = np.searchsorted(keys, occ_rank * _SPAN_OFFSET + cur_end,
+                                  side="left")
+            k = keys[np.minimum(idx, keys.size - 1)]
+            alive &= (idx < keys.size) & (k // _SPAN_OFFSET == occ_rank)
+            p = k % _SPAN_OFFSET
+            gap = np.where(alive, gap + p - cur_end, gap)
+            cur_end = np.where(alive, p + 1, cur_end)
+        match = alive & (gap <= np.int64(q.slop))
+        if not match.any():
+            return empty
+        # slack = (end − start) − width_min = Σ gaps for width-1 clauses
+        w = np.ones(int(match.sum()), dtype=np.float64)
+        w /= 1.0 + gap[match]
+        frs = np.bincount(occ_rank[match], weights=w, minlength=cand.size)
+        keep = frs > 0
+        return cand[keep], frs[keep]
+
+    return None
+
+
 def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
     """Span family (spans/SpanScorer.java): spans via the shared algebra,
-    freq = sloppy span frequency, scored like a phrase (Σ unique-term idf)."""
+    freq = sloppy span frequency, scored like a phrase (Σ unique-term idf).
+    Hot shapes take the vectorized flat-ragged path (_span_fast_freqs);
+    the generic algebra runs with positions restricted to the tree's
+    structural docid candidates (_span_candidates) — the lazy-.prx rule."""
     from ..spans import eval_spans, span_freq, span_width_min
 
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    fast = _span_fast_freqs(sp, q)
+    if fast is not None:
+        docs, frs = fast
+        if docs.size == 0:
+            return empty
+        uniq = list(dict.fromkeys(q.terms()))
+        idf = float(sum(ctx.idf(t) for t in uniq))
+        dls = _dl_map(sp, uniq, docs)
+        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
+        return docs, sp.apply_boost(docs, sc)
+
+    root_cand = np.sort(_span_candidates(sp, q))
+    if root_cand.size == 0:
+        return empty
     pos_cache: dict[str, dict[int, np.ndarray]] = {}
 
     def pos_of(term: str) -> dict[int, np.ndarray]:
@@ -547,7 +689,7 @@ def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
             if not sp.has(term):
                 pos_cache[term] = {}
             else:
-                ids, pls = sp.positions(term)
+                ids, pls = sp.positions_for(term, root_cand)
                 pos_cache[term] = {int(d): pl for d, pl in zip(ids, pls)}
         return pos_cache[term]
 
