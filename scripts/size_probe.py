@@ -87,9 +87,12 @@ def main() -> None:
     import __spark_entry__ as entry
 
     pipeline = {}
+    fns = dict(entry.queries())
+    fns.update(entry.extra_queries())
     for name in ("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-                 "dedup_simhash", "text_quality", "text_token_count"):
-        fn = entry.queries()[name]
+                 "dedup_simhash", "text_quality", "text_token_count",
+                 "text_dup_ngram_coverage"):
+        fn = fns[name]
         best = float("inf")
         for _ in range(max(2, rounds - 1)):
             t0 = time.time()

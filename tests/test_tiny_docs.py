@@ -34,6 +34,7 @@ _DOC_OPS = [
     "text_decontaminate",
     "text_sample_mix",
     "text_source_stats",
+    "text_dup_ngram_coverage",
 ]
 
 _TEXTS = [
