@@ -160,7 +160,11 @@ def streaming_neardup_pages(
                         flat.extend(sig)
                         mem = np.vstack([mem, sv[None, :]])
                 state.update((urls, tss, flat))
-                last = max(tss) if tss else incoming[-1][0]
+                # TTL horizon extends on ANY bucket activity: an over-cap
+                # (boilerplate) bucket keeps matching against its retained
+                # head as long as traffic flows, instead of evicting it
+                # mid-stream because no new member was ADDED
+                last = max(max(tss, default=0), incoming[-1][0])
                 state.setTimeoutTimestamp(
                     max(last // 1_000 + ttl_s * 1_000,
                         state.getCurrentWatermarkMs() + 1))
