@@ -25,6 +25,7 @@ Parity notes:
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -513,17 +514,89 @@ def build_dedup_artifacts(spark: SparkSession, sf_dir: str,
      .write.mode("overwrite").parquet(p("full_sets")))
     (_minhash_sigs(spark, sf_dir, sh)
      .write.mode("overwrite").parquet(p("sigs")))
+    counts = {n: spark.read.parquet(p(n)).count() for n in _ARTIFACT_NAMES}
+    # manifest written LAST (rename-commit pattern of the index build):
+    # registration validates params against the session's constants and
+    # the source fingerprint against the current documents.parquet layout,
+    # so a partial build, a constant change, or a rewritten corpus fails
+    # loudly at register time instead of serving stale/garbled results
+    manifest = {
+        "params": {"bucket_cap": _BUCKET_CAP, "n_minhash": _N_MINHASH,
+                   "jac_min": _JAC_MIN},
+        "counts": counts,
+        "source_fingerprint": _docs_fingerprint(sf_dir),
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     register_dedup_artifacts(sf_dir, out_dir)
-    return {n: spark.read.parquet(p(n)).count() for n in _ARTIFACT_NAMES}
+    return counts
+
+
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Order-independent fingerprint of the documents table's file layout
+    (names + sizes) — changes whenever the corpus is rewritten. Handles
+    both a single parquet file and a directory of part files."""
+    d = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(d):
+        entries = sorted((name, os.path.getsize(os.path.join(d, name)))
+                         for name in os.listdir(d)
+                         if not name.startswith("_"))
+    else:
+        entries = [(os.path.basename(d), os.path.getsize(d))]
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def _evict_dedup_caches(sf_dir: str) -> None:
+    for cache in (_SHINGLE_CACHE, _DEDUP_CACHE, _MINHASH_CACHE):
+        for k in [k for k in cache if k[1] == sf_dir]:
+            v = cache.pop(k)
+            # release the pinned executor storage blocks — the dict entry
+            # was the only handle, so a bare del strands them until the
+            # app exits
+            for df in (v if isinstance(v, tuple) else (v,)):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped
 
 
 def register_dedup_artifacts(sf_dir: str, out_dir: str) -> None:
-    """Serve this sf_dir's pipeline ops from persisted artifacts (clears
-    the session caches so the next call hydrates from parquet)."""
+    """Serve this sf_dir's pipeline ops from persisted artifacts: validate
+    the artifact directory (manifest present, params match this session's
+    constants, source fingerprint matches the current documents table),
+    then evict+unpersist the session caches so the next call hydrates from
+    parquet."""
+    mpath = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        raise ValueError(f"no artifact manifest at {mpath} "
+                         "(incomplete build_dedup_artifacts output?)")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    want = {"bucket_cap": _BUCKET_CAP, "n_minhash": _N_MINHASH,
+            "jac_min": _JAC_MIN}
+    if manifest.get("params") != want:
+        raise ValueError(f"artifact params {manifest.get('params')} != "
+                         f"session params {want}")
+    fp = _docs_fingerprint(sf_dir)
+    if manifest.get("source_fingerprint") != fp:
+        raise ValueError(
+            f"artifacts at {out_dir} were built from a different "
+            f"documents table than {sf_dir} (stale artifacts)")
+    missing = [n for n in _ARTIFACT_NAMES
+               if not os.path.isdir(os.path.join(out_dir, n))]
+    if missing:
+        raise ValueError(f"artifact dir {out_dir} missing {missing}")
     _ARTIFACT_DIRS[sf_dir] = out_dir
-    for cache in (_SHINGLE_CACHE, _DEDUP_CACHE, _MINHASH_CACHE):
-        for k in [k for k in cache if k[1] == sf_dir]:
-            del cache[k]
+    _evict_dedup_caches(sf_dir)
+
+
+def deregister_dedup_artifacts(sf_dir: str) -> None:
+    """Forget a registered artifact directory and drop the hydrated
+    caches (next use recomputes from the documents table)."""
+    _ARTIFACT_DIRS.pop(sf_dir, None)
+    _evict_dedup_caches(sf_dir)
 
 
 def _artifact(spark, sf_dir, name: str) -> DataFrame | None:

@@ -102,12 +102,13 @@ def streaming_neardup_pages(
     ttl_s: int = 86_400,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """Near-dup detections (url, dup_of, band, n_match, ts): `url` arrived
-    at event time `ts` and matched the earlier-retained `dup_of` on
-    `n_match` ≥ EST_MIN of 8 signature components in `band`'s bucket.
-    Arrival order within a micro-batch is event-time (then url) sorted, so
-    `dup_of` is always the earlier page — the batch op's a<b orientation
-    under an event-time-ordered corpus."""
+    """Near-dup detections (url, dup_of, band, n_match, ts): at detection
+    time `ts` the arriving page matched a retained bucket member on
+    `n_match` ≥ EST_MIN of 8 signature components in `band`'s bucket;
+    the pair is oriented by EVENT time — `dup_of` is the (warc_ts, url)-
+    earlier page, `url` the later — regardless of arrival order, so late
+    data inside the watermark cannot flip which copy a
+    keep-first/drop-rest consumer discards."""
     stream = (
         spark.readStream.schema(PAGES_DDL).parquet(input_dir)
         .withWatermark("warc_ts", watermark)
@@ -149,11 +150,19 @@ def streaming_neardup_pages(
                     sv = np.asarray(sig, dtype=np.int64)
                     if len(urls):
                         nm = (mem == sv).sum(axis=1)
+                        ts_out = (pd.Timestamp(us * 1_000, unit="ns",
+                                               tz="UTC")
+                                  .tz_convert(tz).tz_localize(None))
                         for i in np.flatnonzero(nm >= EST_MIN):
-                            out.append((url, urls[i], band, int(nm[i]),
-                                        pd.Timestamp(us * 1_000, unit="ns",
-                                                     tz="UTC")
-                                        .tz_convert(tz).tz_localize(None)))
+                            # orient by EVENT time, not arrival order: a
+                            # late page (earlier warc_ts, inside the
+                            # watermark) must come out as dup_of, or a
+                            # keep-dup_of/drop-url consumer would keep
+                            # the later copy
+                            a, b = ((urls[i], url)
+                                    if (tss[i], urls[i]) <= (us, url)
+                                    else (url, urls[i]))
+                            out.append((b, a, band, int(nm[i]), ts_out))
                     if len(urls) < BUCKET_CAP:
                         urls.append(url)
                         tss.append(us)

@@ -47,7 +47,27 @@ def test_artifacts_serve_identical_results(spark, tmp_path, baseline):
         assert counts["shingles_capped"] <= counts["shingles"]
         assert counts["sigs"] == counts["full_sets"]
     finally:
-        # deregister + drop hydrated caches so later tests recompute
-        del entrymod._ARTIFACT_DIRS[SF]
-        entrymod.register_dedup_artifacts(SF, out)  # clears caches...
-        del entrymod._ARTIFACT_DIRS[SF]             # ...then forget the dir
+        entrymod.deregister_dedup_artifacts(SF)
+    assert SF not in entrymod._ARTIFACT_DIRS
+
+
+def test_register_validates(spark, tmp_path):
+    """Registration fails loudly on a missing manifest and on artifacts
+    built from a different corpus (stale fingerprint)."""
+    import json
+    import os
+
+    empty = str(tmp_path / "nothing")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(ValueError, match="manifest"):
+        entrymod.register_dedup_artifacts(SF, empty)
+    # a manifest whose fingerprint does not match the current table
+    bogus = {"params": {"bucket_cap": entrymod._BUCKET_CAP,
+                        "n_minhash": entrymod._N_MINHASH,
+                        "jac_min": entrymod._JAC_MIN},
+             "counts": {}, "source_fingerprint": "not-the-real-one"}
+    with open(os.path.join(empty, "manifest.json"), "w") as f:
+        json.dump(bogus, f)
+    with pytest.raises(ValueError, match="stale"):
+        entrymod.register_dedup_artifacts(SF, empty)
+    assert SF not in entrymod._ARTIFACT_DIRS

@@ -105,6 +105,47 @@ def test_streaming_detections_match_reference(spark, tmp_path):
             if (r["dup_of"], r["url"]) == ("u1", "u3")} == {8}
 
 
+def test_params_match_batch():
+    """Drift guard: the streaming module's minhash/LSH constants and hash
+    expression are the batch op's — a change on one side without the other
+    breaks the 'same math end to end' contract this test pins."""
+    import __spark_entry__ as entrymod
+    from lucene_spark.streaming import neardup as nd
+
+    assert nd.N_MINHASH == entrymod._N_MINHASH
+    assert nd.EST_MIN == entrymod._MH_EST_MIN
+    assert nd.BUCKET_CAP == entrymod._LSH_BAND_CAP
+    probe = "concat('0', '|', s)"
+    assert (nd._H60.format(s=probe)
+            == f"cast({entrymod._H15.format(s=probe)} as bigint)")
+
+
+def test_late_arrival_orientation(spark, tmp_path):
+    """A LATE page (earlier warc_ts, arriving in a later micro-batch inside
+    the watermark) must come out as dup_of, not url — event-time
+    orientation, not arrival order."""
+    from lucene_spark.streaming.neardup import run_neardup_to_memory
+
+    src = str(tmp_path / "pages_late")
+    _write_pages(src, "w1.parquet", [
+        ("late_of", "2026-01-01 10:10:00", BASE),  # later EVENT time, first
+    ])
+    q = run_neardup_to_memory(spark, src, query_name="nd_l",
+                              watermark="30 minutes")
+    try:
+        q.processAllAvailable()
+        _write_pages(src, "w2.parquet", [
+            # earlier event time, arrives second (inside the watermark)
+            ("early", "2026-01-01 10:00:00", BASE),
+        ])
+        q.processAllAvailable()
+        got = {(r["dup_of"], r["url"])
+               for r in spark.sql("SELECT * FROM nd_l").collect()}
+    finally:
+        q.stop()
+    assert got == {("early", "late_of")}
+
+
 def test_ttl_evicts_buckets(spark, tmp_path):
     """After event time passes last-seen + TTL the bucket is forgotten: the
     same text re-arriving is NOT flagged against the pre-eviction copy,
