@@ -1,0 +1,98 @@
+"""Randomized-corpus differential testing: the documents-only pipeline
+ops must match their DuckDB oracles on corpora the fixed fixtures never
+exercise — tiny vocabularies (forcing dense shingle/band collisions),
+skewed doc lengths, heavy exact-dup mass, multi-language mixes. Seeds are
+fixed (the reference's logged-seed practice, util/LuceneTestCase.java
+newRandom) so failures reproduce; each corpus is written once per module
+and every op × corpus pair is an independent test case."""
+
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.test_contract_extras import _norm_rows
+
+# ops under test: everything documents-only with a SQL oracle
+_OPS = [
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "text_quality", "text_langid", "text_fingerprint",
+    "text_token_count", "text_repetition", "text_decontaminate",
+    "text_sample_mix", "text_source_stats", "text_dup_ngram_coverage",
+    "dedup_cluster", "text_unigram_logprob",
+]
+
+_VOCABS = {
+    # 6-word vocab: near-every doc pair shares shingles — collision-dense
+    "dense": "red blue green gold gray pink".split(),
+    # 60-word vocab with Zipf-ish draw: the realistic middle
+    "zipf": [f"w{i}" for i in range(60)],
+}
+
+
+def _corpus(seed: int, kind: str, n_docs: int):
+    rng = random.Random(seed)
+    vocab = _VOCABS[kind]
+    rows = []
+    for i in range(n_docs):
+        if kind == "zipf":
+            n = rng.randint(1, 40)
+            toks = [vocab[min(int(rng.expovariate(0.12)), len(vocab) - 1)]
+                    for _ in range(n)]
+        else:
+            n = rng.randint(1, 12)
+            toks = [rng.choice(vocab) for _ in range(n)]
+        rows.append((i, " ".join(toks),
+                     rng.choice(["en", "es", "zh"]),
+                     f"src{rng.randint(0, 3)}"))
+    # exact-dup mass: ~20% of docs clone an earlier doc's text
+    for i in range(n_docs // 5):
+        a = rng.randrange(n_docs)
+        b = rng.randrange(n_docs)
+        rows[a] = (rows[a][0], rows[b][1], rows[a][2], rows[a][3])
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+
+
+_CORPORA = [("dense", 11, 120), ("dense", 12, 250), ("zipf", 13, 300)]
+
+
+@pytest.fixture(scope="module", params=_CORPORA,
+                ids=[f"{k}-s{s}-n{n}" for k, s, n in _CORPORA])
+def corpus_dir(request, tmp_path_factory):
+    kind, seed, n = request.param
+    pdf = _corpus(seed, kind, n)
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    d = str(tmp_path_factory.mktemp(f"rand_{kind}_{seed}"))
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def duck_rand(corpus_dir):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(corpus_dir, 'documents.parquet')}')")
+    return con
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_random_corpus_matches_oracle(spark, corpus_dir, duck_rand, name):
+    fns = dict(entrymod.queries())
+    fns.update(entrymod.extra_queries())
+    sqls = dict(entrymod.oracle_sql())
+    sqls.update(entrymod.extra_oracle_sql())
+    sdf = fns[name](spark, corpus_dir)
+    s_rows, s_cols = _norm_rows(sdf.columns,
+                                [tuple(r) for r in sdf.collect()])
+    res = duck_rand.execute(sqls[name])
+    o_rows, o_cols = _norm_rows([d[0] for d in res.description],
+                                res.fetchall())
+    assert s_cols == o_cols
+    assert len(s_rows) == len(o_rows)
+    assert s_rows == o_rows
