@@ -118,6 +118,10 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles_from(_docs(spark, sf_dir))
+
+
+def _shingles_from(docs: DataFrame) -> DataFrame:
     """Distinct word 3-gram shingles per doc (JVM-side transform, no UDF).
 
     `split(text)` is hoisted into its own projection BELOW the transform:
@@ -128,7 +132,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     split() is non-cheap, Catalyst's CollapseProject keeps the hoisted
     projection separate, so the split runs once per row."""
     return (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
@@ -683,20 +687,45 @@ def _minhash_cached(spark, sf_dir):
     return _MINHASH_CACHE[key]
 
 
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) — one stack() pass emits all 4 (band,
+    bucket-hash) rows per doc; the round-1 union of 4 selects recomputed
+    the signature aggregation per branch (×4), and the band self-join
+    doubled that again."""
+    stack_args = ", ".join(
+        f"{b}, md5(cast(concat_ws('_', cast(mh{2*b} as string), "
+        f"cast(mh{2*b+1} as string)) as binary))" for b in range(4))
+    return sigs.selectExpr(
+        "doc_id", f"stack(4, {stack_args}) as (band, bh)")
+
+
+def _est_filter(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+    """SIGNATURE-ESTIMATE PREFILTER (see _MH_EST_MIN): joining the 8-long
+    signature rows (tiny payload, doc_id-keyed) and counting component
+    matches costs a fraction of the exact verify's per-doc set arrays —
+    only pairs whose estimated jaccard clears the threshold pay the
+    array-join. At 10^9 docs both joins are AQE-planned shuffles keyed on
+    doc_id; nothing corpus-sized is ever broadcast."""
+    est_a = sigs.select(F.col("doc_id").alias("a"),
+                        *[F.col(f"mh{j}").alias(f"amh{j}")
+                          for j in range(_N_MINHASH)])
+    est_b = sigs.select(F.col("doc_id").alias("b"),
+                        *[F.col(f"mh{j}").alias(f"bmh{j}")
+                          for j in range(_N_MINHASH)])
+    n_match = sum((F.col(f"amh{j}") == F.col(f"bmh{j}")).cast("int")
+                  for j in range(_N_MINHASH))
+    return (cand.join(est_a, "a").join(est_b, "b")
+            .where(n_match >= _MH_EST_MIN)
+            .select("a", "b"))
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup: 4 bands × 2 rows → band-bucket join →
     exact-jaccard verification of candidates. The shingle table is computed
     once and cached — signatures AND candidate verification read the same
     materialization instead of re-deriving it."""
     sh, sigs = _minhash_cached(spark, sf_dir)
-    # one stack() pass emits all 4 (band, bucket-hash) rows per doc — the
-    # round-1 union of 4 selects recomputed the signature aggregation per
-    # branch (×4), and the band self-join doubled that again
-    stack_args = ", ".join(
-        f"{b}, md5(cast(concat_ws('_', cast(mh{2*b} as string), "
-        f"cast(mh{2*b+1} as string)) as binary))" for b in range(4))
-    bands = sigs.selectExpr(
-        "doc_id", f"stack(4, {stack_args}) as (band, bh)")
+    bands = _bands(sigs)
     # MEGA-BUCKET GUARD (same skew treatment as _BUCKET_CAP on the shingle
     # path): under a Zipf-headed corpus, many docs share the globally
     # minimum-hash shingles, so their band hashes collide — measured at a
@@ -718,27 +747,67 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    # SIGNATURE-ESTIMATE PREFILTER (see _MH_EST_MIN): joining the 8-long
-    # signature rows (tiny payload, doc_id-keyed) and counting component
-    # matches costs a fraction of the exact verify's per-doc set arrays —
-    # only pairs whose estimated jaccard clears the threshold pay the
-    # array-join. At 10^9 docs both joins are AQE-planned shuffles keyed on
-    # doc_id; nothing corpus-sized is ever broadcast.
-    est_a = sigs.select(F.col("doc_id").alias("a"),
-                        *[F.col(f"mh{j}").alias(f"amh{j}")
-                          for j in range(_N_MINHASH)])
-    est_b = sigs.select(F.col("doc_id").alias("b"),
-                        *[F.col(f"mh{j}").alias(f"bmh{j}")
-                          for j in range(_N_MINHASH)])
-    n_match = sum((F.col(f"amh{j}") == F.col(f"bmh{j}")).cast("int")
-                  for j in range(_N_MINHASH))
-    cand = (cand.join(est_a, "a").join(est_b, "b")
-            .where(n_match >= _MH_EST_MIN)
-            .select("a", "b"))
+    cand = _est_filter(cand, sigs)
     # LSH intersections use the FULL shingle set (no cap — mirrored in the
     # oracle); see _verify_pairs for the array-based verify design
     _, _, full_sets = _dedup_artifacts(spark, sf_dir)
     return _verify_pairs(cand, full_sets)
+
+
+def incremental_neardup_pairs(spark: SparkSession, base_sf_dir: str,
+                              delta_docs: DataFrame) -> DataFrame:
+    """Incremental batch near-dup: match a DELTA batch of new documents
+    (doc_id, text — ids disjoint from the base corpus) against a BASE
+    corpus served from persisted artifacts (build_dedup_artifacts +
+    register_dedup_artifacts), WITHOUT recomputing anything base-sized —
+    the daily-crawl-increment workflow (the streaming twin is
+    streaming/neardup.py; this is the batch form with the full exact
+    verify).
+
+    Returns (a, b, jac) exactly like dedup_minhash_lsh, restricted to
+    pairs involving ≥1 delta doc (delta×base and delta×delta). EXACT
+    equality with the full-corpus op on base∪delta (pinned by
+    tests/test_incremental_neardup.py): the mega-bucket cap is applied on
+    the union's bucket counts restricted to buckets a delta doc touches —
+    base band rows are first semi-joined down to those buckets, so the
+    base-side work is O(|delta buckets|), never O(|base|)."""
+    base_sigs = _artifact(spark, base_sf_dir, "sigs")
+    base_sets = _artifact(spark, base_sf_dir, "full_sets")
+    if base_sigs is None:
+        raise ValueError(
+            f"no artifacts registered for {base_sf_dir}: run "
+            "build_dedup_artifacts / register_dedup_artifacts first")
+    dsh = _shingles_from(delta_docs.select("doc_id", "text"))
+    dsigs = _minhash_sigs(spark, None, dsh).cache()
+    dsets = dsh.groupBy("doc_id").agg(
+        F.collect_list(_h60("shingle")).alias("sset"),
+        F.count("*").alias("ns"))
+    dbands = _bands(dsigs)
+    # base bands restricted to buckets the delta touches (leftsemi keeps
+    # the base scan pruned to relevant buckets; the delta bucket set is
+    # small — broadcastable by AQE, never forced)
+    bbands = _bands(base_sigs).join(dbands.select("band", "bh").distinct(),
+                                    ["band", "bh"], "leftsemi")
+    union = dbands.unionByName(bbands)
+    # cap on the union's bucket counts == the full-corpus cap for every
+    # bucket containing a delta doc (identical exclusion decisions)
+    big = (union.groupBy("band", "bh").count()
+           .where(F.col("count") > _LSH_BAND_CAP).select("band", "bh"))
+    union = union.join(F.broadcast(big), ["band", "bh"], "left_anti")
+    d = union.join(dbands.select("band", "bh", "doc_id"),
+                   ["band", "bh", "doc_id"], "leftsemi").alias("x")
+    u = union.alias("y")
+    cand = (
+        d.join(u, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .select(F.least("x.doc_id", "y.doc_id").alias("a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("b"))
+        .distinct()
+    )
+    sigs_all = base_sigs.unionByName(dsigs)
+    sets_all = base_sets.unionByName(dsets)
+    return _verify_pairs(_est_filter(cand, sigs_all), sets_all)
 
 
 _DECON_BENCH_N = 10   # doc_id < 10 form the held-out benchmark set
