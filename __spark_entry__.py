@@ -44,13 +44,18 @@ from lucene_spark.indexing.reader import IndexReader
 from lucene_spark.queries.ast import (
     Bool,
     DisjunctionMax,
+    Fuzzy,
     MatchAll,
     MultiPhrase,
+    Phrase,
+    Prefix,
     SpanFirst,
     SpanNear,
     SpanTerm,
     Term,
+    TermRange,
 )
+from lucene_spark.queries.percolate import percolate
 from lucene_spark.queries.planner import Searcher
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -1777,6 +1782,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Percolation bank (contrib/memory MemoryIndex.java:177 use case): fixed
+# queries registered once, every document checked against all of them in a
+# single narrow projection (lucene_spark/queries/percolate.py). Kept
+# SQL-expressible so DuckDB can state the ground truth.
+_PERC_BANK = [
+    ("pb_term", Term("spark")),
+    ("pb_and", Bool(must=[Term("data"), Term("spark")])),
+    ("pb_min2", Bool(should=[Term("hash"), Term("merge"), Term("vector")],
+                     min_should=2)),
+    ("pb_not", Bool(must=[Term("scan")], must_not=[Term("vector")])),
+    ("pb_phrase", Phrase(["order", "sort"])),
+    ("pb_prefix", Prefix("filt")),
+    ("pb_fuzzy", Fuzzy("spark", max_edits=1)),
+    ("pb_range", TermRange("batch", "column")),
+]
+
+
+def _q_ft_percolate(spark, sf_dir):
+    """Reverse search: which registered queries match each document —
+    the subscription-matching / corpus-filtering workflow. One map-only
+    pass over the corpus evaluates the whole bank (plan pinned
+    Exchange-free below the contract orderBy in test_percolate)."""
+    return (percolate(_docs(spark, sf_dir), _PERC_BANK)
+            .orderBy("doc_id", "query_id"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operator variants consolidated out of the 50-entry driver registry
     (each is the same code path as a registry sibling with one knob
@@ -1811,6 +1842,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_stats": _q_text_source_stats,
         # round 3: per-doc cross-document duplicate-shingle coverage
         "text_dup_ngram_coverage": _q_text_dup_ngram_coverage,
+        # round 3: percolation / reverse search (MemoryIndex analog)
+        "ft_percolate": _q_ft_percolate,
     }
 
 
@@ -2739,4 +2772,50 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
        round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate
 FROM documents GROUP BY source ORDER BY source""",
+        # percolation: per bank query, docs where its match predicate holds
+        # (EXISTS over the doc's own tokens ≙ the engine's array exists)
+        "ft_percolate": f"""WITH {_PRELUDE}
+SELECT doc_id, query_id FROM (
+  SELECT d.doc_id, 'pb_term' AS query_id FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+  UNION ALL
+  SELECT d.doc_id, 'pb_and' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id AND t.term = 'data')
+     AND EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+  UNION ALL
+  SELECT d.doc_id, 'pb_min2' FROM documents d
+   WHERE (SELECT count(DISTINCT t.term) FROM tok t
+          WHERE t.doc_id = d.doc_id
+            AND t.term IN ('hash', 'merge', 'vector')) >= 2
+  UNION ALL
+  SELECT d.doc_id, 'pb_not' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id AND t.term = 'scan')
+     AND NOT EXISTS (SELECT 1 FROM tok t
+                     WHERE t.doc_id = d.doc_id AND t.term = 'vector')
+  UNION ALL
+  SELECT d.doc_id, 'pb_phrase' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t1 JOIN tok t2
+                   ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                 WHERE t1.doc_id = d.doc_id
+                   AND t1.term = 'order' AND t2.term = 'sort')
+  UNION ALL
+  SELECT d.doc_id, 'pb_prefix' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id AND t.term LIKE 'filt%')
+  UNION ALL
+  SELECT d.doc_id, 'pb_fuzzy' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id
+                   AND abs(length(t.term) - 5) <= 1
+                   AND levenshtein(t.term, 'spark') <= 1)
+  UNION ALL
+  SELECT d.doc_id, 'pb_range' FROM documents d
+   WHERE EXISTS (SELECT 1 FROM tok t
+                 WHERE t.doc_id = d.doc_id
+                   AND t.term >= 'batch' AND t.term <= 'column')
+) ORDER BY doc_id, query_id""",
     }

@@ -11,3 +11,4 @@ from .ast import (  # noqa: F401
     Wildcard,
 )
 from .parser import parse_multi_field, parse_query  # noqa: F401
+from .percolate import match_expr, percolate  # noqa: F401

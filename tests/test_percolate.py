@@ -1,0 +1,120 @@
+"""Percolation (reverse search, contrib/memory MemoryIndex analog):
+the JVM-compiled match expressions must agree with the single-node
+oracle's match membership (score > 0 under `_eval`) for every supported
+query shape, on random corpora — two engines, one truth."""
+
+import pandas as pd
+import pytest
+
+from lucene_spark.oracle import build_oracle_index, _eval
+from lucene_spark.queries import parse_query
+from lucene_spark.queries.ast import (
+    Bool, Boosting, ConstantScore, DisjunctionMax, Fuzzy, MatchAll,
+    MultiPhrase, Phrase, Prefix, Regexp, SpanNear, SpanTerm, Term,
+    TermRange, Wildcard,
+)
+from lucene_spark.queries.percolate import percolate
+
+from tests.test_random_corpora import _corpus
+
+
+def _bank():
+    return [
+        ("q_term", Term("red")),
+        ("q_and", Bool(must=[Term("red"), Term("blue")])),
+        ("q_or", Bool(should=[Term("gold"), Term("gray")])),
+        ("q_min2", Bool(should=[Term("red"), Term("gold"), Term("pink")],
+                        min_should=2)),
+        ("q_not", Bool(must=[Term("green")], must_not=[Term("pink")])),
+        ("q_neg_only", Bool(must_not=[Term("red")])),  # matches nothing
+        ("q_phrase", Phrase(["red", "blue"])),
+        ("q_phrase_hole", Phrase(["red", "gold"], positions=[0, 2])),
+        ("q_mphrase", MultiPhrase([["red", "green"], ["blue"]])),
+        ("q_prefix", Prefix("gr")),
+        ("q_wild", Wildcard("g*d")),
+        ("q_regex", Regexp("(red|pink)")),
+        ("q_fuzzy", Fuzzy("rad", max_edits=1)),
+        ("q_fuzzy_sim", Fuzzy("green", prefix_length=2,
+                              min_similarity=0.4)),
+        ("q_range", TermRange("blue", "gray")),
+        ("q_range_excl", TermRange("blue", "gray", include_lo=False,
+                                   include_hi=False)),
+        ("q_all", MatchAll()),
+        ("q_const", ConstantScore(query=Prefix("p"))),
+        ("q_dismax", DisjunctionMax(queries=[Term("red"),
+                                             Phrase(["gold", "gray"])])),
+        ("q_boosting", Boosting(match=Term("blue"), context=Term("red"))),
+        ("q_parsed", parse_query("+red +(gold pink) -gray")),
+    ]
+
+
+@pytest.mark.parametrize("kind,seed,n", [("dense", 31, 150),
+                                         ("zipf", 32, 250)])
+def test_percolate_matches_oracle(spark, kind, seed, n):
+    pdf = _corpus(seed, kind, n)
+    idx = build_oracle_index(
+        [(int(r.doc_id), r.text) for r in pdf.itertuples()],
+        analyzer="whitespace")
+    bank = _bank()
+    expected = {(d, qid) for qid, q in bank
+                for d in _eval(idx, q)}
+
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, bank).collect()}
+    assert got == expected
+
+
+def test_percolate_multifield(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["red blue", "gold pink", "red red gray", "blue"],
+        "title": ["alpha beta", "alpha", "beta gamma", "delta"],
+    })
+    bank = [
+        ("f_term", Term("title:alpha")),
+        ("f_unknown", Term("nosuch:alpha")),       # no postings → nothing
+        ("f_mix", Bool(must=[Term("red"), Term("title:beta")])),
+        ("f_prefix", Prefix("title:ga")),
+        ("f_fuzzy", Fuzzy("title:beta", max_edits=1)),
+        ("f_range", TermRange("title:alpha", "title:beta")),
+    ]
+    idx = build_oracle_index(
+        [(int(r.doc_id), r.text) for r in pdf.itertuples()],
+        extra_fields={"title": {int(r.doc_id): r.title
+                                for r in pdf.itertuples()}},
+        analyzer="whitespace")
+    expected = {(d, qid) for qid, q in bank for d in _eval(idx, q)}
+
+    docs = spark.createDataFrame(pdf)
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, bank,
+                              field_cols={"title": "title"}).collect()}
+    assert got == expected
+
+
+def test_percolate_pretokenized_and_refusals(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "toks": [["a", "b"], ["b"]]}))
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, [("t", Term("a"))],
+                              text_col="toks").collect()}
+    assert got == {(0, "t")}
+
+    with pytest.raises(NotImplementedError, match="slop"):
+        percolate(docs, [("s", Phrase(["a", "b"], slop=1))],
+                  text_col="toks").collect()
+    with pytest.raises(NotImplementedError, match="span"):
+        percolate(docs, [("sp", SpanNear(clauses=[SpanTerm("a"),
+                                                  SpanTerm("b")]))],
+                  text_col="toks").collect()
+
+
+def test_percolate_plan_is_narrow(spark):
+    """The whole bank evaluates in one narrow projection — no Exchange,
+    no Python evaluator in the plan (the PLANS.md §2 shape)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["red blue"]}))
+    plan = percolate(docs, _bank())._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
