@@ -11,4 +11,9 @@ from .ast import (  # noqa: F401
     Wildcard,
 )
 from .parser import parse_multi_field, parse_query  # noqa: F401
-from .percolate import match_expr, percolate  # noqa: F401
+from .percolate import (  # noqa: F401
+    guard_terms,
+    match_expr,
+    percolate,
+    percolate_indexed,
+)

@@ -280,3 +280,129 @@ def percolate(docs: DataFrame, bank: list[tuple[str, Query]],
     return (docs
             .select(F.col(id_col), F.explode(hits).alias("hit"))
             .select(id_col, F.col("hit.query_id").alias("query_id")))
+
+
+def guard_terms(q: Query) -> list[str] | None:
+    """SOUND literal prefilter: a doc matching `q` must contain at least
+    one returned term; None = no such guarantee (the query stays in the
+    always-evaluate set).  This is the inverted-percolator query-term
+    extraction (what large-scale percolators index their query bank by):
+
+    - Term / Phrase: any required term suffices (first picked).
+    - MultiPhrase: slot 0's alternatives (one of them is required).
+    - Bool with MUST: the first guardable MUST clause's terms (all MUST
+      clauses match, so any one clause's guard is sound).  Without MUST,
+      effective minNrShouldMatch ≥ 1 ⇒ the union of ALL should guards —
+      sound only if every should clause is guardable.
+    - DisjunctionMax: union over clauses, all-or-nothing.
+    - Multiterm / MatchAll / field-namespaced guards: None.
+    """
+    if isinstance(q, Term):
+        return None if ":" in q.term else [q.term]
+    if isinstance(q, Phrase):
+        t = q.phrase_terms[0]
+        return None if ":" in t else [t]
+    if isinstance(q, MultiPhrase):
+        alts = q.slots[0]
+        return None if any(":" in t for t in alts) else list(alts)
+    if isinstance(q, Bool):
+        if not q.must and not q.should:
+            return []  # matches nothing: zero candidates is sound
+        if q.must:
+            for c in q.must:
+                g = guard_terms(c)
+                if g is not None:
+                    return g
+            return None
+        out: list[str] = []
+        for c in q.should:
+            g = guard_terms(c)
+            if g is None:
+                return None
+            out.extend(g)
+        return out
+    if isinstance(q, ConstantScore):
+        return guard_terms(q.query)
+    if isinstance(q, Boosting):
+        return guard_terms(q.match)
+    if isinstance(q, DisjunctionMax):
+        out = []
+        for c in q.queries:
+            g = guard_terms(c)
+            if g is None:
+                return None
+            out.extend(g)
+        return out
+    return None  # multiterm, MatchAll, spans: no literal guarantee
+
+
+def percolate_indexed(docs: DataFrame, bank: list[tuple[str, Query]],
+                      text_col: str = "text", id_col: str = "doc_id",
+                      field_cols: dict[str, str] | None = None
+                      ) -> DataFrame:
+    """`percolate` for LARGE banks (10^4–10^6 registered queries): instead
+    of evaluating every bank predicate on every document, the bank is
+    INVERTED into a (guard term → query_id) table — the standard
+    percolator index.  Per document, only queries whose guard term occurs
+    in it are evaluated exactly; unguardable queries (multiterm, MatchAll)
+    fall back to always-evaluate, stated plainly.
+
+    Plan: docs → explode distinct tokens → broadcast-join the guard table
+    (the bank is the genuinely small side) → collect candidate query_ids
+    per doc (one shuffle, volume = matched (doc, guard) pairs, not
+    docs × bank) → re-join to the doc row co-keyed on `id_col` → exact
+    match predicate per candidate via one codegen'd CASE over query_id.
+    Result-identical to `percolate` (pinned by tests/test_percolate.py)."""
+    spark = docs.sparkSession
+    guards: list[tuple[str, str]] = []
+    always: list[tuple[str, Query]] = []
+    by_id = dict(bank)
+    for qid, q in bank:
+        g = guard_terms(q)
+        if g is None:
+            always.append((qid, q))
+        else:
+            guards.extend((t, qid) for t in g)
+
+    def tok_expr(col: str) -> Column:
+        dt = dict(docs.dtypes).get(col, "string")
+        return F.col(col) if dt.startswith("array") \
+            else F.split(F.col(col), " ")
+
+    toks = tok_expr(text_col)
+    fields = {f: tok_expr(c) for f, c in (field_cols or {}).items()}
+
+    out = []
+    if guards:
+        gdf = spark.createDataFrame(guards, "gterm string, query_id string")
+        cand = (docs
+                .select(F.col(id_col),
+                        F.explode(F.array_distinct(toks)).alias("gterm"))
+                .join(F.broadcast(gdf), "gterm")
+                .groupBy(id_col)
+                .agg(F.collect_set("query_id").alias("cand_qids")))
+        guarded_ids = sorted({qid for _t, qid in guards})
+
+        def case_match(qid_col: Column) -> Column:
+            expr = F.lit(False)
+            for k in guarded_ids:
+                expr = F.when(qid_col == F.lit(k),
+                              match_expr(by_id[k], toks, fields)) \
+                    .otherwise(expr)
+            return expr
+
+        out.append(
+            docs.join(cand, id_col)
+            .select(F.col(id_col),
+                    F.explode(F.filter("cand_qids", case_match))
+                    .alias("query_id")))
+    if always:
+        out.append(percolate(docs, always, text_col=text_col,
+                             id_col=id_col, field_cols=field_cols))
+    if not out:
+        return docs.select(F.col(id_col),
+                           F.lit("").alias("query_id")).limit(0)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -118,3 +118,37 @@ def test_percolate_plan_is_narrow(spark):
     plan = percolate(docs, _bank())._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_guard_terms_soundness_rules():
+    from lucene_spark.queries.percolate import guard_terms
+    assert guard_terms(Term("red")) == ["red"]
+    assert guard_terms(Term("title:red")) is None
+    assert guard_terms(Phrase(["red", "blue"])) == ["red"]
+    assert guard_terms(MultiPhrase([["a", "b"], ["c"]])) == ["a", "b"]
+    assert guard_terms(Bool(must=[MatchAll(), Term("x")])) == ["x"]
+    assert guard_terms(Bool(should=[Term("a"), Prefix("b")])) is None
+    assert guard_terms(Bool(should=[Term("a"), Term("b")])) == ["a", "b"]
+    assert guard_terms(Bool(must_not=[Term("a")])) == []  # matches nothing
+    assert guard_terms(DisjunctionMax(queries=[Term("a"), Term("b")])) \
+        == ["a", "b"]
+    assert guard_terms(DisjunctionMax(queries=[Term("a"), MatchAll()])) \
+        is None
+    assert guard_terms(Prefix("re")) is None
+    assert guard_terms(MatchAll()) is None
+
+
+@pytest.mark.parametrize("kind,seed,n", [("dense", 41, 150),
+                                         ("zipf", 42, 220)])
+def test_percolate_indexed_equals_plain(spark, kind, seed, n):
+    """The inverted-bank scale path returns exactly the plain per-doc
+    evaluation — guarded, unguarded, and matches-nothing queries alike."""
+    from lucene_spark.queries.percolate import percolate_indexed
+    pdf = _corpus(seed, kind, n)
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    bank = [(qid, q) for qid, q in _bank()]
+    plain = {(r["doc_id"], r["query_id"])
+             for r in percolate(docs, bank).collect()}
+    indexed = {(r["doc_id"], r["query_id"])
+               for r in percolate_indexed(docs, bank).collect()}
+    assert indexed == plain
