@@ -165,6 +165,7 @@ def main() -> None:
     PIPELINE = ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
                 "dedup_cluster", "text_quality", "text_repetition",
                 "text_decontaminate", "text_dup_ngram_coverage",
+                "ft_percolate",
                 "ann_cosine_topk", "ann_knn_join",
                 "ann_ivf_search", "events_sessionize")
     efns = dict(entry.queries())

@@ -582,12 +582,15 @@ def cached_analyzer(name: str, maxsize: int = 4096):
     return lambda text: list(cached(text or ""))
 
 
-def make_chain(char_filters=(), tokenizer=None, token_filters=()):
+def make_chain(char_filters=(), tokenizer=None, token_filters=(),
+               pair_filters=()):
     """Compose a custom positional analyzer from char filters (text→text),
-    a tokenizer name or positional fn, and per-term filters (term→term or
-    None to drop) — the Analyzer/TokenFilter extension seam of the
-    reference expressed functionally. Registerable via ANALYZERS /
-    POSITIONAL_ANALYZERS for build_index(field_analyzers=...)."""
+    a tokenizer name or positional fn, per-term filters (term→term or
+    None to drop), and pair filters (pairs→pairs — the 1:many seam for
+    filters that inject tokens, e.g. make_synonym_injector) — the
+    Analyzer/TokenFilter extension seam of the reference expressed
+    functionally. Registerable via ANALYZERS / POSITIONAL_ANALYZERS for
+    build_index(field_analyzers=...)."""
     tok = tokenizer or analyze
     if isinstance(tok, str):
         tok = positional_pairs_fn(tok)
@@ -599,9 +602,35 @@ def make_chain(char_filters=(), tokenizer=None, token_filters=()):
         for tf in token_filters:
             pairs = [(t2, p) for t, p in pairs
                      for t2 in (tf(t),) if t2]
+        for pf in pair_filters:
+            pairs = pf(pairs)
         return pairs
 
     return chain
+
+
+def make_synonym_injector(synonyms: dict, max_synonyms: int | None = None):
+    """Index-time synonym injection (contrib/wordnet
+    SynonymTokenFilter.java:35): for each token, emit the token followed
+    by its synonyms AT THE SAME POSITION (the reference's
+    positionIncrement=0 stack), so phrases and spans match through
+    synonyms. `max_synonyms` caps the injected count per token; the
+    reference RANDOMIZES which survive over the cap
+    (SynonymTokenFilter.java:93 randomize()) — here the cap is
+    deterministic first-N in the map's order, because a reproducible
+    index beats unbiased truncation for this engine's resume/merge
+    identities. Use as a make_chain pair filter."""
+    def inject(pairs):
+        out = []
+        for t, p in pairs:
+            out.append((t, p))
+            syns = synonyms.get(t, ())
+            if max_synonyms is not None:
+                syns = list(syns)[:max_synonyms]
+            out.extend((s, p) for s in syns)
+        return out
+
+    return inject
 
 
 ANALYZERS["english"] = lambda text: [t for t, _ in analyze_english(text)]
