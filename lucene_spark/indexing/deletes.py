@@ -122,8 +122,18 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     if dels is None:
         return {"expunged": 0, "segments": []}
     segs = [int(r["seg"]) for r in dels.select("seg").distinct().collect()]
+    # only LIVE segments are expunge targets: a retained commit point
+    # (commits.py) keeps compacted source partitions — and their tombstone
+    # copies — on disk for pinned readers; rewriting those would corrupt
+    # the pinned point in time
+    from .build import committed_segments
+
+    live = committed_segments(index_dir)
+    if live:
+        segs = [s for s in segs if s in live]
     if not segs:
         return {"expunged": 0, "segments": []}
+    dels = dels.where(F.col("seg").isin(segs))
     n_del = dels.count()
     del_ids = dels.select("docid")
 
@@ -183,7 +193,16 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                 os.replace(staged, os.path.join(src, f"seg={s}"))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    shutil.rmtree(deleted_path(index_dir), ignore_errors=True)
+    # consume the expunged tombstones; tombstone partitions that belong to
+    # retained (non-live) segments must survive for pinned readers, so the
+    # whole-dir delete only happens once nothing else is left
+    for s in segs:
+        shutil.rmtree(os.path.join(deleted_path(index_dir), f"seg={s}"),
+                      ignore_errors=True)
+    dp = deleted_path(index_dir)
+    if os.path.isdir(dp) and not any(
+            n.startswith("seg=") for n in os.listdir(dp)):
+        shutil.rmtree(dp, ignore_errors=True)
 
     # norms side-car: regenerate the affected segments from the rewritten
     # docmap (expunged docs lose their boost rows with their postings)

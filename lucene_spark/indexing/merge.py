@@ -52,7 +52,17 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
 
     from pyspark import StorageLevel
 
+    from .build import committed_segments
+
+    # scope every scan to the COMMITTED segment set: retained commit
+    # points keep compacted source partitions on disk (commits.py) and a
+    # concurrent append may have staged an uncommitted seg dir — either
+    # would double-count df/cf into the dictionary. Pure partition
+    # pruning on the seg column, so the filter costs nothing.
+    live = sorted(committed_segments(out_dir))
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    if live:
+        postings = postings.where(F.col("seg").isin(live))
     agg = (postings.groupBy("term")
            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
            .persist(StorageLevel.MEMORY_AND_DISK))
@@ -112,6 +122,8 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
                             for fld in sums if cnts.get(fld)}
     else:
         docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
+        if live:
+            docmap = docmap.where(F.col("seg").isin(live))
         row = docmap.agg(
             F.count("*").alias("N"), F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
@@ -271,6 +283,31 @@ def maybe_merge(spark: SparkSession, out_dir: str,
             merged.append(g)
 
 
+# Reserved destination-id namespace for retention-mode merges: build-plan
+# segment ids are dense small ints (plan.py _extend_from_listing allocates
+# max(plan)+1), so fresh merge destinations start far above anything a
+# 10^12-doc plan reaches (2*10^7 segments at 50k docs/seg) and a later
+# append can never collide with a retained merge output.
+MERGE_SEG_BASE = 1 << 30
+
+
+def _next_merge_seg(out_dir: str) -> int:
+    """Next free destination id in the reserved merge namespace (scans the
+    manifests dir — every segment that ever existed has one)."""
+    mdir = os.path.join(out_dir, "manifests")
+    top = MERGE_SEG_BASE
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.startswith("seg_") and n.endswith(".json"):
+                try:
+                    s = int(n[4:-5])
+                except ValueError:
+                    continue
+                if s >= top:
+                    top = s + 1
+    return top
+
+
 def compact_segments(
     spark: SparkSession,
     out_dir: str,
@@ -284,10 +321,21 @@ def compact_segments(
     Rewrites postings + docmap + tokens partitions for the group; the
     destination segment is byte-identical to a cold single-segment build of
     the same docs (tested property: merge(build(A), build(B)) ≡ build(A∪B)).
+
+    Commit-point retention (index/IndexFileDeleter.java:54 refcounting):
+    when a retained commit point (commits.py) still references a source
+    segment, its partitions are LEFT ON DISK for pinned readers and the
+    merged output lands under a fresh destination id from the reserved
+    merge namespace (>= MERGE_SEG_BASE — disjoint from build-plan ids, so
+    a later plan append can never collide). ``purge_unreferenced``
+    reclaims the sources once the deletion policy drops the old
+    generations. With no commits/ directory the eager-delete behavior is
+    unchanged.
     """
     import shutil
 
     from .build import read_manifest_config
+    from .commits import referenced_segments
     from .deletes import deleted_docids, deleted_path
 
     # decode with the codec the segments were BUILT with (manifest-recorded;
@@ -295,7 +343,8 @@ def compact_segments(
     cfg = read_manifest_config(out_dir)
     block_size = int(cfg.get("block_size", block_size))
 
-    dest = min(seg_group)
+    protected = referenced_segments(out_dir) & set(seg_group)
+    dest = _next_merge_seg(out_dir) if protected else min(seg_group)
 
     # tombstones on absorbed segments must follow their docs into dest:
     # the kernel groups by seg, so a side-car row keyed to a removed seg id
@@ -322,6 +371,8 @@ def compact_segments(
         (df_fn(spark.read.parquet(src).where(F.col("seg").isin(seg_group)))
             .write.mode("overwrite").partitionBy("seg").parquet(tmp))
         for s in seg_group:
+            if s in protected:
+                continue  # a retained commit still lists this segment
             shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
         os.replace(os.path.join(tmp, f"seg={dest}"), os.path.join(src, f"seg={dest}"))
         shutil.rmtree(tmp, ignore_errors=True)
@@ -329,7 +380,9 @@ def compact_segments(
         from .deletes import delete_by_docids
 
         for s in seg_group:
-            if s != dest:
+            if s != dest and s not in protected:
+                # protected sources keep their tombstones too — a pinned
+                # reader still subtracts them; dest got a rekeyed COPY
                 shutil.rmtree(os.path.join(deleted_path(out_dir), f"seg={s}"),
                               ignore_errors=True)
         if len(moved_tombstones):
@@ -340,7 +393,8 @@ def compact_segments(
     # (the authoritative per-doc boost column — indexing/norms.py)
     from .norms import rebuild_norms_for_segs
 
-    rebuild_norms_for_segs(spark, out_dir, seg_group)
+    rebuild_norms_for_segs(spark, out_dir,
+                           sorted((set(seg_group) - protected) | {dest}))
     group_docs = 0
     group_postings = 0
     group_doclen = 0
@@ -388,9 +442,16 @@ def compact_segments(
     # level and re-merge it with every fresh batch — the quadratic rewrite
     # churn the geometric levels exist to prevent
     mp = os.path.join(out_dir, "manifests", f"seg_{dest:06d}.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
-            m = json.load(f)
+    if os.path.exists(mp) or dest not in seg_group:
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+        else:
+            # fresh retention-mode destination: synthesize its manifest.
+            # The codec/analysis config keys MUST ride along — every
+            # source manifest flips to "compacted" below, and
+            # read_manifest_config skips compacted entries
+            m = {"seg": dest, "status": "committed", **cfg}
         m["docs"] = group_docs
         m["postings"] = group_postings
         if doclen_known:

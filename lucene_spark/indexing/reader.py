@@ -201,11 +201,27 @@ def _load_ram_dict(term_dict_dir: str) -> RamDict | None:
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 commit: int | None = None):
+        """Open at the current commit, or — ``commit=generation`` — pinned
+        to an older retained commit point (the reference's
+        ``IndexReader.open(IndexCommit)``, index/IndexReader.java:350 /
+        index/SegmentInfos.java:39): the segment set AND the corpus stats
+        (N, avgdl — the BM25 inputs) come from that ``segments_N`` analog,
+        so the pinned reader scores the point-in-time corpus. Requires the
+        commit to be retained by the deletion policy (commits.py)."""
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
+        self._commit = None
+        if commit is not None:
+            from .commits import read_commit
+
+            self._commit = read_commit(index_dir, commit)
+        if self._commit is not None and self._commit.get("stats"):
+            self.stats = self._commit["stats"]
+        else:
+            with open(os.path.join(index_dir, "stats.json")) as f:
+                self.stats = json.load(f)
         self.N: int = self.stats["N"]
         self.avgdl: float = self.stats["avgdl"]
         # the analyzer the index was built with — query text must run
@@ -225,11 +241,18 @@ class IndexReader:
         # None (no manifests dir: pre-manifest layouts) → read everything
         from .build import committed_segments
 
-        committed = committed_segments(index_dir)
-        self._committed: list[int] | None = (
-            sorted(committed)
-            if os.path.isdir(os.path.join(index_dir, "manifests"))
-            else None)
+        if self._commit is not None:
+            # pinned point-in-time set straight from the commit file —
+            # manifests may already say "compacted" for these segments,
+            # but retention kept their partitions on disk
+            self._committed = sorted(
+                int(s) for s in self._commit["segments"])
+        else:
+            committed = committed_segments(index_dir)
+            self._committed: list[int] | None = (
+                sorted(committed)
+                if os.path.isdir(os.path.join(index_dir, "manifests"))
+                else None)
 
     # --- distributed tables (DataFrame handles cached so repeated queries
     # reuse the same logical plan + file listing; the data itself stays on

@@ -93,7 +93,17 @@ def validate_index(spark: SparkSession, index_dir: str, block_size: int = BLOCK_
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             kw = tuple(json.load(f).get("keyword_fields", kw))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # committed-segment scope: retained compacted partitions (commits.py)
+    # and uncommitted concurrent appends must not enter the recount
+    from .build import committed_segments
+
+    live = sorted(committed_segments(index_dir))
+
+    def _scoped(df):
+        return df.where(F.col("seg").isin(live)) if live else df
+
+    postings = _scoped(
+        spark.read.parquet(os.path.join(index_dir, "postings")))
     bad = (postings.mapInPandas(_check_rows(block_size, kw),
                                 schema="seg int, term string, salt int, errors string")
            .limit(20).collect())
@@ -117,7 +127,7 @@ def validate_index(spark: SparkSession, index_dir: str, block_size: int = BLOCK_
 
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    docmap = _scoped(spark.read.parquet(os.path.join(index_dir, "docmap")))
     row = docmap.agg(F.count("*").alias("N"), F.avg("doclen").alias("avgdl")).collect()[0]
     if int(row["N"]) != stats["N"]:
         report["ok"] = False
