@@ -43,6 +43,7 @@ def append_to_index(
     max_postings_per_row: int = 250_000,
     block_size: int | None = None,
     refresh_stats: bool = True,
+    commit_points: bool = False,
 ) -> list[int]:
     """Append the parquet files under input_path to an existing index as new
     segments. Returns the segment ids built (empty if nothing new). A fresh
@@ -116,6 +117,14 @@ def append_to_index(
                      tuple(keyword_fields), tuple(analyzed_fields))
     if pending and refresh_stats:
         merge_index(spark, index_dir)
+    if pending and commit_points:
+        # one commit generation per increment (segments_N per NRT refresh,
+        # index/SegmentInfos.java:668): readers can pin any past increment
+        # until the deletion policy drops it (indexing/commits.py)
+        from ..indexing.commits import commit_point
+
+        commit_point(index_dir, source="ingest",
+                     user_data={"segments_added": pending})
     return pending
 
 

@@ -134,6 +134,39 @@ def test_purge_after_policy(spark, commit_idx):
     assert rep["ok"], rep["violations"]
 
 
+def test_ingest_commit_points(spark, tmp_path):
+    """append_to_index(commit_points=True) records one generation per
+    increment (segments_N per NRT refresh); a reader pinned to the first
+    generation keeps serving the pre-append corpus, including its N."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    from lucene_spark.streaming.ingest import append_to_index
+
+    out = str(tmp_path / "idx")
+    src1 = str(tmp_path / "inc1")
+    write_pages_files(src1, 40, 2)
+    append_to_index(spark, src1, out, target_docs_per_seg=20,
+                    commit_points=True)
+    g1 = read_commit(out)["generation"]
+    src2 = str(tmp_path / "inc2")
+    write_pages_files(src2, 40, 2)
+    append_to_index(spark, src2, out, target_docs_per_seg=20,
+                    commit_points=True)
+    c2 = read_commit(out)
+    assert c2["generation"] == g1 + 1
+    assert c2["source"] == "ingest"
+
+    pinned = IndexReader(spark, out, commit=g1)
+    cur = IndexReader(spark, out)
+    assert (pinned.N, cur.N) == (40, 80)
+    assert len(pinned._committed) < len(cur._committed)
+    assert Searcher(pinned).count("*:*") == 40
+    assert Searcher(cur).count("*:*") == 80
+
+
 def test_compaction_without_commits_keeps_eager_delete(spark,
                                                        tmp_path_factory):
     """No commits/ dir -> the pre-existing KeepOnlyLastCommit-style
