@@ -755,7 +755,8 @@ class Searcher:
                 .where(F.col("_rn") == 1).drop("_rn")
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k))
 
-    def search_filtered(self, query: Query | str, predicate: str, k: int = 10) -> DataFrame:
+    def search_filtered(self, query: Query | str, predicate: str, k: int = 10,
+                        cache: bool = False) -> DataFrame:
         """FilteredQuery (search/FilteredQuery.java:40): query ∧ filter, the
         filter being a Spark SQL predicate over docmap columns (url, lang,
         doclen). NumericRangeQuery collapses to a native `between` here —
@@ -763,11 +764,41 @@ class Searcher:
         only because Lucene must express ranges as term matches; a columnar
         store gets min/max pruning from parquet stats for free. Scores are
         the unfiltered query scores (reference leapfrog keeps the scorer's
-        score, IndexSearcher.java:221-260)."""
+        score, IndexSearcher.java:221-260). ``cache=True`` routes the
+        filter through the per-reader docid-set cache (cached_filter)."""
         m = self.matching(query)
-        dm = self.reader.docmap().where(predicate).select("docid")
+        dm = (self.cached_filter(predicate) if cache
+              else self.reader.docmap().where(predicate).select("docid"))
         return (m.join(dm, "docid")
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k))
+
+    def cached_filter(self, predicate: str) -> DataFrame:
+        """CachingWrapperFilter (search/CachingWrapperFilter.java): the
+        per-reader DocIdSet cache. The predicate's docid set is computed
+        once, pinned in Spark's in-memory columnar cache, and reused by
+        every later ``search_filtered(..., cache=True)`` with the same
+        predicate string — the per-reader OpenBitSet analog. Scoped to
+        THIS Searcher (reference caches per IndexReader): a new reader
+        over a new commit point starts with an empty cache, so staleness
+        is impossible. Trade-off stated plainly: the cached set is
+        corpus-sized in the worst case — Spark spills it to disk rather
+        than OOM (MEMORY_AND_DISK), and `uncache_filters` drops it."""
+        if not hasattr(self, "_filter_cache"):
+            self._filter_cache: dict[str, DataFrame] = {}
+        df = self._filter_cache.get(predicate)
+        if df is None:
+            from pyspark import StorageLevel
+
+            df = (self.reader.docmap().where(predicate).select("docid")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+            self._filter_cache[predicate] = df
+        return df
+
+    def uncache_filters(self) -> None:
+        """Release every cached filter docid set (reader close analog)."""
+        for df in getattr(self, "_filter_cache", {}).values():
+            df.unpersist()
+        self._filter_cache = {}
 
     def custom_score(self, query: Query | str, expr: str, k: int = 10) -> DataFrame:
         """CustomScoreQuery / ValueSourceQuery (search/function/

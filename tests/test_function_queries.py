@@ -53,6 +53,26 @@ def test_filtered_keyword_predicate(searcher, oracle_index):
     assert [d for d, _ in got] == [d for d, _ in want]
 
 
+def test_cached_filter_identity_and_reuse(searcher, oracle_index):
+    """CachingWrapperFilter analog (search/CachingWrapperFilter.java):
+    cache=True must return identical results, reuse the SAME pinned
+    docid-set across calls and queries, and uncache cleanly."""
+    pred = "lang = 'de'"
+    plain = _collect(searcher.search_filtered("one", pred, k=K))
+    cached = _collect(searcher.search_filtered("one", pred, k=K, cache=True))
+    assert cached == plain
+    # per-reader cache: same predicate → the same persisted DataFrame
+    # (reference caches one DocIdSet per reader, not per query)
+    df1 = searcher.cached_filter(pred)
+    assert df1 is searcher.cached_filter(pred)
+    assert df1.storageLevel.useMemory
+    # a second QUERY over the cached filter also matches its plain run
+    assert (_collect(searcher.search_filtered("seven", pred, k=K, cache=True))
+            == _collect(searcher.search_filtered("seven", pred, k=K)))
+    searcher.uncache_filters()
+    assert not searcher._filter_cache
+
+
 def test_custom_score_rank_identity(searcher, oracle_index):
     got = _collect(searcher.custom_score("one", "1.0 + 100.0 / doclen", k=K))
     scored = [(d, s * (1.0 + 100.0 / oracle_index.doclen[d]))
