@@ -6,4 +6,5 @@ from .commits import (  # noqa: F401
 from .merge import compact_segments, merge_index  # noqa: F401
 from .plan import make_build_plan, read_build_plan  # noqa: F401
 from .reader import IndexReader  # noqa: F401
+from .writer import IndexWriter  # noqa: F401
 from .validate import validate_index  # noqa: F401

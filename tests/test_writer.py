@@ -1,0 +1,71 @@
+"""IndexWriter facade: the reference's top-level write API
+(add/update/delete/commit/maybeMerge/expungeDeletes/getReader,
+index/IndexWriter.java:2008,2072,2118,2162,3439,2516,386) mapped onto the
+batch-shaped distributed primitives, exercised as one lifecycle."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_spark.fixtures import pages_pdf
+from lucene_spark.indexing import IndexWriter, validate_index
+from lucene_spark.queries.planner import Searcher
+
+
+def _write_pdf(pdf, path, name="part.parquet"):
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(path, name),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+def test_writer_lifecycle(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(spark, idx, target_docs_per_seg=10)
+
+    # add: 40 docs -> 4 segments
+    src1 = str(tmp_path / "b1")
+    write_pages_files(src1, 40, 4)
+    assert w.add_documents(src1) == [0, 1, 2, 3]
+    assert w.get_reader().N == 40
+
+    # batch updateDocument(Term("url", u), doc): re-crawl of docs 0..9
+    # with a marker token appended to their text
+    upd = pages_pdf(10)
+    upd["text"] = upd["text"] + " zzzqupdated"
+    src2 = str(tmp_path / "b2")
+    _write_pdf(upd, src2)
+    res = w.update_documents(src2)
+    assert res == {"deleted": 10, "segments_added": [4]}
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqupdated") == 10  # the new versions
+    assert s.count("*:*") == 40          # still ONE live doc per url
+
+    # durable commit point, then a merge under retention: the absorbed
+    # sources stay on disk and the destination takes a fresh reserved id
+    g = w.commit(user_data={"step": "post-update"})["generation"]
+    merged = w.maybe_merge(merge_factor=4)
+    assert merged == [[0, 1, 2, 3]]
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqupdated") == 10
+    assert s.count("*:*") == 40
+    assert w.get_reader(commit=g) is not None  # pinned open still works
+
+    # deleteDocuments(query) buffers tombstones...
+    assert w.delete_documents("zzzqupdated") == 10
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqupdated") == 0
+    assert s.count("*:*") == 30
+
+    # ...and expungeDeletes drops them physically (only LIVE segments are
+    # rewritten; the commit-retained sources are untouched)
+    rep = w.expunge_deletes()
+    assert rep["expunged"] == 20  # 10 update + 10 delete tombstones
+    assert w.get_reader().N == 30
+    assert validate_index(spark, idx)["ok"]
