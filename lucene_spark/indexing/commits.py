@@ -45,7 +45,10 @@ import re
 import shutil
 
 COMMITS_DIR = "commits"
-_COMMIT_RE = re.compile(r"^commit_(\d{6})\.json$")
+# 6+ digits: %06d zero-pads small generations but grows past a million —
+# the pattern must keep matching (a {6}-only match would silently drop
+# every generation >= 10^6 from list/read/refcount)
+_COMMIT_RE = re.compile(r"^commit_(\d{6,})\.json$")
 
 # every per-segment data family a purge must reclaim (postings + the
 # side-cars that ride the same seg=k partition layout)
