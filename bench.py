@@ -181,11 +181,21 @@ def main() -> None:
     for name in PIPELINE:
         queries[name] = min(rounds[name])
 
+    # the driver captures only the LAST 2000 CHARS of stdout and parses the
+    # JSON line out of that window — round 3's line grew past 2000 chars
+    # (per-round arrays) and the whole bench signal was lost ("parsed": null
+    # in BENCH_r03.json). So: the printed line is COMPACT (short q-keys, no
+    # per-round detail) and the full self-defending record — per-entry
+    # per-round walls, per-section single-core host controls, long query
+    # names — goes to BENCH_DETAIL.json next to this script.
+    compact_queries = {}
+    for name, v in queries.items():
+        compact_queries[name.split("_")[0] if name.startswith("q") else name] = v
     out = {
         "metric": "index_build_docs_per_sec",
         "value": round(docs_per_sec, 1),
         "unit": "docs/sec",
-        "queries": queries,
+        "queries": compact_queries,
         "sf": SF,
         "n_docs": N_DOCS,
         "build_sec": round(t_build, 2),
@@ -194,15 +204,25 @@ def main() -> None:
                                    if k.startswith("q")), 2),
         "batch_all_sec": round(batch_all_sec, 2),
         "batch_qps": round(len(REFERENCE_QUERIES) / batch_all_sec, 1),
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail = dict(out)
+    detail.update({
         # self-defense: per-entry per-round walls + per-section per-round
         # single-core controls (see module docstring). A reader can mark any
         # round whose control is ≫ the section min as a stolen-host window
         # and judge entries by their clean rounds.
+        "queries": queries,
         "rounds": rounds,
         "cpu_control": cpu_control,
         "cpu_control_burn_n": _BURN_N,
-    }
-    print(json.dumps(out))
+    })
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(out)
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

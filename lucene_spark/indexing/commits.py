@@ -34,7 +34,13 @@ Deviation, stated honestly: delete tombstones are monotone side-car
 appends here (deletes.py), so a pinned reader applies the tombstones
 present when IT opened, not the commit-time tombstone set — the same
 open-time contract the NRT snapshot reader already has. The pinned
-SEGMENT SET is exact.
+SEGMENT SET is exact, and so are the pinned TERM STATISTICS: a pinned
+reader derives its dictionary (df/cf) from the pinned segments'
+postings metadata (reader.term_dict), not from the drifting global
+term_dict, and physical maintenance never rewrites a referenced
+segment in place (compact_segments and expunge_deletes both route
+referenced sources to fresh destination ids and leave the source
+partitions for pinned readers).
 """
 
 from __future__ import annotations

@@ -39,9 +39,14 @@ def deleted_path(index_dir: str) -> str:
 
 
 def deleted_rows(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """Tombstone rows (POSTINGS_SCHEMA) or None if no deletes exist."""
+    """Tombstone rows (POSTINGS_SCHEMA) or None if no deletes exist. An
+    empty side-car dir (every seg= partition reclaimed, e.g. by
+    purge_unreferenced) counts as no deletes — spark.read.parquet cannot
+    infer a schema from it."""
     p = deleted_path(index_dir)
     if not os.path.isdir(p):
+        return None
+    if not any(n.startswith("seg=") for n in os.listdir(p)):
         return None
     return spark.read.parquet(p)
 
@@ -113,7 +118,10 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                     max_postings_per_row: int = 250_000) -> dict:
     """Physically drop tombstoned docs from the affected segments by
     rebuilding their tables from the forward index (tokens), then refresh
-    global stats. DocIDs keep their slots (holes allowed)."""
+    global stats. DocIDs keep their slots (holes allowed). Segments listed
+    by a retained commit point are never rewritten in place — their
+    expunged copy lands under a fresh reserved segment id and the source
+    stays on disk for pinned readers (see the retention comments below)."""
     import shutil
 
     from .merge import merge_index
@@ -133,6 +141,24 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
         segs = [s for s in segs if s in live]
     if not segs:
         return {"expunged": 0, "segments": []}
+    # a LIVE segment can ALSO be listed by a retained commit point (commit,
+    # then delete, then expunge): rewriting it in place would physically
+    # remove docs from the pinned generation while its pinned stats still
+    # count them. Those segments take compact_segments' retention path
+    # instead (IndexFileDeleter refcounting, index/IndexFileDeleter.java:54):
+    # the expunged copy lands under a FRESH id from the reserved merge
+    # namespace, the source manifest flips to "compacted", and the source
+    # partitions (and their tombstones) stay on disk for pinned readers
+    # until purge_unreferenced reclaims them.
+    from .commits import referenced_segments
+    from .merge import _next_merge_seg
+
+    protected = sorted(referenced_segments(index_dir) & set(segs))
+    out_seg = {s: s for s in segs}
+    if protected:
+        base = _next_merge_seg(index_dir)
+        for i, s in enumerate(protected):
+            out_seg[s] = base + i
     dels = dels.where(F.col("seg").isin(segs))
     n_del = dels.count()
     del_ids = dels.select("docid")
@@ -140,6 +166,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     tokens_p = os.path.join(index_dir, "tokens")
     tok = (spark.read.parquet(tokens_p).where(F.col("seg").isin(segs))
            .join(del_ids, "docid", "left_anti"))
+    if protected:
+        # rekey protected segments to their fresh destination ids up front —
+        # every downstream stage (docmap/postings/tokens) then writes the
+        # destination partitions directly; docids are untouched (holes stay)
+        remap = F.create_map(*[F.lit(x) for s in segs
+                               for x in (s, out_seg[s])])
+        tok = tok.withColumn("seg", remap[F.col("seg")].cast("int"))
 
     # rewrite tokens → docmap → postings for the affected segments, staged
     # then swapped (rename-commit, same as the build's manifest protocol)
@@ -187,28 +220,36 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
         tmp = os.path.join(index_dir, f"_expunge_tmp_{name}")
         df.write.mode("overwrite").partitionBy("seg").parquet(tmp)
         for s in segs:
-            shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
-            staged = os.path.join(tmp, f"seg={s}")
+            d = out_seg[s]
+            if d == s:
+                shutil.rmtree(os.path.join(src, f"seg={s}"),
+                              ignore_errors=True)
+            # protected source partitions stay on disk for pinned readers
+            staged = os.path.join(tmp, f"seg={d}")
             if os.path.isdir(staged):
-                os.replace(staged, os.path.join(src, f"seg={s}"))
+                os.replace(staged, os.path.join(src, f"seg={d}"))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # consume the expunged tombstones; tombstone partitions that belong to
-    # retained (non-live) segments must survive for pinned readers, so the
-    # whole-dir delete only happens once nothing else is left
+    # consume the expunged tombstones on in-place segments; protected
+    # sources keep theirs (a pinned reader still subtracts them at decode
+    # time, so it sees the same live docs before and after the expunge).
+    # The whole-dir delete only happens once nothing else is left.
     for s in segs:
-        shutil.rmtree(os.path.join(deleted_path(index_dir), f"seg={s}"),
-                      ignore_errors=True)
+        if out_seg[s] == s:
+            shutil.rmtree(os.path.join(deleted_path(index_dir), f"seg={s}"),
+                          ignore_errors=True)
     dp = deleted_path(index_dir)
     if os.path.isdir(dp) and not any(
             n.startswith("seg=") for n in os.listdir(dp)):
         shutil.rmtree(dp, ignore_errors=True)
 
-    # norms side-car: regenerate the affected segments from the rewritten
-    # docmap (expunged docs lose their boost rows with their postings)
+    # norms side-car: regenerate the OUTPUT segments from the rewritten
+    # docmap (expunged docs lose their boost rows with their postings);
+    # protected sources keep their norms partitions for pinned readers
     from .norms import rebuild_norms_for_segs
 
-    rebuild_norms_for_segs(spark, index_dir, segs)
+    out_segs = sorted({out_seg[s] for s in segs})
+    rebuild_norms_for_segs(spark, index_dir, out_segs)
 
     # refresh the affected manifests: merge_index folds corpus stats (N,
     # avgdl) from manifest docs/sum_doclen, so the physical removal must
@@ -217,7 +258,7 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
     import json
 
     dm = spark.read.parquet(os.path.join(index_dir, "docmap")) \
-        .where(F.col("seg").isin(segs))
+        .where(F.col("seg").isin(out_segs))
     aggs = [F.count("*").alias("docs"), F.sum("doclen").alias("sum_doclen")]
     per_seg = {int(r["seg"]): r for r in dm.groupBy("seg").agg(*aggs).collect()}
     fdl_sums: dict = {}
@@ -229,23 +270,48 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
             d = fdl_sums.setdefault(int(r["seg"]), {"sum_fdl": {}, "docs_fdl": {}})
             d["sum_fdl"][r["field"]] = int(r["s"])
             d["docs_fdl"][r["field"]] = int(r["c"])
-    for s in segs:
-        mp = os.path.join(index_dir, "manifests", f"seg_{s:06d}.json")
-        if not os.path.exists(mp):
-            continue
-        with open(mp) as f:
-            m = json.load(f)
-        r = per_seg.get(s)
+
+    def _refresh(m: dict, d: int) -> dict:
+        r = per_seg.get(d)
         m["docs"] = int(r["docs"]) if r is not None else 0
         m["sum_doclen"] = int(r["sum_doclen"] or 0) if r is not None else 0
-        if s in fdl_sums:
-            m.update(fdl_sums[s])
+        if d in fdl_sums:
+            m.update(fdl_sums[d])
         elif cfg.get("analyzed_fields"):
             m["sum_fdl"], m["docs_fdl"] = {}, {}
+        return m
+
+    def _write_manifest(mp: str, m: dict) -> None:
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, mp)
 
+    mdir = os.path.join(index_dir, "manifests")
+    for s in segs:
+        mp = os.path.join(mdir, f"seg_{s:06d}.json")
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as f:
+            m = json.load(f)
+        d = out_seg[s]
+        if d == s:
+            _write_manifest(mp, _refresh(m, s))
+        else:
+            # retention path: the expunged copy gets a fresh committed
+            # manifest (config keys ride along — read_manifest_config skips
+            # compacted entries); the source flips to "compacted" so live
+            # readers and merges stop seeing it while pinned commits keep
+            # its data on disk
+            dest_m = _refresh(dict(m), d)
+            dest_m["seg"] = d
+            dest_m["status"] = "committed"
+            dest_m["expunged_from"] = s
+            _write_manifest(os.path.join(mdir, f"seg_{d:06d}.json"), dest_m)
+            m["status"] = "compacted"
+            m["into"] = d
+            _write_manifest(mp, m)
+
     stats = merge_index(spark, index_dir)
-    return {"expunged": int(n_del), "segments": sorted(segs), "stats": stats}
+    return {"expunged": int(n_del), "segments": sorted(segs),
+            "out_segments": out_segs, "stats": stats}

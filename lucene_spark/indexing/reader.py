@@ -284,8 +284,23 @@ class IndexReader:
 
     def term_dict(self) -> DataFrame:
         if not hasattr(self, "_term_dict"):
-            self._term_dict = self.spark.read.parquet(
-                os.path.join(self.index_dir, "term_dict"))
+            if self._commit is not None:
+                # pinned point-in-time dictionary: df/idf must come from the
+                # PINNED segment set — the on-disk term_dict is the CURRENT
+                # merged dictionary and drifts with later appends/expunges
+                # (the reference's IndexReader.open(IndexCommit) pins term
+                # stats with the commit, index/SegmentInfos.java:39).
+                # postings() is already snapshot-filtered to the commit's
+                # segments, and each (seg, term) row carries its df/cf, so
+                # this is the same metadata-level aggregation merge_index
+                # runs — paid once per pinned open, lazily.
+                self._term_dict = (self.postings()
+                                   .groupBy("term")
+                                   .agg(F.sum("df").alias("df"),
+                                        F.sum("cf").alias("cf")))
+            else:
+                self._term_dict = self.spark.read.parquet(
+                    os.path.join(self.index_dir, "term_dict"))
         return self._term_dict
 
     def tokens(self) -> DataFrame:
@@ -398,8 +413,24 @@ class IndexReader:
         distributed scan in that case."""
         if not hasattr(self, "_ram"):
             self._ram_fp = self._dict_fingerprint()
-            self._ram = _load_ram_dict(
-                os.path.join(self.index_dir, "term_dict"))
+            if self._commit is not None:
+                # pinned reader: the RAM snapshot must hold the pinned
+                # dictionary (see term_dict), collected once if the commit's
+                # recorded dictionary size fits the RAM guard (~10 bytes of
+                # parquet per term calibrates the same threshold); a pinned
+                # reader over a too-big dictionary keeps the distributed
+                # probe path, like any other reader
+                n_terms = (self.stats or {}).get("n_terms")
+                if n_terms is not None and \
+                        int(n_terms) * 10 <= RAM_DICT_MAX_BYTES:
+                    rows = self.term_dict().select("term", "df").collect()
+                    self._ram = RamDict([r["term"] for r in rows],
+                                        [int(r["df"]) for r in rows])
+                else:
+                    self._ram = None
+            else:
+                self._ram = _load_ram_dict(
+                    os.path.join(self.index_dir, "term_dict"))
         return self._ram
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:

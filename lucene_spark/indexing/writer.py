@@ -25,6 +25,8 @@ point-in-time semantics over an update.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, functions as F
 
 from .reader import IndexReader
@@ -50,32 +52,67 @@ class IndexWriter:
         return append_to_index(self.spark, input_path, self.index_dir,
                                **self.append_opts)
 
+    def _segments_of(self, input_path: str) -> set[int]:
+        """Segment ids whose plan files came from input_path — resolved from
+        the persisted build plan, so a RETRIED call maps to the segments the
+        original run created, not just this run's additions."""
+        from ..indexing.plan import _norm, read_build_plan
+
+        paths: list[str] = []
+        if os.path.isdir(input_path):
+            for root, _dirs, names in os.walk(input_path):
+                paths.extend(os.path.join(root, n) for n in names
+                             if n.endswith(".parquet"))
+        else:
+            paths.append(input_path)
+        mine = {_norm(os.path.abspath(p)) for p in paths}
+        try:
+            plan = read_build_plan(self.index_dir)
+        except FileNotFoundError:
+            return set()
+        return {f.seg for f in plan.files if _norm(f.path) in mine}
+
     def update_documents(self, input_path: str,
                          key_field: str = "url") -> dict:
-        """Batch updateDocument(Term(key_field, k), doc): tombstone every
-        live doc whose key matches a key present in the incoming batch,
-        then append the batch. The delete lands before the append, so a
-        reader opened AFTER this call sees exactly one live version per
-        key; readers (or pinned commits) from before keep the old ones."""
-        from .deletes import delete_by_docids
+        """Batch updateDocument(Term(key_field, k), doc): append the batch,
+        then tombstone every live doc whose key matches a key present in it.
 
-        n_del = 0
+        REPLAY-SAFE by construction (a retried crawl increment is the
+        normal case, not the exception): the append runs FIRST and is
+        idempotent per file; victims are restricted to segments OTHER than
+        the ones holding this batch's files (resolved from the build plan,
+        so a retry sees the original run's segments too) and anti-joined
+        against existing tombstones. Re-running the same call is therefore
+        a no-op that reports deleted=0 — the old ordering (delete before
+        append) permanently lost the replacement docs on a retry, because
+        the re-run tombstoned them and the file-idempotent append added
+        nothing back. A reader opened AFTER this call returns sees exactly
+        one live version per key; readers (or pinned commits) from before
+        keep the old ones."""
+        from .deletes import delete_by_docids, deleted_docids
+
+        segs = self.add_documents(input_path)
+        own = self._segments_of(input_path)
         try:
             reader = IndexReader(self.spark, self.index_dir)
         except FileNotFoundError:
-            reader = None  # empty index: a pure add
-        if reader is not None:
-            keys = (self.spark.read.parquet(input_path)
-                    .select(key_field).distinct())
-            victims = (reader.docmap()
-                       .join(F.broadcast(keys), key_field)
-                       .select("seg", "docid"))
-            # the batch is one crawl increment — bounded, broadcastable;
-            # docmap stays distributed (never collected)
-            n_del = victims.count()
-            if n_del:
-                delete_by_docids(self.spark, self.index_dir, victims)
-        segs = self.add_documents(input_path)
+            return {"deleted": 0, "segments_added": segs}
+        keys = (self.spark.read.parquet(input_path)
+                .select(key_field).distinct())
+        victims = (reader.docmap()
+                   .where(~F.col("seg").isin(sorted(own)) if own else F.lit(True))
+                   .join(F.broadcast(keys), key_field)
+                   .select("seg", "docid"))
+        # already-tombstoned docs must not be re-counted or re-tombstoned
+        # (a second update of the same keys would otherwise double-report)
+        dd = deleted_docids(self.spark, self.index_dir)
+        if dd is not None:
+            victims = victims.join(dd, ["seg", "docid"], "left_anti")
+        # the batch is one crawl increment — bounded, broadcastable;
+        # docmap stays distributed (never collected)
+        n_del = victims.count()
+        if n_del:
+            delete_by_docids(self.spark, self.index_dir, victims)
         return {"deleted": int(n_del), "segments_added": segs}
 
     def delete_documents(self, query) -> int:

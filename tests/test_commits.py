@@ -187,3 +187,100 @@ def test_compaction_without_commits_keeps_eager_delete(spark,
     assert not os.path.isdir(os.path.join(out, "postings", "seg=1"))
     merge_index(spark, out)
     assert IndexReader(spark, out)._committed == [0, 2, 3]
+
+
+def test_expunge_respects_retained_commits(spark, tmp_path):
+    """A retained commit point can list segments that are still LIVE;
+    expunge_deletes must not rewrite those in place (ADVICE r3, high).
+    The expunged copy lands under a fresh reserved id, the source flips to
+    "compacted" but stays on disk, and a pinned reader keeps its exact
+    point-in-time results — including per-term df, which an in-place
+    rewrite would silently shrink."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    from lucene_spark.indexing.deletes import expunge_deletes
+    from lucene_spark.indexing.writer import IndexWriter
+
+    src = str(tmp_path / "src")
+    write_pages_files(src, 40, 2)
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, target_docs_per_seg=20)
+    merge_index(spark, out)
+
+    g = commit_point(out, source="pre-delete")["generation"]
+    w = IndexWriter(spark, out)
+    assert w.delete_documents("seven") > 0
+
+    pinned_before = _results(spark, out, commit=g)
+    df_before = IndexReader(spark, out, commit=g).doc_freqs(["seven"])
+
+    rep = expunge_deletes(spark, out)
+    assert rep["expunged"] > 0
+    # both live segments were listed by commit g -> both took the
+    # retention path: fresh reserved ids, sources still on disk
+    assert rep["segments"] == [0, 1]
+    assert all(d >= MERGE_SEG_BASE for d in rep["out_segments"])
+    for s in (0, 1):
+        assert os.path.isdir(os.path.join(out, "postings", f"seg={s}"))
+        assert os.path.isdir(os.path.join(out, "deleted", f"seg={s}"))
+
+    # pinned reader: identical results AND identical term stats (df comes
+    # from the pinned segments' postings, untouched by the expunge)
+    assert _results(spark, out, commit=g) == pinned_before
+    pinned = IndexReader(spark, out, commit=g)
+    assert pinned.N == 40
+    assert pinned.doc_freqs(["seven"]) == df_before
+
+    # live reader: physically expunged
+    live = IndexReader(spark, out)
+    assert live._committed == rep["out_segments"]
+    assert live.N == 40 - rep["expunged"]
+    assert Searcher(live).count("seven") == 0
+    assert validate_index(spark, out)["ok"]
+
+    # once the policy drops the generation, the sources reclaim normally
+    commit_point(out, source="post-expunge")
+    apply_policy(out, KeepOnlyLastCommit())
+    assert sorted(purge_unreferenced(out)) == [0, 1]
+    assert not os.path.isdir(os.path.join(out, "postings", "seg=0"))
+    assert _results(spark, out)  # live view still serves
+    assert validate_index(spark, out)["ok"]
+
+
+def test_pinned_reader_term_stats(spark, tmp_path):
+    """Pinned df/idf must come from the pinned segment set, not the current
+    merged dictionary (ADVICE r3, low): append after the commit, and the
+    pinned reader's doc_freqs / rankings stay point-in-time."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    from lucene_spark.streaming.ingest import append_to_index
+
+    src = str(tmp_path / "src")
+    write_pages_files(src, 40, 2)
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, target_docs_per_seg=20)
+    merge_index(spark, out)
+    g = commit_point(out, source="pin")["generation"]
+
+    before = _results(spark, out, commit=g)
+    df_before = IndexReader(spark, out, commit=g).doc_freqs(["one", "seven"])
+
+    src2 = str(tmp_path / "inc")
+    write_pages_files(src2, 40, 2)
+    append_to_index(spark, src2, out, target_docs_per_seg=20)
+
+    pinned = IndexReader(spark, out, commit=g)
+    cur = IndexReader(spark, out)
+    assert pinned.doc_freqs(["one", "seven"]) == df_before
+    cur_df = cur.doc_freqs(["one", "seven"])
+    assert cur_df["one"] > df_before["one"]  # the live dictionary moved on
+    assert _results(spark, out, commit=g) == before
+    # multi-term expansion over the pinned dictionary stays point-in-time
+    pinned_terms = dict(pinned.expand_terms_with_df("prefix", "seve", 1024))
+    assert pinned_terms.get("seven") == df_before["seven"]

@@ -69,3 +69,68 @@ def test_writer_lifecycle(spark, tmp_path):
     assert rep["expunged"] == 20  # 10 update + 10 delete tombstones
     assert w.get_reader().N == 30
     assert validate_index(spark, idx)["ok"]
+
+
+def test_update_documents_replay_safe(spark, tmp_path):
+    """A RETRIED update (same input_path — a re-run crawl increment) must be
+    a no-op, not a data-loss event: the old delete-before-append ordering
+    re-tombstoned the live replacement docs while the file-idempotent append
+    added nothing back (ADVICE r3, medium)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(spark, idx, target_docs_per_seg=10)
+    src1 = str(tmp_path / "b1")
+    write_pages_files(src1, 20, 2)
+    w.add_documents(src1)
+
+    upd = pages_pdf(10)
+    upd["text"] = upd["text"] + " zzzqreplay"
+    src2 = str(tmp_path / "b2")
+    _write_pdf(upd, src2)
+    r1 = w.update_documents(src2)
+    assert r1 == {"deleted": 10, "segments_added": [2]}
+
+    # the retry: same path, same files — nothing appends, nothing deletes
+    r2 = w.update_documents(src2)
+    assert r2 == {"deleted": 0, "segments_added": []}
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqreplay") == 10
+    assert s.count("*:*") == 20
+    assert validate_index(spark, idx)["ok"]
+
+
+def test_update_documents_second_update_counts_once(spark, tmp_path):
+    """A SECOND update of the same keys (fresh path, new content) tombstones
+    and reports only the LIVE victims — already-tombstoned originals must
+    not be re-counted (ADVICE r3, low: anti-join vs existing tombstones)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(spark, idx, target_docs_per_seg=10)
+    src1 = str(tmp_path / "b1")
+    write_pages_files(src1, 20, 2)
+    w.add_documents(src1)
+
+    upd1 = pages_pdf(10)
+    upd1["text"] = upd1["text"] + " zzzqv1"
+    src2 = str(tmp_path / "b2")
+    _write_pdf(upd1, src2)
+    assert w.update_documents(src2)["deleted"] == 10
+
+    upd2 = pages_pdf(10)
+    upd2["text"] = upd2["text"] + " zzzqv2"
+    src3 = str(tmp_path / "b3")
+    _write_pdf(upd2, src3)
+    r = w.update_documents(src3)
+    assert r["deleted"] == 10  # the v1 versions only, not 2x
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqv1") == 0
+    assert s.count("zzzqv2") == 10
+    assert s.count("*:*") == 20
