@@ -215,10 +215,17 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                          schema=POSTINGS_SCHEMA)),
         "tokens": tok,
     }
+    # stage ALL tables first, swap after: a crash during the (long) Spark
+    # writes leaves only _expunge_tmp_* litter and a fully consistent
+    # index; the mixed-state window (docmap swapped, postings not yet) is
+    # the few milliseconds of directory renames, not minutes of jobs.
+    # Every stage reads the OLD tokens files, so staging order is free.
     for name, df in stages.items():
-        src = os.path.join(index_dir, name)
         tmp = os.path.join(index_dir, f"_expunge_tmp_{name}")
         df.write.mode("overwrite").partitionBy("seg").parquet(tmp)
+    for name in stages:
+        src = os.path.join(index_dir, name)
+        tmp = os.path.join(index_dir, f"_expunge_tmp_{name}")
         for s in segs:
             d = out_seg[s]
             if d == s:

@@ -55,17 +55,25 @@ class IndexWriter:
     def _segments_of(self, input_path: str) -> set[int]:
         """Segment ids whose plan files came from input_path — resolved from
         the persisted build plan, so a RETRIED call maps to the segments the
-        original run created, not just this run's additions."""
+        original run created, not just this run's additions. Iceberg sources
+        resolve their file set from the table's data-file listing (the same
+        listing the append planner diffs against)."""
         from ..indexing.plan import _norm, read_build_plan
+        from ..sources.pages import iceberg_data_files, parse_source
 
-        paths: list[str] = []
-        if os.path.isdir(input_path):
-            for root, _dirs, names in os.walk(input_path):
-                paths.extend(os.path.join(root, n) for n in names
-                             if n.endswith(".parquet"))
+        spec = parse_source(input_path)
+        if spec.kind == "iceberg":
+            mine = {_norm(r["file_path"])
+                    for r in iceberg_data_files(self.spark, spec).collect()}
         else:
-            paths.append(input_path)
-        mine = {_norm(os.path.abspath(p)) for p in paths}
+            paths: list[str] = []
+            if os.path.isdir(spec.location):
+                for root, _dirs, names in os.walk(spec.location):
+                    paths.extend(os.path.join(root, n) for n in names
+                                 if n.endswith(".parquet"))
+            else:
+                paths.append(spec.location)
+            mine = {_norm(os.path.abspath(p)) for p in paths}
         try:
             plan = read_build_plan(self.index_dir)
         except FileNotFoundError:
@@ -97,7 +105,9 @@ class IndexWriter:
             reader = IndexReader(self.spark, self.index_dir)
         except FileNotFoundError:
             return {"deleted": 0, "segments_added": segs}
-        keys = (self.spark.read.parquet(input_path)
+        from ..sources.pages import read_pages
+
+        keys = (read_pages(self.spark, input_path, columns=(key_field,))
                 .select(key_field).distinct())
         victims = (reader.docmap()
                    .where(~F.col("seg").isin(sorted(own)) if own else F.lit(True))
