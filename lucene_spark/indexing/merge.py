@@ -12,11 +12,11 @@ are NOT rewritten at merge time: per-segment postings ARE the index (the
 reference searches per-segment too — search/IndexSearcher.java:202-217).
 
 ``compact_segments`` is the physical LSM step (mergeFactor-style fan-in,
-index/LogMergePolicy.java:41): it concatenates several segments' blobs into
-one segment with pure blob-level concatenation — segments hold disjoint,
-ordered docID ranges by construction, so no re-sort is needed, only
-re-blocking at the boundary (we re-encode from decoded arrays, which is
-byte-identical to a cold build of the union).
+index/LogMergePolicy.java:41): segments hold DISJOINT docID ranges by
+construction, so the merge is decode → order chunks by first docid →
+stable argsort repair when retention-mode destinations interleaved the
+ranges (a fresh-id dest can carry a non-contiguous range) → re-encode;
+the result is byte-identical to a cold build of the union.
 """
 
 from __future__ import annotations
@@ -173,22 +173,46 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
 def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
     """applyInPandas closure: all of one term's rows across source segments →
     re-encoded rows for the destination segment. Source docID ranges are
-    disjoint and ordered, so concatenation in (seg, salt) order is already
-    docID order."""
+    disjoint, but SEG-ID order is NOT docID order once retention-mode
+    destinations exist (a fresh id ≥ MERGE_SEG_BASE carries the docids of
+    the old segments it absorbed — and such a destination's range need not
+    even be CONTIGUOUS: merging group [0, 2] leaves seg 1's docids inside
+    the hole). Chunks are ordered by first docid, then a stable argsort by
+    docid repairs any remaining interleave — the SegmentMerger heap-merge
+    (index/SegmentMerger.java:557-628) restated columnar; the sorted-input
+    fast path skips the sort, and the block encoder still refuses
+    duplicates loudly."""
 
     def fn(key, pdf: pd.DataFrame):
         term = key[0]
-        pdf = pdf.sort_values(["seg", "salt"])
-        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        chunks = []  # (first_docid, ids, tfs, dls, positions|None)
         has_pos = True
         for _, r in pdf.iterrows():
             ids, tfs, dls = decode_postings(r, block_size=block_size)
-            ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
+            if not ids.size:
+                continue
             if r["positions_blob"] is not None and len(r["positions_blob"]):
-                pos_l.extend(decode_positions(r["positions_blob"], tfs))
+                pos = decode_positions(r["positions_blob"], tfs)
             else:
+                pos = None
                 has_pos = False
-        ids = np.concatenate(ids_l); tfs = np.concatenate(tfs_l); dls = np.concatenate(dls_l)
+            chunks.append((int(ids[0]), ids, tfs, dls, pos))
+        chunks.sort(key=lambda c: c[0])
+        ids_l = [c[1] for c in chunks]
+        tfs_l = [c[2] for c in chunks]
+        dls_l = [c[3] for c in chunks]
+        pos_l = []
+        if has_pos:
+            for c in chunks:
+                pos_l.extend(c[4])
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, dtype=np.int64)
+        tfs = np.concatenate(tfs_l) if tfs_l else np.empty(0, dtype=np.int64)
+        dls = np.concatenate(dls_l) if dls_l else np.empty(0, dtype=np.int64)
+        if ids.size > 1 and not np.all(np.diff(ids) > 0):
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            if has_pos:
+                pos_l = [pos_l[i] for i in order]
         rows = []
         n = ids.size
         nsplits = (n + max_postings_per_row - 1) // max_postings_per_row

@@ -1,0 +1,244 @@
+"""Seeded lifecycle fuzz: random interleavings of the whole write surface
+(add / update / delete / commit / merge / expunge / policy+purge) checked
+after EVERY op against a driver-side model of the live corpus.
+
+This is the test shape that catches cross-feature lifecycle bugs the
+per-feature suites miss (round 3's advice items were all of this class:
+expunge rewriting a pinned generation, a retried update deleting its own
+replacements, double-counted tombstones, pinned df drift). Invariants:
+
+1. live URL set == model (docmap minus tombstones, via matching("*:*")),
+2. count(term) == model count under the SAME analyzer (kernel subtracts
+   tombstones; df/stats stay frozen until expunge — Lucene numDocs/maxDoc),
+3. pinned readers return bit-identical results across every op that adds
+   no tombstones to their segments (merge/expunge/append/commit/purge);
+   delete/update refresh the expectation (the stated open-time tombstone
+   contract, commits.py),
+4. whenever no tombstones are outstanding, full top-k rank/score identity
+   vs the in-repo oracle over the live (docid, text) set,
+5. validate_index (CheckIndex analog) stays clean.
+
+Reference pattern: Lucene's TestIndexWriter / TestStressIndexing randomized
+add/update/delete interleavings (src cite: index/TestStressIndexing.java).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_spark.analysis import analyze
+from lucene_spark.fixtures import pages_pdf
+from lucene_spark.indexing import (IndexReader, IndexWriter, KeepLastNCommits,
+                                   apply_policy, list_commits,
+                                   purge_unreferenced, validate_index)
+from lucene_spark.oracle import build_oracle_index, oracle_search
+from lucene_spark.queries import parse_query
+from lucene_spark.queries.planner import Searcher
+
+TERMS = ("seven", "forty", "one", "hundred")
+QUERIES = ("seven", "forty AND one", '"twenty one"', "seven OR hundred")
+BATCH = 8  # docs per added file
+
+
+def _write_batch(pdf, path):
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(path, "part-0000.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+def _tokens(text):
+    return [t for t, _p in analyze(text)]
+
+
+def _phrase_in(tokens, phrase_terms):
+    for i in range(len(tokens) - len(phrase_terms) + 1):
+        if tokens[i:i + len(phrase_terms)] == phrase_terms:
+            return True
+    return False
+
+
+def _model_matches(model, q):
+    """Which live urls match q — mirrors the tiny query subset used here."""
+    out = set()
+    for url, text in model.items():
+        toks = _tokens(text)
+        if q == "seven":
+            ok = "seven" in toks
+        elif q == "forty AND one":
+            ok = "forty" in toks and "one" in toks
+        elif q == '"twenty one"':
+            ok = _phrase_in(toks, ["twenty", "one"])
+        elif q == "seven OR hundred":
+            ok = "seven" in toks or "hundred" in toks
+        else:
+            raise ValueError(q)
+        if ok:
+            out.add(url)
+    return out
+
+
+def _results(searcher, k=10):
+    return {q: [(int(r["docid"]), round(float(r["score"]), 9))
+                for r in searcher.search(q, k=k).collect()]
+            for q in QUERIES}
+
+
+def _live_docids(spark, idx):
+    """(docid -> url) for live docs: docmap minus tombstones."""
+    from lucene_spark.indexing.deletes import deleted_docids
+
+    dm = IndexReader(spark, idx).docmap().select("seg", "docid", "url")
+    dd = deleted_docids(spark, idx)
+    if dd is not None:
+        dm = dm.join(dd, ["seg", "docid"], "left_anti")
+    return {int(r["docid"]): r["url"] for r in dm.collect()}
+
+
+@pytest.mark.parametrize("seed", [99, 2718])
+def test_lifecycle_fuzz(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    idx = str(tmp_path / f"idx{seed}")
+    w = IndexWriter(spark, idx, target_docs_per_seg=BATCH)
+
+    model: dict[str, str] = {}   # url -> current live text
+    next_doc = 0                 # fixture cursor for fresh batches
+    batch_no = 0
+    version = 0
+    pinned_expect: dict[int, dict] = {}  # generation -> recorded results
+
+    def add_batch():
+        nonlocal next_doc, batch_no
+        pdf = pages_pdf(BATCH, start=next_doc)
+        src = str(tmp_path / f"s{seed}_add{batch_no}")
+        _write_batch(pdf, src)
+        segs = w.add_documents(src)
+        assert segs, "a fresh batch must append at least one segment"
+        for u, t in zip(pdf.url, pdf.text):
+            model[u] = t
+        next_doc += BATCH
+        batch_no += 1
+
+    def update_batch(replay):
+        nonlocal batch_no, version
+        if next_doc == 0:
+            return
+        start = rng.randrange(0, next_doc)
+        n = min(rng.randint(1, BATCH), next_doc - start)
+        version += 1
+        pdf = pages_pdf(n, start=start)
+        pdf["text"] = pdf["text"] + f" zzzv{version} hundred"
+        src = str(tmp_path / f"s{seed}_upd{batch_no}")
+        _write_batch(pdf, src)
+        batch_no += 1
+        res = w.update_documents(src)
+        live_victims = sum(1 for u in pdf.url if u in model)
+        assert res["deleted"] == live_victims
+        for u, t in zip(pdf.url, pdf.text):
+            model[u] = t
+        if replay:  # the retried-increment case: a counted no-op
+            res2 = w.update_documents(src)
+            assert res2 == {"deleted": 0, "segments_added": []}
+
+    def delete_term():
+        term = rng.choice(TERMS)
+        victims = {u for u, t in model.items() if term in _tokens(t)}
+        n = w.delete_documents(term)
+        assert n == len(victims)
+        for u in victims:
+            del model[u]
+        return bool(victims)
+
+    def do_commit():
+        g = w.commit()["generation"]
+        pinned_expect[g] = _results(Searcher(w.get_reader(commit=g)))
+
+    def do_merge():
+        w.maybe_merge(merge_factor=2)
+
+    def do_expunge():
+        w.expunge_deletes()
+
+    def do_purge():
+        apply_policy(idx, KeepLastNCommits(1))
+        purge_unreferenced(idx)
+        kept = {c["generation"] for c in list_commits(idx)}
+        for g in list(pinned_expect):
+            if g not in kept:
+                del pinned_expect[g]
+
+    def check(op):
+        s = Searcher(IndexReader(spark, idx))
+        # 1+2: membership per query under the same analyzer
+        live = _live_docids(spark, idx)
+        assert set(live.values()) == set(model), f"after {op}"
+        for q in QUERIES:
+            assert s.count(q) == len(_model_matches(model, q)), \
+                f"count({q!r}) after {op}"
+        assert s.count("*:*") == len(model), f"after {op}"
+        # 3: pinned readers are stable across non-delete ops; delete/update
+        # refresh the expectation (open-time tombstone contract)
+        if op in ("delete", "update", "update+replay", "expunge"):
+            # expunge consumes tombstones of unpinned segs; recorded pinned
+            # lists survive it (retention path) — still assert, EXCEPT that
+            # deletes change what a pinned open applies, so re-record then
+            if op != "expunge":
+                for g in pinned_expect:
+                    pinned_expect[g] = _results(
+                        Searcher(w.get_reader(commit=g)))
+        if op == "expunge":
+            for g, expect in pinned_expect.items():
+                got = _results(Searcher(w.get_reader(commit=g)))
+                assert got == expect, f"pinned gen {g} drifted after {op}"
+        elif op in ("add", "commit", "merge", "purge"):
+            for g, expect in pinned_expect.items():
+                got = _results(Searcher(w.get_reader(commit=g)))
+                assert got == expect, f"pinned gen {g} drifted after {op}"
+        # 4: rank/score identity vs the oracle when no tombstones remain
+        if model and not os.path.isdir(os.path.join(idx, "deleted")):
+            oidx = build_oracle_index(
+                [(d, model[u]) for d, u in live.items()])
+            for q in QUERIES:
+                want = [(d, round(sc, 6))
+                        for d, sc in oracle_search(oidx, parse_query(q), 10)]
+                got = [(int(r["docid"]), round(float(r["score"]), 6))
+                       for r in s.search(q, k=10).collect()]
+                assert got == want, f"rank identity {q!r} after {op}"
+
+    # --- the run: always start with data + a commit point ---------------
+    add_batch()
+    do_commit()
+    check("add")
+
+    OPS = ("add", "update", "update+replay", "delete", "commit", "merge",
+           "expunge", "purge")
+    WEIGHTS = (4, 3, 1, 3, 3, 2, 2, 1)
+    steps = [rng.choices(OPS, weights=WEIGHTS)[0] for _ in range(10)]
+    for i, op in enumerate(steps):
+        if op == "add":
+            add_batch()
+        elif op == "update":
+            update_batch(replay=False)
+        elif op == "update+replay":
+            update_batch(replay=True)
+        elif op == "delete":
+            delete_term()
+        elif op == "commit":
+            do_commit()
+        elif op == "merge":
+            do_merge()
+        elif op == "expunge":
+            do_expunge()
+        elif op == "purge":
+            do_purge()
+        check(op)
+        if i % 3 == 2:
+            rep = validate_index(spark, idx)
+            assert rep["ok"], (op, rep["violations"])
+
+    rep = validate_index(spark, idx)
+    assert rep["ok"], rep["violations"]
