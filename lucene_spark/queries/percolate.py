@@ -384,12 +384,18 @@ def percolate_indexed(docs: DataFrame, bank: list[tuple[str, Query]],
         guarded_ids = sorted({qid for _t, qid in guards})
 
         def case_match(qid_col: Column) -> Column:
-            expr = F.lit(False)
+            # ONE flat CaseWhen node (chained .when builds branches on the
+            # same node) — a nested when(...).otherwise(prev) chain grows
+            # expression-tree DEPTH linearly with the bank and overflows
+            # Catalyst's recursive analyzer at the 10^4-10^6 banks this
+            # path exists for; a flat branch list only grows width, which
+            # codegen splits automatically
+            expr = None
             for k in guarded_ids:
-                expr = F.when(qid_col == F.lit(k),
-                              match_expr(by_id[k], toks, fields)) \
-                    .otherwise(expr)
-            return expr
+                m = match_expr(by_id[k], toks, fields)
+                expr = F.when(qid_col == F.lit(k), m) if expr is None \
+                    else expr.when(qid_col == F.lit(k), m)
+            return expr.otherwise(F.lit(False))
 
         out.append(
             docs.join(cand, id_col)

@@ -13,7 +13,7 @@ from lucene_spark.queries.ast import (
     MultiPhrase, Phrase, Prefix, Regexp, SpanNear, SpanTerm, Term,
     TermRange, Wildcard,
 )
-from lucene_spark.queries.percolate import percolate
+from lucene_spark.queries.percolate import percolate, percolate_indexed
 
 from tests.test_random_corpora import _corpus
 
@@ -152,3 +152,21 @@ def test_percolate_indexed_equals_plain(spark, kind, seed, n):
     indexed = {(r["doc_id"], r["query_id"])
                for r in percolate_indexed(docs, bank).collect()}
     assert indexed == plain
+
+
+def test_indexed_large_bank_expression_depth(spark):
+    """The flat-CaseWhen regression: percolate_indexed exists for 10^4+
+    banks, so a couple thousand guarded queries must compile (a nested
+    when/otherwise chain overflowed Catalyst's recursive analyzer here)
+    and return the exact per-doc match set."""
+    from lucene_spark.queries.ast import Term
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(40)], "doc_id int, text string")
+    bank = [(f"q{i}", Term(f"w{i % 80}")) for i in range(2000)]
+    res = percolate_indexed(docs, bank)
+    # doc i matches every q with i % 80 == its token index: 2000/80 per doc
+    assert res.count() == 40 * 25
+    one = {r["query_id"] for r in
+           res.where("doc_id = 3").collect()}
+    assert one == {f"q{j}" for j in range(3, 2000, 80)}
