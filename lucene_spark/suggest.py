@@ -78,6 +78,21 @@ def spellgram_path(index_dir: str) -> str:
     return os.path.join(index_dir, "spellgrams")
 
 
+def _dict_fingerprint(index_dir: str) -> list:
+    """(path, size, mtime_ns) of every term_dict parquet file — the same
+    cheap dictionary-generation identity IndexReader.reopen uses."""
+    d = os.path.join(index_dir, "term_dict")
+    out = []
+    if os.path.isdir(d):
+        for r, _dirs, names in os.walk(d):
+            for nm in sorted(names):
+                if nm.endswith(".parquet"):
+                    p = os.path.join(r, nm)
+                    st = os.stat(p)
+                    out.append([p, st.st_size, st.st_mtime_ns])
+    return out
+
+
 def build_spellgram_index(spark: SparkSession, index_dir: str,
                           gram_partitions: int = 8) -> str:
     """Offline auxiliary-index build (SpellChecker.indexDictionary analog,
@@ -88,6 +103,9 @@ def build_spellgram_index(spark: SparkSession, index_dir: str,
     the .tii-style two-level seek, but over grams. One corpus-dictionary-
     sized job, run once per index generation (re-run after merges that
     change the dictionary, like the reference re-runs indexDictionary)."""
+    import json
+
+    fp = _dict_fingerprint(index_dir)  # BEFORE the job: no lost-update race
     td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
     tg = (td.where(~F.col("term").contains(":"))
           .select("term", F.col("df").cast("long").alias("df"),
@@ -95,6 +113,13 @@ def build_spellgram_index(spark: SparkSession, index_dir: str,
     (tg.repartitionByRange(gram_partitions, "g")
        .sortWithinPartitions("g")
        .write.mode("overwrite").parquet(spellgram_path(index_dir)))
+    # record which dictionary generation this aux index was built from, so
+    # serving can DETECT staleness instead of silently suggesting from a
+    # pre-merge dictionary (the reference leaves re-running indexDictionary
+    # to the caller; we keep that contract but make the fast path safe)
+    with open(os.path.join(spellgram_path(index_dir), "_dict_fp.json"),
+              "w") as f:
+        json.dump(fp, f)
     return spellgram_path(index_dir)
 
 
@@ -103,9 +128,22 @@ def suggest_similar_indexed(spark: SparkSession, index_dir: str, word: str,
     """Suggestions served from the PERSISTED gram index: a pushed-down
     ``g IN (grams)`` scan over spellgrams/ (no dictionary explode at query
     time) + the shared distance re-rank. Falls back to the on-the-fly path
-    when the auxiliary index was never built."""
+    (always current, just slower) when the auxiliary index was never built
+    OR is STALE — built from a different dictionary generation than the one
+    on disk (fingerprint recorded at build time; merges/appends/expunges
+    rewrite term_dict and invalidate it, like the reference expects a
+    re-run of indexDictionary)."""
+    import json
+
     p = spellgram_path(index_dir)
-    if not os.path.isdir(p):
+    fresh = False
+    if os.path.isdir(p):
+        try:
+            with open(os.path.join(p, "_dict_fp.json")) as f:
+                fresh = json.load(f) == _dict_fingerprint(index_dir)
+        except (OSError, json.JSONDecodeError):
+            fresh = False
+    if not fresh:
         td = (spark.read.parquet(os.path.join(index_dir, "term_dict"))
               .where(~F.col("term").contains(":")))
         return suggest_similar(td, word, n=n, max_edits=max_edits)

@@ -127,3 +127,54 @@ def test_snippet_normalized_matching(spark):
         .collect()[0]
     assert "<b>Spark</b>" in row["s"]
     assert "<b>Data</b>" in row["s"]
+
+
+def test_indexed_suggest_detects_stale_grams(spark, tmp_path):
+    """The persisted gram index records the dictionary generation it was
+    built from; after an append+merge rewrites term_dict, serving must NOT
+    silently suggest from the pre-merge dictionary — it falls back to the
+    on-the-fly path until build_spellgram_index is re-run (the reference's
+    indexDictionary re-run contract, made safe)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from conftest import write_pages_files
+
+    from lucene_spark.fixtures import pages_pdf
+    from lucene_spark.indexing import build_index, merge_index
+    from lucene_spark.streaming.ingest import append_to_index
+    from lucene_spark.suggest import (build_spellgram_index,
+                                      suggest_similar_indexed)
+
+    src = str(tmp_path / "src")
+    write_pages_files(src, 30, 2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, src, idx, target_docs_per_seg=15)
+    merge_index(spark, idx)
+    build_spellgram_index(spark, idx)
+
+    # sanity: fresh index serves (and corrects a typo)
+    assert suggest_similar_indexed(spark, idx, "sevn", n=3) \
+        .collect()[0]["term"] == "seven"
+
+    # append a doc carrying a brand-new word; merge rewrites term_dict
+    pdf = pages_pdf(2, start=30)
+    pdf["text"] = pdf["text"] + " zzgrobble"
+    inc = str(tmp_path / "inc")
+    os.makedirs(inc)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(inc, "p.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    append_to_index(spark, inc, idx, target_docs_per_seg=15)
+
+    # stale grams detected -> the new word is reachable immediately
+    rows = suggest_similar_indexed(spark, idx, "zzgrobbel", n=3).collect()
+    assert rows and rows[0]["term"] == "zzgrobble"
+
+    # re-running the offline build restores the fast path with the new word
+    build_spellgram_index(spark, idx)
+    rows = suggest_similar_indexed(spark, idx, "zzgrobbel", n=3).collect()
+    assert rows and rows[0]["term"] == "zzgrobble"
