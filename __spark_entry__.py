@@ -1148,9 +1148,15 @@ def _q_text_source_stats(spark, sf_dir):
     keep/drop decisions in a crawl pipeline: document count, token volume,
     mean length, and the within-source exact-duplicate rate.
 
-    Scale shape: one aggregation keyed on (source, text) for the distinct
-    count folded with a groupBy(source) — both map-side combinable, output
-    cardinality = number of sources. No broadcast, no per-doc wide rows."""
+    Scale shape: one aggregation keyed on (source, md5(text)) for the
+    distinct count folded with a groupBy(source) — both map-side
+    combinable, output cardinality = number of sources. The distinct runs
+    over the 128-bit DIGEST, not the text itself: countDistinct's partial
+    aggregate keeps its keys, so distinct-ing raw documents would carry
+    whole page bodies through the shuffle (KBs/row at 100 TB) where the
+    digest carries 32 bytes — the same exact-dedup hashing rule as
+    dedup_exact, mirrored in the oracle (DuckDB md5), so values still
+    hash-match."""
     ntok = F.size(F.split("text", " "))
     return (
         _docs(spark, sf_dir)
@@ -1158,7 +1164,8 @@ def _q_text_source_stats(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.sum(ntok).cast("long").alias("total_tokens"),
              F.round(F.avg(ntok), 4).alias("mean_tokens"),
-             F.countDistinct("text").cast("long").alias("n_unique_texts"))
+             F.countDistinct(F.md5("text")).cast("long")
+             .alias("n_unique_texts"))
         .select("source", "n_docs", "total_tokens", "mean_tokens",
                 "n_unique_texts",
                 F.round(F.lit(1.0) - F.col("n_unique_texts")
@@ -2769,8 +2776,8 @@ FROM r WHERE h < thr ORDER BY doc_id""",
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split(text, ' '))), 4) AS mean_tokens,
-       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
-       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
 FROM documents GROUP BY source ORDER BY source""",
         # percolation: per bank query, docs where its match predicate holds
         # (EXISTS over the doc's own tokens ≙ the engine's array exists)
