@@ -96,7 +96,16 @@ class IndexWriter:
         the re-run tombstoned them and the file-idempotent append added
         nothing back. A reader opened AFTER this call returns sees exactly
         one live version per key; readers (or pinned commits) from before
-        keep the old ones."""
+        keep the old ones.
+
+        Iceberg inputs: "this batch" resolves to EVERY data file currently
+        in the table, so the semantic is table-level sync — table versions
+        replace matching docs indexed from OTHER sources; two versions of
+        the same key BOTH inside the table are left alone (they are the
+        table's own content — dedup within a source is delete_documents /
+        the dedup ops' job). Crawl increments that need per-increment
+        replace semantics should arrive as parquet batch directories, the
+        facade's primary shape."""
         from .deletes import delete_by_docids, deleted_docids
 
         segs = self.add_documents(input_path)
