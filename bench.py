@@ -172,6 +172,16 @@ def main() -> None:
     efns.update(entry.extra_queries())
     for name in PIPELINE:
         rounds[name] = []
+    # one unmeasured warm pass first (same "Rounds" warmup semantics as the
+    # build section): the first execution of the dedup family pays the
+    # ONE-TIME _dedup_artifacts materialization (capped shingle/set/signature
+    # caches — a persisted build-side artifact in production, measured
+    # separately in BENCH.md §5), and the first run of each entry pays plan
+    # compilation. Without this pass the min-of-rounds still carries warmup:
+    # round-4's driver run recorded jaccard [90.8, 21.1, 11.4] — strictly
+    # decreasing, i.e. never warm.
+    for name in PIPELINE:
+        efns[name](spark, SF_DIR).collect()
     for _ in range(N_ROUNDS):
         cpu_control["pipeline"].append(round(_burn(), 3))
         for name in PIPELINE:
