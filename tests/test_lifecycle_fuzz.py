@@ -16,7 +16,14 @@ replacements, double-counted tombstones, pinned df drift). Invariants:
    contract, commits.py),
 4. whenever no tombstones are outstanding, full top-k rank/score identity
    vs the in-repo oracle over the live (docid, text) set,
-5. validate_index (CheckIndex analog) stays clean.
+5. validate_index (CheckIndex analog) stays clean,
+6. once a spellgram aux index exists, the indexed suggest path equals the
+   on-the-fly path over the CURRENT dictionary after every subsequent op
+   (fresh generation or detected-stale fallback — never a silent stale
+   serve after a merge/expunge rewrote term_dict).
+
+Seed set and step count are env-tunable for offline campaigns
+(FUZZ_SEEDS=1,2,3 FUZZ_STEPS=14); CI defaults stay small.
 
 Reference pattern: Lucene's TestIndexWriter / TestStressIndexing randomized
 add/update/delete interleavings (src cite: index/TestStressIndexing.java).
@@ -36,10 +43,23 @@ from lucene_spark.indexing import (IndexReader, IndexWriter, KeepLastNCommits,
 from lucene_spark.oracle import build_oracle_index, oracle_search
 from lucene_spark.queries import parse_query
 from lucene_spark.queries.planner import Searcher
+from lucene_spark.suggest import (build_spellgram_index, suggest_similar,
+                                  suggest_similar_indexed)
 
 TERMS = ("seven", "forty", "one", "hundred")
 QUERIES = ("seven", "forty AND one", '"twenty one"', "seven OR hundred")
 BATCH = 8  # docs per added file
+
+# CI runs the two pinned seeds below at 10 steps; an extended offline
+# campaign is one env var away (FUZZ_SEEDS=1,2,3 FUZZ_STEPS=14 pytest ...)
+# Seed 99 covers delete/purge/replay; seed 55 draws
+#   add, spellgram, add, merge, expunge, merge, update, update+replay,
+#   merge, spellgram
+# — i.e. it builds the aux spellgram index, rewrites term_dict three
+# different ways underneath it, then rebuilds, exercising invariant 6.
+SEEDS = [int(s) for s in
+         os.environ.get("FUZZ_SEEDS", "99,55").split(",")]
+N_STEPS = int(os.environ.get("FUZZ_STEPS", "10"))
 
 
 def _write_batch(pdf, path):
@@ -97,7 +117,7 @@ def _live_docids(spark, idx):
     return {int(r["docid"]): r["url"] for r in dm.collect()}
 
 
-@pytest.mark.parametrize("seed", [99, 2718])
+@pytest.mark.parametrize("seed", SEEDS)
 def test_lifecycle_fuzz(spark, tmp_path, seed):
     import random
 
@@ -171,6 +191,30 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             if g not in kept:
                 del pinned_expect[g]
 
+    spellgram_state = {"built": False}
+
+    def do_spellgram():
+        build_spellgram_index(spark, idx)
+        spellgram_state["built"] = True
+
+    def _suggestions_indexed_vs_live(word="sevem", n=5):
+        """Invariant 6: once a spellgram index exists, the indexed suggest
+        path must ALWAYS equal the on-the-fly path over the CURRENT
+        dictionary — either it is fresh (same generation) or the staleness
+        fingerprint trips and it falls back. A silent stale serve after a
+        merge/expunge rewrote term_dict is exactly the bug class the
+        fingerprint exists for."""
+        got = [(r["term"], int(r["df"]))
+               for r in suggest_similar_indexed(spark, idx, word, n=n)
+               .collect()]
+        from pyspark.sql import functions as F
+
+        td = (spark.read.parquet(os.path.join(idx, "term_dict"))
+              .where(~F.col("term").contains(":")))
+        want = [(r["term"], int(r["df"]))
+                for r in suggest_similar(td, word, n=n).collect()]
+        assert got == want
+
     def check(op):
         s = Searcher(IndexReader(spark, idx))
         # 1+2: membership per query under the same analyzer
@@ -215,9 +259,9 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     check("add")
 
     OPS = ("add", "update", "update+replay", "delete", "commit", "merge",
-           "expunge", "purge")
-    WEIGHTS = (4, 3, 1, 3, 3, 2, 2, 1)
-    steps = [rng.choices(OPS, weights=WEIGHTS)[0] for _ in range(10)]
+           "expunge", "purge", "spellgram")
+    WEIGHTS = (4, 3, 1, 3, 3, 2, 2, 1, 1)
+    steps = [rng.choices(OPS, weights=WEIGHTS)[0] for _ in range(N_STEPS)]
     for i, op in enumerate(steps):
         if op == "add":
             add_batch()
@@ -235,7 +279,11 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             do_expunge()
         elif op == "purge":
             do_purge()
+        elif op == "spellgram":
+            do_spellgram()
         check(op)
+        if spellgram_state["built"]:
+            _suggestions_indexed_vs_live()
         if i % 3 == 2:
             rep = validate_index(spark, idx)
             assert rep["ok"], (op, rep["violations"])
