@@ -1,6 +1,7 @@
 """Seeded lifecycle fuzz: random interleavings of the whole write surface
-(add / update / delete / commit / merge / expunge / policy+purge) checked
-after EVERY op against a driver-side model of the live corpus.
+(add / replayed add / crashed add / update / delete / commit / merge /
+expunge / policy+purge) checked after EVERY op against a driver-side model
+of the live corpus.
 
 This is the test shape that catches cross-feature lifecycle bugs the
 per-feature suites miss (round 3's advice items were all of this class:
@@ -20,7 +21,12 @@ replacements, double-counted tombstones, pinned df drift). Invariants:
 6. once a spellgram aux index exists, the indexed suggest path equals the
    on-the-fly path over the CURRENT dictionary after every subsequent op
    (fresh generation or detected-stale fallback — never a silent stale
-   serve after a merge/expunge rewrote term_dict).
+   serve after a merge/expunge rewrote term_dict),
+7. crash-resume: an add that dies between plan persistence and segment
+   build (injected _build_chunk failure) leaves the index serving exactly
+   the pre-crash live set; the NEXT append-path call builds the planned
+   segments and the docs appear — never duplicated (replayed add is a
+   counted no-op), never half-visible.
 
 Seed set and step count are env-tunable for offline campaigns
 (FUZZ_SEEDS=1,2,3 FUZZ_STEPS=14); CI defaults stay small.
@@ -50,15 +56,20 @@ TERMS = ("seven", "forty", "one", "hundred")
 QUERIES = ("seven", "forty AND one", '"twenty one"', "seven OR hundred")
 BATCH = 8  # docs per added file
 
-# CI runs the two pinned seeds below at 10 steps; an extended offline
-# campaign is one env var away (FUZZ_SEEDS=1,2,3 FUZZ_STEPS=14 pytest ...)
-# Seed 99 covers delete/purge/replay; seed 55 draws
-#   add, spellgram, add, merge, expunge, merge, update, update+replay,
-#   merge, spellgram
-# — i.e. it builds the aux spellgram index, rewrites term_dict three
-# different ways underneath it, then rebuilds, exercising invariant 6.
+# CI runs the pinned seeds below at 10 steps; an extended offline campaign
+# is one env var away (FUZZ_SEEDS=1,2,3 FUZZ_STEPS=14 pytest ...).
+# Pinned draws (chosen so the three together hit every op + invariant):
+#  15: spellgram, add, merge, add, spellgram, add, expunge, commit,
+#      expunge, spellgram          — inv 6 stress (term_dict rewritten
+#      under a live aux index, rebuilt twice)
+#  76: update, purge, add+replay, update, update+replay, add+crash,
+#      update, expunge, delete, add — inv 7 (crash, then maintenance ops
+#      over the pending plan, then resume via the next appends)
+# 138: add+replay, update+replay, commit, add+replay, expunge, add+crash,
+#      add, update+replay, update, commit — replay idempotence around
+#      commit generations
 SEEDS = [int(s) for s in
-         os.environ.get("FUZZ_SEEDS", "99,55").split(",")]
+         os.environ.get("FUZZ_SEEDS", "15,76,138").split(",")]
 N_STEPS = int(os.environ.get("FUZZ_STEPS", "10"))
 
 
@@ -126,20 +137,60 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     w = IndexWriter(spark, idx, target_docs_per_seg=BATCH)
 
     model: dict[str, str] = {}   # url -> current live text
+    pending_model: dict[str, str] = {}  # planned-but-unbuilt (crashed add)
     next_doc = 0                 # fixture cursor for fresh batches
     batch_no = 0
     version = 0
     pinned_expect: dict[int, dict] = {}  # generation -> recorded results
 
-    def add_batch():
+    def _flush_pending():
+        """Any op that reaches append_to_index resumes planned-but-unbuilt
+        segments (the whole-plan pending rule, streaming/ingest.py) — the
+        crashed batch's docs become live as part of that call."""
+        model.update(pending_model)
+        pending_model.clear()
+
+    def add_batch(replay=False):
         nonlocal next_doc, batch_no
         pdf = pages_pdf(BATCH, start=next_doc)
         src = str(tmp_path / f"s{seed}_add{batch_no}")
         _write_batch(pdf, src)
         segs = w.add_documents(src)
         assert segs, "a fresh batch must append at least one segment"
+        _flush_pending()
         for u, t in zip(pdf.url, pdf.text):
             model[u] = t
+        next_doc += BATCH
+        batch_no += 1
+        if replay:  # retried increment: file-idempotent planner → no-op
+            n_before = IndexReader(spark, idx).docmap().count()
+            assert w.add_documents(src) == []
+            assert IndexReader(spark, idx).docmap().count() == n_before, \
+                "replayed add must not duplicate docs"
+
+    def add_batch_crash():
+        """Driver dies between write_build_plan and _build_chunk (the exact
+        window append_to_index's whole-plan pending rule exists for). The
+        docs are planned but not live until the NEXT append-path call."""
+        nonlocal next_doc, batch_no
+        import lucene_spark.streaming.ingest as ingest_mod
+
+        pdf = pages_pdf(BATCH, start=next_doc)
+        src = str(tmp_path / f"s{seed}_crash{batch_no}")
+        _write_batch(pdf, src)
+        orig = ingest_mod._build_chunk
+
+        def _boom(*a, **k):
+            raise RuntimeError("injected crash after plan persistence")
+
+        ingest_mod._build_chunk = _boom
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                w.add_documents(src)
+        finally:
+            ingest_mod._build_chunk = orig
+        for u, t in zip(pdf.url, pdf.text):
+            pending_model[u] = t
         next_doc += BATCH
         batch_no += 1
 
@@ -156,6 +207,10 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         _write_batch(pdf, src)
         batch_no += 1
         res = w.update_documents(src)
+        # the update's own append also built any crashed batch: those docs
+        # are live BEFORE victims are tombstoned, so they count as victims
+        # when the update batch re-crawls their urls
+        _flush_pending()
         live_victims = sum(1 for u in pdf.url if u in model)
         assert res["deleted"] == live_victims
         for u, t in zip(pdf.url, pdf.text):
@@ -238,7 +293,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             for g, expect in pinned_expect.items():
                 got = _results(Searcher(w.get_reader(commit=g)))
                 assert got == expect, f"pinned gen {g} drifted after {op}"
-        elif op in ("add", "commit", "merge", "purge"):
+        elif op in ("add", "add+replay", "add+crash", "commit", "merge",
+                    "purge"):
             for g, expect in pinned_expect.items():
                 got = _results(Searcher(w.get_reader(commit=g)))
                 assert got == expect, f"pinned gen {g} drifted after {op}"
@@ -258,13 +314,17 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     do_commit()
     check("add")
 
-    OPS = ("add", "update", "update+replay", "delete", "commit", "merge",
-           "expunge", "purge", "spellgram")
-    WEIGHTS = (4, 3, 1, 3, 3, 2, 2, 1, 1)
+    OPS = ("add", "add+replay", "add+crash", "update", "update+replay",
+           "delete", "commit", "merge", "expunge", "purge", "spellgram")
+    WEIGHTS = (4, 1, 1, 3, 1, 3, 3, 2, 2, 1, 1)
     steps = [rng.choices(OPS, weights=WEIGHTS)[0] for _ in range(N_STEPS)]
     for i, op in enumerate(steps):
         if op == "add":
             add_batch()
+        elif op == "add+replay":
+            add_batch(replay=True)
+        elif op == "add+crash":
+            add_batch_crash()
         elif op == "update":
             update_batch(replay=False)
         elif op == "update+replay":
