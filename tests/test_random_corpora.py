@@ -58,7 +58,13 @@ def _corpus(seed: int, kind: str, n_docs: int):
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
 
 
+# CI pins three corpora; offline campaigns override via
+# RAND_CORPORA="dense:21:400,zipf:22:500" (kind:seed:n_docs, comma-sep)
 _CORPORA = [("dense", 11, 120), ("dense", 12, 250), ("zipf", 13, 300)]
+if os.environ.get("RAND_CORPORA"):
+    _CORPORA = [(k, int(s), int(n))
+                for k, s, n in (c.split(":") for c in
+                                os.environ["RAND_CORPORA"].split(","))]
 
 
 @pytest.fixture(scope="module", params=_CORPORA,
