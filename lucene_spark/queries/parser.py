@@ -193,6 +193,15 @@ def _word_query(word: str, analyzer: str = "standard",
             return None
     if word == "*:*":
         return MatchAll(boost=boost)
+    if word == "*":
+        # bare `*` in the default field: the reference REFUSES it
+        # (QueryParser.java:956, allowLeadingWildcard=false ParseException);
+        # this parser is lenient, but Prefix("") would rewrite to a scoring
+        # disjunction over the ENTIRE dictionary — a full-postings traversal
+        # at a 10^8-term web dictionary. The user's evident intent is
+        # match-everything, which MatchAll serves at zero cost (same uniform
+        # score a constant-score rewrite of the all-wildcard would give).
+        return MatchAll(boost=boost)
     if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
         return Prefix(word[:-1].lower(), boost=boost)
     if "*" in word or "?" in word:
@@ -536,6 +545,8 @@ def _prec_query(lx: _Lexer, analyzer: str, fields: tuple,
         q = _prec_and(lx, analyzer, fields, kw_fields)
         if q is None:
             if lx.i == before:  # no progress — bail
+                if lx.peek() is None:  # modifier was the LAST token
+                    break              # ("NOT" / "+" / "-" alone)
                 lx.next()
             continue
         parts.append((q, occ))
