@@ -91,3 +91,42 @@ def test_structural_garbage_degrades_to_empty_bool():
     for s in ("(", "AND", "+()", "a AND"):
         q = parse_query(s)
         assert isinstance(q, (Bool, MatchAll))
+
+
+# --- the same contract one layer down: degenerate ASTs through the ------
+# --- distributed planner (a structurally-distinct subset; the full ------
+# --- 61-string corpus was driven once end-to-end without a crash) -------
+
+SERVE = ["", "(", "AND", "a AND", "*", "?", '""', "field:", "a~x", "*^2",
+         "[TO b]", "NOT NOT a", "a:*", "-(-a)", "seven"]
+
+
+@pytest.fixture(scope="module")
+def tiny_searcher(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_spark.fixtures import pages_pdf
+    from lucene_spark.indexing import IndexReader, build_index, merge_index
+    from lucene_spark.queries.planner import Searcher
+
+    tmp = str(tmp_path_factory.mktemp("robust_idx"))
+    src = f"{tmp}/pages"
+    import os
+
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(pages_pdf(40), preserve_index=False),
+                   f"{src}/p.parquet", coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    build_index(spark, src, f"{tmp}/idx")
+    merge_index(spark, f"{tmp}/idx")
+    return Searcher(IndexReader(spark, f"{tmp}/idx"))
+
+
+@pytest.mark.parametrize("s", SERVE, ids=lambda s: repr(s)[:16])
+def test_degenerate_queries_serve(tiny_searcher, s):
+    n = tiny_searcher.count(s)
+    rows = tiny_searcher.search(s, k=3).collect()
+    assert 0 <= n <= 40 and len(rows) <= 3
+    if s in ("*", "*^2", ""):
+        assert n == 40  # match-everything forms
