@@ -1540,13 +1540,15 @@ def _q_mm_frame_sample(spark, sf_dir):
     one row per sampled frame via Arrow-batched mapInPandas."""
     import pandas as pd
 
-    from lucene_spark.multimodal import wav_samples
+    from lucene_spark.multimodal import wav_samples_safe
 
     def sample_frames(batches):
         for pdf in batches:
             out_doc, out_idx, out_val = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = wav_samples(bytes(payload))
+                # _safe: corrupt audio contributes zero frames instead of
+                # failing the stage (fixtures are valid → hashes unchanged)
+                frames = wav_samples_safe(bytes(payload))
                 for idx in range(0, frames.size, 7):
                     out_doc.append(doc_id)
                     out_idx.append(idx)
@@ -1605,11 +1607,15 @@ def _q_mm_binary_meta(spark, sf_dir):
     field hash-mismatches."""
     import pandas as pd
 
-    from lucene_spark.multimodal import decode_meta
+    from lucene_spark.multimodal import decode_meta_safe
 
     def decode(batches):
         for pdf in batches:
-            rows = [decode_meta(bytes(p)) for p in pdf["payload"]]
+            # _safe: a corrupt blob in a crawled corpus becomes a typed
+            # fmt='corrupt' row, never a failed task (the fixture payloads
+            # are all valid, so the oracle hashes are unchanged — but a
+            # 100-TB run survives the bad files a real crawl contains)
+            rows = [decode_meta_safe(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "fmt": [r["fmt"] for r in rows],

@@ -163,3 +163,33 @@ def wav_samples(b: bytes) -> np.ndarray:
         if cid == b"data":
             return np.frombuffer(data, dtype="<i2")
     raise ValueError("WAV without data chunk")
+
+
+_CORRUPT_META = {"fmt": "corrupt", "width": None, "height": None,
+                 "sample_rate": None, "n_channels": None, "bit_depth": None}
+
+
+def decode_meta_safe(b: bytes) -> dict:
+    """``decode_meta`` for CRAWLED corpora: corrupt / truncated /
+    unrecognized payloads yield a typed ``fmt='corrupt'`` row with null
+    dims instead of raising. Inside a mapInPandas stage a raised decode
+    error fails the task — and after Spark's task retries, the whole
+    100-TB job — for one bad blob in 10^9; web-crawled media is routinely
+    corrupt, so the pipeline operators decode through this wrapper and
+    corrupt payloads stay FILTERABLE data (``WHERE fmt != 'corrupt'``),
+    never a stage failure."""
+    try:
+        return decode_meta(b)
+    except ValueError:
+        return dict(_CORRUPT_META)
+
+
+def wav_samples_safe(b: bytes) -> np.ndarray:
+    """``wav_samples`` for crawled corpora: a corrupt payload decodes to
+    ZERO frames (empty int16 array) instead of raising — the doc simply
+    contributes no sampled rows. Same stage-survival rationale as
+    ``decode_meta_safe``."""
+    try:
+        return wav_samples(b)
+    except ValueError:
+        return np.empty(0, dtype="<i2")

@@ -81,3 +81,53 @@ def test_jpeg_marker_walk_skips_segments():
     patched = b[:2] + com + b[2:]
     m = decode_meta(patched)
     assert (m["width"], m["height"]) == (32, 16)
+
+
+CORRUPT = [
+    b"", b"\x89PNG", b"\xff\xd8", b"RIFF", b"not media",
+    b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,          # sig, garbage chunks
+    b"\xff\xd8\xff\xfe\x00\x03x",                  # JPEG, no SOF
+    b"RIFF\xff\xff\xff\xffWAVE",                   # WAVE, no chunks
+    b"RIFF\x24\x00\x00\x00WAVEdata\x03\x00\x00\x00\x01\x02\x03",  # odd pcm
+]
+
+
+def test_safe_decoders_never_raise():
+    """Crawled corpora contain corrupt media; inside mapInPandas a raised
+    decode error fails the task and (after retries) the whole stage — the
+    _safe wrappers must turn every broken payload into typed data."""
+    from lucene_spark.multimodal import decode_meta_safe, wav_samples_safe
+
+    for b in CORRUPT:
+        m = decode_meta_safe(b)
+        assert m["fmt"] == "corrupt" and m["width"] is None
+        s = wav_samples_safe(b)
+        assert s.size == 0 and s.dtype == np.dtype("<i2")
+    # valid payloads still decode exactly (no silent degradation)
+    assert decode_meta_safe(build_png(12, 34))["width"] == 12
+    pcm = np.array([1, -2, 3], dtype=np.int16)
+    assert np.array_equal(wav_samples_safe(build_wav(8000, pcm)), pcm)
+
+
+def test_pipeline_survives_corrupt_payloads(spark):
+    """End-to-end: a decode batch with corrupt blobs mixed in yields one
+    typed row per doc (fmt='corrupt' for the bad ones), never a failed
+    stage — the 1-bad-blob-in-10^9 contract of the multimodal ops."""
+    import pandas as pd
+
+    from lucene_spark.multimodal import decode_meta_safe
+
+    rows = [(0, build_png(8, 8)), (1, b"\x89PNG truncated"),
+            (2, build_jpeg(16, 8)), (3, b""), (4, b"RIFFbad")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            ms = [decode_meta_safe(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "fmt": [m["fmt"] for m in ms]})
+
+    got = {r["doc_id"]: r["fmt"] for r in
+           df.mapInPandas(decode, "doc_id long, fmt string").collect()}
+    assert got == {0: "png", 1: "corrupt", 2: "jpeg", 3: "corrupt",
+                   4: "corrupt"}
