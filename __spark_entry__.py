@@ -999,12 +999,17 @@ def _q_text_langid(spark, sf_dir):
 
 def _q_text_fingerprint(spark, sf_dir):
     """Canonical document fingerprint: md5 of the sorted distinct token set
-    (token-order / duplication invariant near-dup key)."""
+    (token-order / duplication invariant near-dup key). NULL text → NULL
+    fp (SQL convention, the oracle's natural md5(NULL)): concat_ws would
+    silently swallow the null array into '' and conflate null docs with
+    empty ones — crawled corpora carry both."""
     return (
         _docs(spark, sf_dir)
         .select("doc_id",
-                F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
-                    F.split("text", " ")))).cast("binary")).alias("fp"))
+                F.when(F.col("text").isNotNull(),
+                       F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
+                           F.split("text", " ")))).cast("binary")))
+                .alias("fp"))
         .orderBy("doc_id")
     )
 

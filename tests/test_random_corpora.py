@@ -37,10 +37,11 @@ _VOCABS = {
 
 def _corpus(seed: int, kind: str, n_docs: int):
     rng = random.Random(seed)
-    vocab = _VOCABS[kind]
+    base, _, mod = kind.partition("+")
+    vocab = _VOCABS[base]
     rows = []
     for i in range(n_docs):
-        if kind == "zipf":
+        if base == "zipf":
             n = rng.randint(1, 40)
             toks = [vocab[min(int(rng.expovariate(0.12)), len(vocab) - 1)]
                     for _ in range(n)]
@@ -55,12 +56,22 @@ def _corpus(seed: int, kind: str, n_docs: int):
         a = rng.randrange(n_docs)
         b = rng.randrange(n_docs)
         rows[a] = (rows[a][0], rows[b][1], rows[a][2], rows[a][3])
+    if mod == "nulls":
+        # real crawls carry nulls the fixed fixtures never do: ~10% null
+        # text / lang / source (independently) — Spark and DuckDB must
+        # agree on the null semantics of every op, not just not-crash
+        rows = [(i,
+                 None if rng.random() < 0.1 else t,
+                 None if rng.random() < 0.1 else lg,
+                 None if rng.random() < 0.1 else s)
+                for i, t, lg, s in rows]
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
 
 
-# CI pins three corpora; offline campaigns override via
-# RAND_CORPORA="dense:21:400,zipf:22:500" (kind:seed:n_docs, comma-sep)
-_CORPORA = [("dense", 11, 120), ("dense", 12, 250), ("zipf", 13, 300)]
+# CI pins four corpora; offline campaigns override via
+# RAND_CORPORA="dense:21:400,zipf+nulls:22:500" (kind[+nulls]:seed:n_docs)
+_CORPORA = [("dense", 11, 120), ("dense", 12, 250), ("zipf", 13, 300),
+            ("zipf+nulls", 17, 250)]
 if os.environ.get("RAND_CORPORA"):
     _CORPORA = [(k, int(s), int(n))
                 for k, s, n in (c.split(":") for c in
@@ -72,7 +83,9 @@ if os.environ.get("RAND_CORPORA"):
 def corpus_dir(request, tmp_path_factory):
     kind, seed, n = request.param
     pdf = _corpus(seed, kind, n)
-    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    # nullable Int64 when the corpus carries null text (parquet stays int64)
+    pdf["n_chars"] = pdf["text"].str.len().astype(
+        "Int64" if pdf["text"].isna().any() else "int64")
     d = str(tmp_path_factory.mktemp(f"rand_{kind}_{seed}"))
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                    os.path.join(d, "documents.parquet"))
