@@ -1213,7 +1213,12 @@ def _cosine(vec_col, lit_arr):
                      F.lit(0.0), lambda acc, x: acc + x)
     nb = F.aggregate(F.transform(lit_arr, lambda x: x.cast("double") * x.cast("double")),
                      F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    # try_divide: a zero-norm (empty) or null vector has no direction —
+    # its cosine is NULL, which ANN top-k sinks (desc → nulls last) and
+    # threshold filters drop. Under ANSI mode a plain divide would fail
+    # the whole stage on one degenerate vector in a crawled corpus; on
+    # well-formed vectors try_divide is bit-identical to the divide.
+    return F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -1247,7 +1252,10 @@ def _q_ann_knn_join(spark, sf_dir):
         F.lit(0.0), lambda acc, x: acc + x))
     scored = pairs.select(
         "query_id", "vec_id",
-        (dot / (norm(F.col("embedding")) * norm(F.col("qvec")))).alias("c"))
+        # try_divide: degenerate (zero-norm/empty) vectors score NULL and
+        # sink below every real neighbor instead of failing the stage
+        F.try_divide(dot, norm(F.col("embedding")) * norm(F.col("qvec")))
+        .alias("c"))
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1375,11 +1383,21 @@ def _ivf_centroids(spark, sf_dir):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CENT_CACHE:
-        train = np.array(
-            [r["embedding"] for r in
-             _emb(spark, sf_dir).where(F.col("vec_id") < _IVF_TRAIN_CAP)
-             .orderBy("vec_id").select("embedding").collect()],
-            dtype=np.float64)
+        vecs = [r["embedding"] for r in
+                _emb(spark, sf_dir).where(F.col("vec_id") < _IVF_TRAIN_CAP)
+                .where(F.col("embedding").isNotNull())
+                .orderBy("vec_id").select("embedding").collect()]
+        # crawled corpora carry null / empty / odd-dimension vectors; one
+        # ragged row makes np.array raise and kills training. The model
+        # dimension is the FIRST well-formed vector's (vec_id order —
+        # deterministic); non-conforming vectors are excluded from
+        # training AND from assignment (_q_ann_ivf_search filters on the
+        # same dim), so they never produce a phantom cell.
+        dim = next((len(v) for v in vecs if v), None)
+        if dim is None:
+            raise ValueError("IVF training: no well-formed vectors")
+        train = np.array([v for v in vecs if len(v) == dim],
+                         dtype=np.float64)
         _IVF_CENT_CACHE[key] = kmeans_train(train, _N_IVF_CELLS)
     return _IVF_CENT_CACHE[key]
 
@@ -1399,8 +1417,12 @@ def _q_ann_ivf_search(spark, sf_dir):
     all cross-checked — not just the final re-rank."""
     import numpy as np
 
-    emb = _emb(spark, sf_dir)
     cents_np = _ivf_centroids(spark, sf_dir)
+    # assignment runs only over vectors of the model dimension (same rule
+    # as training): null / empty / odd-dim vectors would null or error the
+    # cosine array and can never belong to a cell
+    emb = (_emb(spark, sf_dir)
+           .where(F.size("embedding") == int(cents_np.shape[1])))
     # ONE SQL string for the whole K-cell cosine array instead of K
     # Column-API aggregate/zip_with trees: the py4j round-trips to build
     # those trees cost ~2 s per call at K=8, dim=64 (3x the job itself).
@@ -1423,7 +1445,10 @@ def _q_ann_ivf_search(spark, sf_dir):
         dot = (f"aggregate(zip_with(embedding, array({arr}), "
                f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
                f"(acc, x) -> acc + x)")
-        cells.append(f"round({dot} / (sqrt(na) * {_dlit(nb)}), 10)")
+        # try_divide: an all-zeros vector (na = 0) yields NULL cell
+        # affinity instead of an ANSI divide-by-zero stage failure; the
+        # null never wins array_max, so the vector drops from every probe
+        cells.append(f"round(try_divide({dot}, sqrt(na) * {_dlit(nb)}), 10)")
     cos_arr = F.expr("array(" + ", ".join(cells) + ")")
     assign = (
         emb.withColumn("na", F.expr(na_sql))

@@ -71,3 +71,56 @@ def test_bucket_py_matches_engine(spark):
     ids, x = _vectors()
     for vid, vec in list(zip(ids, x))[:50]:
         assert got[int(vid)] == entrymod._bucket_py(vec), int(vid)
+
+
+def test_hostile_embeddings_survive(spark, tmp_path):
+    """Crawled embedding tables carry null / empty / odd-dimension /
+    all-zero vectors; every embedding op must keep running — one ragged
+    row must not kill IVF training (np.array raise) or a zero norm fail
+    the stage under ANSI division. Malformed vectors are EXCLUDED from
+    cells/top-k (null cosine sinks below any real score); well-formed
+    vectors still rank."""
+    import shutil
+
+    import pyarrow as pa
+
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path / "hostile")
+    os.makedirs(tmp)
+    shutil.copy(os.path.join(SF_DIR, "documents.parquet"),
+                os.path.join(tmp, "documents.parquet"))
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        if i % 11 == 3:
+            v = None
+        elif i % 11 == 7:
+            v = []
+        elif i % 11 == 9:
+            v = rng.randn(5).astype("float32").tolist()   # wrong dim
+        elif i == 21:
+            v = [0.0] * 16                                # zero norm
+        else:
+            v = rng.randn(16).astype("float32").tolist()
+        rows.append({"vec_id": i, "embedding": v, "label": i % 3})
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+             ("label", pa.int32())])),
+        os.path.join(tmp, "embeddings.parquet"))
+
+    fns = dict(entrymod.queries())
+    fns.update(entrymod.extra_queries())
+    for name in ("ann_cosine_topk", "ann_knn_join", "ann_lsh_search",
+                 "ann_ivf_search", "dedup_embedding_cosine"):
+        df = fns[name](spark, tmp)
+        assert df.count() >= 0  # materializes without a stage failure
+    # malformed + zero-norm vectors never rank in brute top-k
+    bad = {3, 14, 25, 36, 7, 18, 29, 9, 20, 31, 21}  # %11∈{3,7,9} ∪ {21}
+    top = {int(r["vec_id"]) for r in
+           fns["ann_cosine_topk"](spark, tmp).collect()}
+    assert not (top & bad), top & bad
+    # clear the memoized hostile-quantizer state for other tests
+    entrymod._IVF_CENT_CACHE.pop(
+        (spark.sparkContext.applicationId, tmp), None)
