@@ -1595,7 +1595,12 @@ def _q_mm_frame_sample(spark, sf_dir):
 def _q_events_windowed(spark, sf_dir):
     """Tumbling event-time window aggregation over the events table (the
     batch twin of streaming/windows.py's watermarked aggregation)."""
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          # no event time → no window. F.window silently drops null-ts
+          # rows anyway; the EXPLICIT filter pins the semantic so the
+          # oracle (whose time_bucket would keep a NULL bucket) states
+          # the same rule — crawled event logs carry null timestamps
+          .where(F.col("ts").isNotNull()))
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.sum("value"), 4).alias("total_value"))
@@ -1611,7 +1616,12 @@ def _q_events_sessionize(spark, sf_dir):
     whole-stage codegen (the applyInPandasWithState-free batch form)."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          # no event time → no session. Without the filter the engines
+          # DIVERGE silently: Spark windows sort nulls FIRST, DuckDB's
+          # LAG sorts them LAST, so one null-ts event shifts every
+          # session boundary for its user
+          .where(F.col("ts").isNotNull()))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tsl = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
     brk = F.when(
@@ -2548,12 +2558,13 @@ FROM f ORDER BY doc_id, frame_idx""",
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
        event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 4) AS total_value
-FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY win_start, event_type""",
         "events_sessionize": """
 WITH te AS (
   SELECT user_id, event_id, ts,
          CAST(floor(epoch(ts)) AS BIGINT) AS tse  -- whole seconds (Spark long cast)
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- no event time -> no session
 ),
 lagged AS (
   SELECT user_id, event_id, ts, tse,
