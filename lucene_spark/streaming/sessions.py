@@ -47,7 +47,11 @@ def streaming_sessionize(
         import pandas as pd
 
         closed: list[tuple] = []
-        user = int(key[0])
+        # a null user_id is a real group (the batch twin groups nulls
+        # together, and Arrow hands it to the UDF as NaN) — int(NaN)
+        # raised and failed the whole stateful stage on crawled logs
+        raw = key[0]
+        user = None if raw is None or raw != raw else int(raw)
         if state.hasTimedOut:
             if state.exists:
                 s, last, n = state.get

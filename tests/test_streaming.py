@@ -239,3 +239,46 @@ def test_sessionize_watermark_clamp_and_stragglers(spark, tmp_path):
     # u9: the 11:40 straggler extends the 12:00 session BACKWARDS
     # (duration 20 min, 2 events); 13:00 is past the gap → its own session
     assert by_user[9] == {(1200, 2), (0, 1)}
+
+
+def test_sessionize_null_user_and_ts(spark, tmp_path):
+    """Crawled event logs carry null user ids and null event times. The
+    stateful sessionizer used to fail the whole stage on int(NaN) for a
+    null-user group; the pinned contract (same as the batch twin): null
+    user_id is a REAL session group, null ts carries no session
+    information (dropped)."""
+    import pandas as pd
+
+    from lucene_spark.streaming.sessions import run_sessionize_to_memory
+
+    src = str(tmp_path / "sess_nulls")
+    os.makedirs(src)
+    rows = [
+        (1, "2026-01-01 10:00:00", None, "click", 1.0, ""),
+        (2, "2026-01-01 10:05:00", None, "click", 1.0, ""),
+        (3, None, 1, "view", 1.0, ""),                 # no ts → no session
+        (4, "2026-01-01 10:03:00", 1, "view", 1.0, ""),
+        # far-future event drives the watermark past every timeout
+        (5, "2026-01-01 23:00:00", 2, "view", 1.0, ""),
+        (6, "2026-01-02 23:00:00", 2, "view", 1.0, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(src, "w1.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    q = run_sessionize_to_memory(spark, src, query_name="sess_nulls",
+                                 gap_s=1800, watermark="10 minutes")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(None if r["user_id"] is None else int(r["user_id"]),
+            int(r["duration_s"]), int(r["n_events"]))
+           for r in spark.sql("SELECT * FROM sess_nulls").collect()
+           if r["user_id"] is None or int(r["user_id"]) < 2}
+    # null-user pair = one 300s session; user 1 = one single-event session
+    # (the null-ts event contributed nothing)
+    assert got == {(None, 300, 2), (1, 0, 1)}
