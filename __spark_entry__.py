@@ -1116,6 +1116,129 @@ def _q_text_dup_ngram_coverage(spark, sf_dir):
     )
 
 
+def _q_text_dup_run(spark, sf_dir):
+    """Longest cross-document duplicated token RUN per document (the
+    exact-substring signal of Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better", approximated at word-3-gram
+    granularity): a position is "duplicated" when its positional shingle
+    occurs in >= 2 distinct documents; consecutive duplicated positions
+    form a run, and max_run_tokens = longest run + 2 is the longest
+    token span whose every 3-gram is shared with some other document.
+    Pipelines cut or down-weight docs whose max run exceeds ~50 tokens;
+    text_dup_ngram_coverage gives the FRACTION, this gives the SPAN.
+
+    Scale shape: the duplicated-shingle set reuses the cached distinct
+    shingle table (one map-side-combinable groupBy); positional shingles
+    are a zero-shuffle per-doc projection; the join is keyed on the
+    shingle (never broadcasting a corpus-sized side); the gaps-and-islands
+    window repartitions only the DUPLICATED positions by doc_id. Nothing
+    is quadratic; nothing corpus-sized crosses the driver."""
+    from pyspark.sql import Window
+
+    sh = _shingles_cached(spark, sf_dir)
+    dup = (sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+           .where(F.col("nd") >= 2).select("shingle"))
+    psh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.posexplode(F.expr(
+            "transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        )).alias("pos", "shingle"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (psh.join(dup, "shingle")
+            .withColumn("grp", F.col("pos") - F.row_number().over(win))
+            .groupBy("doc_id", "grp")
+            .agg(F.count("*").alias("rl")))
+    return (runs.groupBy("doc_id")
+            .agg((F.max("rl") + F.lit(2)).cast("long")
+                 .alias("max_run_tokens"),
+                 F.count("*").cast("long").alias("n_runs"),
+                 F.sum("rl").cast("long").alias("n_dup_pos"))
+            .orderBy("doc_id"))
+
+
+# Winnowing (Schleimer et al. 2003, the MOSS fingerprinter): k=3-gram
+# hashes, window size w=4 — every window of 4 consecutive shingle hashes
+# contributes its minimum, and the distinct minima are the document's
+# fingerprint set. Guarantees any shared run of >= w+k-1 = 6 tokens
+# shares at least one fingerprint, at ~2/(w+1) the storage of all hashes.
+_WINNOW_W = 4
+
+
+def _q_text_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints: per doc, the number of selected
+    fingerprints and their order-insensitive XOR (a stable set digest).
+    This is the index-time half of local-similarity search — two docs
+    sharing any 6-token span share a fingerprint, so a fingerprint-keyed
+    join finds partial-overlap candidates that whole-doc minhash misses.
+
+    Scale shape: the ENTIRE computation is a function of one document's
+    own token array — shingle hashes, sliding-window minima, and the
+    distinct-XOR all run as higher-order array functions inside one
+    narrow projection. Zero shuffle below the contract orderBy (the
+    simhash treatment); 60-bit md5 hashes match the DuckDB oracle
+    bit-for-bit."""
+    h = _H15.format(s="x")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= _WINNOW_W + 2)
+        .withColumn("hs", F.expr(
+            "transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .withColumn("hs", F.expr(
+            f"transform(hs, x -> cast({h} as bigint))"))
+        .withColumn("fps", F.expr(
+            f"array_distinct(transform(sequence(0, size(hs) - {_WINNOW_W}),"
+            f" q -> array_min(slice(hs, q + 1, {_WINNOW_W}))))"))
+        .select(
+            "doc_id",
+            F.expr("size(fps)").cast("long").alias("n_fp"),
+            F.expr("aggregate(fps, 0L, (a, x) -> a ^ x)").alias("fp_xor"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that, and the stage reached (1-3). The
+    standard product-analytics funnel; strict event-time ordering, not
+    mere set membership (a purchase BEFORE the first view does not
+    convert).
+
+    Scale shape: three user-keyed aggregations joined on user_id — every
+    shuffle is keyed on the funnel entity and map-side combinable; no
+    window over the full event stream, no broadcast of a per-user table.
+    Null event times are excluded up front (the engines disagree on NULL
+    ordering, and a null timestamp cannot order a funnel)."""
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id", "event_type",
+                  F.col("ts").cast("timestamp").cast("long").alias("t")))
+    s1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("t").alias("t_view")))
+    s2 = (ev.where(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .where(F.col("t") > F.col("t_view"))
+          .groupBy("user_id").agg(F.min("t").alias("t_click")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .where(F.col("t") > F.col("t_click"))
+          .groupBy("user_id").agg(F.min("t").alias("t_purchase")))
+    return (s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+            .select(
+                "user_id", "t_view", "t_click", "t_purchase",
+                (F.lit(1)
+                 + F.col("t_click").isNotNull().cast("int")
+                 + F.col("t_purchase").isNotNull().cast("int"))
+                .cast("long").alias("stage"))
+            .orderBy("user_id"))
+
+
 # Stratified-sampling mix: per-language keep thresholds out of 10,000
 # (en-heavy, zh downweighted — the usual web-corpus mixing shape).
 _MIX_THRESHOLDS = {"en": 9000, "es": 6000, "de": 6000, "fr": 6000, "zh": 3000}
@@ -1897,6 +2020,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_ngram_coverage": _q_text_dup_ngram_coverage,
         # round 3: percolation / reverse search (MemoryIndex analog)
         "ft_percolate": _q_ft_percolate,
+        # round 4: exact-substring dup runs (Lee et al.), winnowing
+        # fingerprints (MOSS), ordered event funnel
+        "text_dup_run": _q_text_dup_run,
+        "text_winnow_fp": _q_text_winnow_fp,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -2652,6 +2780,70 @@ SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20
 ORDER BY doc_id""",
         "dedup_minhash_sig": f"""WITH {_PRELUDE}, {_SHINGLES_SQL}, {_MINHASH_SQL}
 SELECT * FROM sigs ORDER BY doc_id""",
+        "text_dup_run": f"""WITH {_PRELUDE},
+psh AS (
+  SELECT a.doc_id, a.pos, (a.term || ' ' || b.term || ' ' || c.term) AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+dupsh AS (
+  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM psh)
+  GROUP BY shingle HAVING count(*) >= 2
+),
+isl AS (
+  SELECT p.doc_id, p.pos,
+         p.pos - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS grp
+  FROM psh p JOIN dupsh USING (shingle)
+),
+runs AS (SELECT doc_id, grp, count(*) AS rl FROM isl GROUP BY doc_id, grp)
+SELECT doc_id,
+       CAST(max(rl) + 2 AS BIGINT) AS max_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(rl) AS BIGINT) AS n_dup_pos
+FROM runs GROUP BY doc_id ORDER BY doc_id""",
+        "text_winnow_fp": f"""WITH {_PRELUDE},
+psh AS (
+  SELECT a.doc_id, a.pos,
+         {_H60_SQL.format(s="a.term || ' ' || b.term || ' ' || c.term")} AS h
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+wins AS (
+  SELECT doc_id,
+         min(h) OVER win AS m,
+         count(*) OVER win AS c
+  FROM psh
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+),
+fps AS (SELECT DISTINCT doc_id, m FROM wins WHERE c = {_WINNOW_W})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(bit_xor(m) AS BIGINT) AS fp_xor
+FROM fps GROUP BY doc_id ORDER BY doc_id""",
+        "events_funnel": """WITH
+ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t  -- whole seconds (Spark long cast)
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+s1 AS (SELECT user_id, min(t) AS t_view FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.t) AS t_click
+       FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s1.t_view
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.t) AS t_purchase
+       FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s2.t_click
+       GROUP BY e.user_id)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       CAST(1 + (s2.t_click IS NOT NULL)::int
+              + (s3.t_purchase IS NOT NULL)::int AS BIGINT) AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id""",
         "text_dup_ngram_coverage": f"""WITH {_PRELUDE}, {_SHINGLES_SQL},
 cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle)
 SELECT sh.doc_id,

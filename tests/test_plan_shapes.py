@@ -42,6 +42,7 @@ NARROW_OPS = [
     "text_token_count",
     "text_repetition",
     "text_sample_mix",
+    "text_winnow_fp",
 ]
 
 
