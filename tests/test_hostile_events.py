@@ -33,7 +33,7 @@ def hostile_events_dir(tmp_path_factory):
                    else base + datetime.timedelta(minutes=i * 11)),
             "user_id": None if i % 13 == 6 else i % 5,
             "event_type": (None if i % 19 == 8
-                           else ["click", "view"][i % 2]),
+                           else ["view", "click", "view", "purchase"][i % 4]),
             "value": None if i % 7 == 2 else float(i),
             "props": None,
         })
@@ -46,16 +46,21 @@ def hostile_events_dir(tmp_path_factory):
     return d
 
 
-@pytest.mark.parametrize("name", ["events_windowed", "events_sessionize"])
+@pytest.mark.parametrize(
+    "name", ["events_windowed", "events_sessionize", "events_funnel"])
 def test_event_ops_match_oracle_with_nulls(spark, hostile_events_dir, name):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM read_parquet('"
         f"{os.path.join(hostile_events_dir, 'events.parquet')}')")
-    sdf = entrymod.queries()[name](spark, hostile_events_dir)
+    fns = dict(entrymod.queries())
+    fns.update(entrymod.extra_queries())
+    sqls = dict(entrymod.oracle_sql())
+    sqls.update(entrymod.extra_oracle_sql())
+    sdf = fns[name](spark, hostile_events_dir)
     s_rows, s_cols = _norm_rows(sdf.columns,
                                 [tuple(r) for r in sdf.collect()])
-    res = con.execute(entrymod.oracle_sql()[name])
+    res = con.execute(sqls[name])
     o_rows, o_cols = _norm_rows([d[0] for d in res.description],
                                 res.fetchall())
     assert s_cols == o_cols

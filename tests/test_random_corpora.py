@@ -24,7 +24,8 @@ _OPS = [
     "dedup_simhash", "text_quality", "text_langid", "text_fingerprint",
     "text_token_count", "text_repetition", "text_decontaminate",
     "text_sample_mix", "text_source_stats", "text_dup_ngram_coverage",
-    "dedup_cluster", "text_unigram_logprob",
+    "dedup_cluster", "text_unigram_logprob", "text_dup_run",
+    "text_winnow_fp",
 ]
 
 _VOCABS = {
