@@ -398,7 +398,15 @@ def compact_segments(
             if s in protected:
                 continue  # a retained commit still lists this segment
             shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
-        os.replace(os.path.join(tmp, f"seg={dest}"), os.path.join(src, f"seg={dest}"))
+        # a fully-deleted-then-expunged segment exists only as a docs=0
+        # manifest (expunge_deletes writes no partition dirs for an empty
+        # output); a merge group made of such segments stages ZERO rows, so
+        # the staged partition dir may not exist — a missing partition dir
+        # IS the empty partition in parquet layout (same guard as expunge's
+        # swap loop)
+        merged = os.path.join(tmp, f"seg={dest}")
+        if os.path.isdir(merged):
+            os.replace(merged, os.path.join(src, f"seg={dest}"))
         shutil.rmtree(tmp, ignore_errors=True)
     if moved_tombstones is not None:
         from .deletes import delete_by_docids

@@ -93,3 +93,59 @@ def test_reader_ignores_uncommitted_segment(spark, many_segs):
         for name in ("postings", "docmap", "tokens"):
             shutil.rmtree(os.path.join(out, name, "seg=99"),
                           ignore_errors=True)
+
+
+def test_compact_group_of_expunged_empty_segments(spark, tmp_path):
+    """Regression (fuzz seed 212): delete every doc of two segments, expunge
+    (the rewritten segments exist only as docs=0 manifests — expunge writes
+    no partition dirs for an empty output), then merge that all-empty group.
+    compact_segments used to crash on the missing staged partition dir
+    (FileNotFoundError at the swap); the contract is the same as expunge's:
+    a missing partition dir IS the empty partition, and the empty
+    destination stays a valid committed segment."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.indexing import validate_index
+    from lucene_spark.indexing.deletes import delete_by_docids, expunge_deletes
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "idx")
+    write_pages_files(src, 30, 3)  # 3 files -> segments 0/1/2, 10 docs each
+    build_index(spark, src, out, target_docs_per_seg=10)
+    merge_index(spark, out)
+
+    docs = (IndexReader(spark, out).docmap()
+            .where(F.col("seg").isin([0, 1])).select("seg", "docid"))
+    assert docs.count() == 20
+    delete_by_docids(spark, out, docs)
+    res = expunge_deletes(spark, out)
+    assert res["expunged"] == 20 and res["segments"] == [0, 1]
+    for name in ("postings", "docmap", "tokens"):
+        assert not os.path.isdir(os.path.join(out, name, "seg=0"))
+        assert not os.path.isdir(os.path.join(out, name, "seg=1"))
+
+    dest = compact_segments(spark, out, [0, 1])  # crashed before the fix
+    assert dest == 0
+    merge_index(spark, out)
+    assert validate_index(spark, out)["ok"]
+
+    # the surviving segment still serves, rank-identical to the oracle
+    # over the remaining docs
+    import pyarrow.dataset as ds
+
+    texts = ds.dataset(src).to_table(columns=["text"])["text"].to_pylist()
+    oracle = build_oracle_index([(i, t) for i, t in enumerate(texts)
+                                 if i >= 20])
+    s = Searcher(IndexReader(spark, out))
+    assert s.count("*:*") == 10
+    for q in ("one", "seven OR forty"):
+        got = [(int(r["docid"]), round(float(r["score"]), 6))
+               for r in s.search(q, k=10).collect()]
+        want = [(d, round(sc, 6)) for d, sc in
+                oracle_search(oracle, parse_query(q), 10)]
+        assert got == want
