@@ -233,8 +233,18 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                               ignore_errors=True)
             # protected source partitions stay on disk for pinned readers
             staged = os.path.join(tmp, f"seg={d}")
+            dest_dir = os.path.join(src, f"seg={d}")
             if os.path.isdir(staged):
-                os.replace(staged, os.path.join(src, f"seg={d}"))
+                os.replace(staged, dest_dir)
+            elif not os.path.isdir(dest_dir):
+                # the expunge emptied this segment entirely (every doc
+                # tombstoned): leave a schema-bearing empty partition, or a
+                # table whose LAST populated segment empties out becomes
+                # unreadable (UNABLE_TO_INFER_SCHEMA on the root read —
+                # including this function's own stats refresh below)
+                from .merge import write_empty_partition
+
+                write_empty_partition(spark, dest_dir, stages[name].schema)
         shutil.rmtree(tmp, ignore_errors=True)
 
     # consume the expunged tombstones on in-place segments; protected

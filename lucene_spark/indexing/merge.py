@@ -315,6 +315,21 @@ def maybe_merge(spark: SparkSession, out_dir: str,
 MERGE_SEG_BASE = 1 << 30
 
 
+def write_empty_partition(spark: SparkSession, dest_dir: str, schema) -> None:
+    """Materialize an EMPTY parquet partition carrying the table's row
+    schema (minus the `seg` partition column). A committed segment whose
+    rewrite produced zero rows (every doc deleted then expunged, or a merge
+    of such segments) must still leave a schema-bearing file: if every
+    segment of a table empties out, the root read would otherwise fail with
+    UNABLE_TO_INFER_SCHEMA and the whole index — including expunge's own
+    stats refresh — becomes unreadable. Zero-row local relation, no source
+    files touched (the sources may already be deleted at call time)."""
+    from pyspark.sql.types import StructType
+
+    rows = StructType([f for f in schema.fields if f.name != "seg"])
+    spark.createDataFrame([], rows).write.mode("overwrite").parquet(dest_dir)
+
+
 def _next_merge_seg(out_dir: str) -> int:
     """Next free destination id in the reserved merge namespace (scans the
     manifests dir — every segment that ever existed has one)."""
@@ -392,21 +407,24 @@ def compact_segments(
     ):
         src = os.path.join(out_dir, name)
         tmp = os.path.join(out_dir, f"_compact_tmp_{name}")
-        (df_fn(spark.read.parquet(src).where(F.col("seg").isin(seg_group)))
-            .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+        out_df = df_fn(spark.read.parquet(src)
+                       .where(F.col("seg").isin(seg_group)))
+        out_df.write.mode("overwrite").partitionBy("seg").parquet(tmp)
         for s in seg_group:
             if s in protected:
                 continue  # a retained commit still lists this segment
             shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
-        # a fully-deleted-then-expunged segment exists only as a docs=0
-        # manifest (expunge_deletes writes no partition dirs for an empty
-        # output); a merge group made of such segments stages ZERO rows, so
-        # the staged partition dir may not exist — a missing partition dir
-        # IS the empty partition in parquet layout (same guard as expunge's
-        # swap loop)
+        # a merge group of fully-deleted-then-expunged segments stages ZERO
+        # rows, so the staged partition dir may not exist (partitionBy
+        # writes nothing for an empty frame); the destination still gets a
+        # schema-bearing empty partition so the table root stays readable
+        # even if this was its last populated segment
         merged = os.path.join(tmp, f"seg={dest}")
         if os.path.isdir(merged):
             os.replace(merged, os.path.join(src, f"seg={dest}"))
+        else:
+            write_empty_partition(spark, os.path.join(src, f"seg={dest}"),
+                                  out_df.schema)
         shutil.rmtree(tmp, ignore_errors=True)
     if moved_tombstones is not None:
         from .deletes import delete_by_docids

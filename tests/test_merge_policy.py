@@ -96,13 +96,13 @@ def test_reader_ignores_uncommitted_segment(spark, many_segs):
 
 
 def test_compact_group_of_expunged_empty_segments(spark, tmp_path):
-    """Regression (fuzz seed 212): delete every doc of two segments, expunge
-    (the rewritten segments exist only as docs=0 manifests — expunge writes
-    no partition dirs for an empty output), then merge that all-empty group.
-    compact_segments used to crash on the missing staged partition dir
-    (FileNotFoundError at the swap); the contract is the same as expunge's:
-    a missing partition dir IS the empty partition, and the empty
-    destination stays a valid committed segment."""
+    """Regression (fuzz seed 212): delete every doc of two segments, expunge,
+    then merge that all-empty group. compact_segments used to crash on the
+    missing staged partition dir (partitionBy writes nothing for an empty
+    frame → FileNotFoundError at the swap, after the sources were already
+    removed). The pinned contract: an emptied output segment keeps a
+    schema-bearing zero-row partition (write_empty_partition), so the table
+    root stays readable even when its LAST populated segment empties out."""
     import sys
 
     from pyspark.sql import functions as F
@@ -126,8 +126,10 @@ def test_compact_group_of_expunged_empty_segments(spark, tmp_path):
     res = expunge_deletes(spark, out)
     assert res["expunged"] == 20 and res["segments"] == [0, 1]
     for name in ("postings", "docmap", "tokens"):
-        assert not os.path.isdir(os.path.join(out, name, "seg=0"))
-        assert not os.path.isdir(os.path.join(out, name, "seg=1"))
+        for s in (0, 1):
+            p = os.path.join(out, name, f"seg={s}")
+            assert os.path.isdir(p)  # zero-row marker, not a missing dir
+            assert spark.read.parquet(p).count() == 0
 
     dest = compact_segments(spark, out, [0, 1])  # crashed before the fix
     assert dest == 0
@@ -149,3 +151,51 @@ def test_compact_group_of_expunged_empty_segments(spark, tmp_path):
         want = [(d, round(sc, 6)) for d, sc in
                 oracle_search(oracle, parse_query(q), 10)]
         assert got == want
+
+
+def test_fully_emptied_index_stays_readable_and_writable(spark, tmp_path):
+    """Sibling regression: expunge after deleting EVERY doc of EVERY segment
+    used to crash expunge_deletes' own stats refresh (and every later read)
+    with UNABLE_TO_INFER_SCHEMA — all partitions removed leaves the table
+    roots with zero parquet files. With the zero-row markers the emptied
+    index keeps serving (count 0, empty top-k, validate clean), an all-empty
+    compact works on top, and a later append refills it."""
+    import sys
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lucene_spark.indexing import validate_index
+    from lucene_spark.indexing.deletes import delete_by_docids, expunge_deletes
+    from lucene_spark.indexing.writer import IndexWriter
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "idx")
+    write_pages_files(src, 20, 2)
+    build_index(spark, src, out, target_docs_per_seg=10)
+    merge_index(spark, out)
+
+    docs = IndexReader(spark, out).docmap().select("seg", "docid")
+    delete_by_docids(spark, out, docs)
+    res = expunge_deletes(spark, out)  # crashed before the markers
+    assert res["expunged"] == 20
+
+    s = Searcher(IndexReader(spark, out))
+    assert s.count("*:*") == 0
+    assert s.search("seven", k=5).collect() == []
+    assert validate_index(spark, out)["ok"]
+
+    compact_segments(spark, out, [0, 1])  # all-empty group on empty index
+    merge_index(spark, out)
+    assert Searcher(IndexReader(spark, out)).count("*:*") == 0
+
+    # the emptied index is still a live WRITE target
+    src2 = str(tmp_path / "src2")
+    write_pages_files(src2, 10, 1)
+    IndexWriter(spark, out).add_documents(src2)
+    merge_index(spark, out)
+    s3 = Searcher(IndexReader(spark, out))
+    assert s3.count("*:*") == 10
+    assert len(s3.search("seven", k=5).collect()) > 0
