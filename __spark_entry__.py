@@ -55,6 +55,8 @@ from lucene_spark.queries.ast import (
     Term,
     TermRange,
 )
+from lucene_spark.payloads import make_position_payload, register_payload_analyzer
+from lucene_spark.queries.ast import PayloadNear, PayloadTerm
 from lucene_spark.queries.percolate import percolate
 from lucene_spark.queries.planner import Searcher
 
@@ -94,6 +96,42 @@ def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(_index(spark, sf_dir))
+
+
+# Payload-bearing twin of the contract index (search/payloads family):
+# whitespace base chain — term/position semantics identical to _index —
+# plus a position-derived payload (pos % 8) + 1 at every position
+# (TokenOffsetPayloadTokenFilter analog, lucene_spark/payloads.py). The
+# values are small exact integers in float32, so the DuckDB oracle can
+# restate every payload as CAST((pos % 8) + 1 AS DOUBLE) from the shared
+# `tok` CTE with zero quantization drift.
+register_payload_analyzer(
+    "contract_pospay", "whitespace",
+    make_position_payload("whitespace", lambda p: float((p % 8) + 1)))
+
+
+def _index_pay(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build-once payload index over the same source parquet as _index
+    (same docid order ⇒ same tie-breaks)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_IDX_CACHE, tag + "_pay")
+    if not os.path.exists(os.path.join(d, "stats.json")):
+        _index(spark, sf_dir)  # materializes the shared src parquet
+        src = os.path.join(_IDX_CACHE, tag, "src")
+        build_index(spark, src, d, payload_analyzer="contract_pospay",
+                    target_docs_per_seg=2000, store_positions=True,
+                    keyword_fields=("lang",))
+        merge_index(spark, d)
+    return IndexReader(spark, d)
+
+
+def _topk_pay(spark: SparkSession, sf_dir: str, q, k: int = 10) -> DataFrame:
+    top = Searcher(_index_pay(spark, sf_dir)).search(q, k=k, hydrate=True)
+    return (
+        top.select(F.col("url").cast("long").alias("doc_id"),
+                   F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def _topk(spark: SparkSession, sf_dir: str, q, k: int = 10) -> DataFrame:
@@ -228,6 +266,23 @@ def _q_ft_span_first(spark, sf_dir):
     3 positions of the doc."""
     q = SpanFirst(SpanTerm("the"), end=3)
     return _topk(spark, sf_dir, q)
+
+
+def _q_ft_payload_term(spark, sf_dir):
+    """PayloadTermQuery (search/payloads/PayloadTermQuery.java:48):
+    BM25 term score × AveragePayloadFunction over the payloads at every
+    'order' position — payloads are (pos % 8) + 1 from the contract
+    payload chain, so the oracle restates them from `tok` positions."""
+    q = PayloadTerm("order", func="avg")
+    return _topk_pay(spark, sf_dir, q)
+
+
+def _q_ft_payload_near(spark, sf_dir):
+    """PayloadNearQuery (search/payloads/PayloadNearQuery.java:54):
+    ordered 'key'→'order' within slop 2, span-scored, × the MAX payload
+    over the matched clause positions of every matching span."""
+    q = PayloadNear(["key", "order"], slop=2, in_order=True, func="max")
+    return _topk_pay(spark, sf_dir, q)
 
 
 def _q_ft_multiphrase(spark, sf_dir):
@@ -2025,6 +2080,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_run": _q_text_dup_run,
         "text_winnow_fp": _q_text_winnow_fp,
         "events_funnel": _q_events_funnel,
+        # round 4: payload family (search/payloads) over the payload-
+        # bearing twin of the contract index
+        "ft_payload_term": _q_ft_payload_term,
+        "ft_payload_near": _q_ft_payload_near,
     }
 
 
@@ -2774,6 +2833,45 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         "ft_term_tail": _sql_term("dup"),
         "ft_phrase2": _sql_phrase("order", "sort"),
+        # payload = (pos % 8) + 1 (the contract_pospay chain) restated from
+        # tok positions; association order ((idf·w)·docScore) matches the
+        # kernel's _eval_payload_term / _eval_payload_near
+        "ft_payload_term": f"""WITH {_PRELUDE},
+pays AS (
+  SELECT doc_id, avg(CAST((pos % 8) + 1 AS DOUBLE)) AS dsc
+  FROM tok WHERE term = 'order' GROUP BY doc_id
+)
+SELECT s.doc_id, round(s.s * p.dsc, 4) AS score
+FROM scored s JOIN pays p USING (doc_id) WHERE s.term = 'order'
+ORDER BY s.s * p.dsc DESC, s.doc_id ASC LIMIT 10""",
+        "ft_payload_near": f"""WITH {_PRELUDE},
+spanm AS (
+  SELECT a.doc_id, a.pos AS apos, min(b.pos) AS bpos
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  WHERE a.term = 'key' AND b.term = 'order'
+  GROUP BY a.doc_id, a.pos
+),
+matched AS (SELECT doc_id, apos, bpos FROM spanm WHERE bpos - apos - 1 <= 2),
+sf AS (
+  SELECT doc_id, sum(1.0 / (bpos - apos)) AS pf FROM matched GROUP BY doc_id
+),
+pays AS (
+  SELECT doc_id, max(CAST((p % 8) + 1 AS DOUBLE)) AS dsc
+  FROM (SELECT doc_id, apos AS p FROM matched
+        UNION ALL SELECT doc_id, bpos AS p FROM matched)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, round(({_sql_idf_sum(['key', 'order'])})
+       * ((1.2 + 1.0) * p.pf)
+       / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl))
+       * y.dsc, 4) AS score
+FROM sf p JOIN dls l USING (doc_id) JOIN pays y USING (doc_id)
+CROSS JOIN corpus c
+ORDER BY ({_sql_idf_sum(['key', 'order'])})
+       * ((1.2 + 1.0) * p.pf)
+       / (p.pf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / c.avgdl))
+       * y.dsc DESC, p.doc_id ASC
+LIMIT 10""",
         "ft_range_excl": _sql_expand("term > 'order' AND term < 'row'"),
         "ft_doclens": f"""WITH {_PRELUDE}
 SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM dls WHERE doc_id < 20

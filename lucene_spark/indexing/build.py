@@ -57,6 +57,22 @@ POSTINGS_SCHEMA = (
 )
 
 
+def tokens_schema(payloads: bool = False) -> str:
+    """TOKENS_SCHEMA, plus the per-position payload channel when the build
+    runs a payload-producing chain (payloads array parallel to positions —
+    the .prx payload stream of the reference,
+    index/FormatPostingsPositionsWriter.java payload writes). Plain builds
+    keep the historical schema byte-identically."""
+    return TOKENS_SCHEMA + (", payloads array<array<float>>" if payloads
+                            else "")
+
+
+def postings_schema(payloads: bool = False) -> str:
+    """POSTINGS_SCHEMA plus payloads_blob (float32 per position, NaN = no
+    payload; lucene_spark/payloads.py) for payload builds."""
+    return POSTINGS_SCHEMA + (", payloads_blob binary" if payloads else "")
+
+
 def _kw_value(v) -> str | None:
     """Normalize a keyword-field cell to its canonical term text: pandas
     promotes nullable int columns to float per batch, so 2020 must not
@@ -132,7 +148,8 @@ def _invert_batch_vectorized(texts, kind: str):
 def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                    keyword_fields: tuple = (), analyzed_fields: tuple = (),
                    field_analyzers: dict | None = None,
-                   boost_col: str | None = None):
+                   boost_col: str | None = None,
+                   payload_fn=None):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -160,7 +177,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
         for af in analyzed_fields
     }
 
-    fast_ok = (analyzer in _VECTOR_ANALYZERS and all(
+    fast_ok = (payload_fn is None and analyzer in _VECTOR_ANALYZERS and all(
         (field_analyzers or {}).get(af, analyzer) in _VECTOR_ANALYZERS
         for af in analyzed_fields))
 
@@ -168,6 +185,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
         for pdf in batches:
             c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
             c_terms, c_tfs, c_pos, c_dls, c_fdl = [], [], [], [], []
+            c_pay: list = []
             # index-time document boost (document/Document.java:88 setBoost):
             # carried per doc through the forward index; 1.0 when unset
             boosts = (pdf[boost_col] if boost_col and boost_col in pdf
@@ -216,15 +234,33 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                     text = texts.iloc[i] if texts is not None else None
                     if text is None and htmls is not None:
                         text = extract_text(htmls.iloc[i])
-                    pairs = analyze_pairs(text)
-                    agg: dict[str, list[int]] = {}
-                    for term, p in pairs:
-                        agg.setdefault(term, []).append(p)
-                    dl_i = len(pairs)
-                    terms = list(agg.keys())
-                    tfs = [len(v) for v in agg.values()]
-                    pos = (list(agg.values()) if store_positions
-                           else list(empty_pos))
+                    pays: list[list[float]] = []
+                    if payload_fn is not None:
+                        # payload chain: (term, pos, payload) triples; the
+                        # payload stream stays aligned one-to-one with the
+                        # positions stream (None → NaN at encode)
+                        triples = payload_fn(text or "")
+                        agg: dict[str, list[int]] = {}
+                        pagg: dict[str, list] = {}
+                        for term, p, pay in triples:
+                            agg.setdefault(term, []).append(p)
+                            pagg.setdefault(term, []).append(pay)
+                        dl_i = len(triples)
+                        terms = list(agg.keys())
+                        tfs = [len(v) for v in agg.values()]
+                        pos = (list(agg.values()) if store_positions
+                               else list(empty_pos))
+                        pays = list(pagg.values())
+                    else:
+                        pairs = analyze_pairs(text)
+                        agg = {}
+                        for term, p in pairs:
+                            agg.setdefault(term, []).append(p)
+                        dl_i = len(pairs)
+                        terms = list(agg.keys())
+                        tfs = [len(v) for v in agg.values()]
+                        pos = (list(agg.values()) if store_positions
+                               else list(empty_pos))
                     dls = [dl_i] * len(terms)
                     # extra ANALYZED fields: own term namespace, positions,
                     # and field length (per-field postings + norms)
@@ -239,6 +275,12 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                         dls.extend([len(f_pairs)] * len(f_agg))
                         if store_positions:
                             pos.extend(f_agg.values())
+                        if payload_fn is not None:
+                            # extra ANALYZED fields carry no payloads (the
+                            # payload chain is the MAIN field's); keep the
+                            # per-term payload stream tf-aligned with NaNs
+                            pays.extend([None] * len(v)
+                                        for v in f_agg.values())
                 c_seg.append(seg)
                 c_docid.append(int(base) + int(ris.iloc[i]))
                 url = urls.iloc[i]
@@ -260,22 +302,29 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                         dls.append(dl_i)
                         if store_positions:
                             pos.append([])
+                        if payload_fn is not None:
+                            pays.append([None])
                 c_terms.append(terms)
                 c_tfs.append(tfs)
                 c_pos.append(pos)
                 c_dls.append(dls)
                 c_fdl.append(fdl)
+                if payload_fn is not None:
+                    c_pay.append(pays)
             if boosts is not None:
                 c_boost = [1.0 if (b is None or b != b) else float(b)
                            for b in boosts]
             else:
                 c_boost = [1.0] * len(c_seg)
-            yield pd.DataFrame({
+            cols = {
                 "seg": c_seg, "docid": c_docid, "url": c_url, "lang": c_lang,
                 "doclen": c_dl, "terms": c_terms, "tfs": c_tfs,
                 "positions": c_pos, "dls": c_dls, "fdl": c_fdl,
                 "boost": c_boost,
-            })
+            }
+            if payload_fn is not None:
+                cols["payloads"] = c_pay
+            yield pd.DataFrame(cols)
 
     return fn
 
@@ -295,9 +344,12 @@ def _encode_positions_blob(lists: list[np.ndarray], tfs: np.ndarray) -> bytes:
 
 
 def _encode_rows(seg: int, term: str, docids, tfs, dls, pos_lists,
-                 max_postings_per_row: int, block_size: int) -> list[dict]:
+                 max_postings_per_row: int, block_size: int,
+                 pay_lists=None) -> list[dict]:
     """One term's sorted postings → one or more encoded rows (salt-split so
     no single Arrow row exceeds ~a few MB for Zipf-head terms)."""
+    from ..payloads import encode_payloads_blob
+
     rows = []
     n = docids.size
     nsplits = (n + max_postings_per_row - 1) // max_postings_per_row
@@ -306,7 +358,10 @@ def _encode_rows(seg: int, term: str, docids, tfs, dls, pos_lists,
         enc = encode_postings(docids[lo:hi], tfs[lo:hi], dls[lo:hi], block_size=block_size)
         pos_blob = (_encode_positions_blob(pos_lists[lo:hi], tfs[lo:hi])
                     if pos_lists is not None else b"")
+        pay_blob = (encode_payloads_blob(pay_lists[lo:hi], tfs[lo:hi])
+                    if pay_lists is not None else None)
         rows.append({
+            **({"payloads_blob": pay_blob} if pay_lists is not None else {}),
             "seg": seg, "term": term, "salt": salt,
             "df": enc["df"], "cf": enc["cf"],
             "ids_blob": enc["ids_blob"], "tfs_blob": enc["tfs_blob"],
@@ -321,7 +376,8 @@ def _encode_rows(seg: int, term: str, docids, tfs, dls, pos_lists,
     return rows
 
 
-def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: bool):
+def _encode_stream(max_postings_per_row: int, block_size: int,
+                   store_positions: bool, store_payloads: bool = False):
     """mapInPandas closure over token rows sorted by (seg, term, docid)
     within the partition (the reference FormatPostingsDocsWriter consuming a
     sorted term stream, index/FormatPostingsDocsWriter.java:71-97).
@@ -340,6 +396,7 @@ def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: 
         b_tfs: list = []
         b_dls: list = []
         b_pos: list = []
+        b_pay: list = []
         out: list[dict] = []
 
         def flush():
@@ -351,9 +408,13 @@ def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: 
             dls = np.concatenate(b_dls)
             pos = ([np.asarray(p, dtype=np.int64) for chunk in b_pos for p in chunk]
                    if store_positions else None)
+            pay = ([p for chunk in b_pay for p in chunk]
+                   if store_payloads else None)
             out.extend(_encode_rows(cur_key[0], cur_key[1], ids, tfs, dls, pos,
-                                    max_postings_per_row, block_size))
+                                    max_postings_per_row, block_size,
+                                    pay_lists=pay))
             b_ids.clear(); b_tfs.clear(); b_dls.clear(); b_pos.clear()
+            b_pay.clear()
 
         for pdf in batches:
             if not len(pdf):
@@ -364,6 +425,7 @@ def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: 
             tfs = pdf["tf"].to_numpy().astype(np.int64, copy=False)
             dls = pdf["doclen"].to_numpy().astype(np.int64, copy=False)
             pos_col = pdf["positions"].to_numpy() if store_positions else None
+            pay_col = pdf["payloads"].to_numpy() if store_payloads else None
             change = np.flatnonzero(
                 (segs[1:] != segs[:-1]) | (terms[1:] != terms[:-1])) + 1
             bounds = [0, *change.tolist(), len(pdf)]
@@ -378,6 +440,8 @@ def _encode_stream(max_postings_per_row: int, block_size: int, store_positions: 
                 b_dls.append(dls[lo:hi])
                 if store_positions:
                     b_pos.append(pos_col[lo:hi])
+                if store_payloads:
+                    b_pay.append(pay_col[lo:hi])
             if len(out) >= 1024:  # only completed groups ever sit in `out`
                 yield pd.DataFrame(out)
                 out = []
@@ -439,7 +503,8 @@ def read_manifest_config(out_dir: str) -> dict:
     if not os.path.isdir(mdir):
         return cfg
     keys = ("analyzer", "analyzed_fields", "keyword_fields",
-            "store_positions", "block_size", "field_analyzers")
+            "store_positions", "block_size", "field_analyzers",
+            "payload_analyzer")
     for n in sorted(os.listdir(mdir)):
         if not (n.startswith("seg_") and n.endswith(".json")):
             continue
@@ -454,6 +519,7 @@ def read_manifest_config(out_dir: str) -> dict:
         # check must not depend on which manifest happens to sort first)
         this.setdefault("field_analyzers", {})
         this.setdefault("analyzed_fields", [])
+        this.setdefault("payload_analyzer", None)
         if not cfg:
             cfg = this
         elif any(cfg.get(k) != v for k, v in this.items()):
@@ -479,6 +545,7 @@ def build_index(
     analyzed_fields: tuple = (),
     field_analyzers: dict | None = None,
     boost_col: str | None = None,
+    payload_analyzer: str | None = None,
 ) -> dict:
     """Build (or resume) the index for the pages corpus at input_path — a
     parquet directory or an Iceberg table source string
@@ -490,6 +557,17 @@ def build_index(
       build_plan.json, tokens/seg=k/, postings/seg=k/, docmap/seg=k/,
       manifests/seg_k.json, term_dict/ + stats.json (after merge_index).
     """
+    if payload_analyzer is not None:
+        # payload-producing chain (lucene_spark/payloads.py registry): the
+        # registered base analyzer defines term+position semantics — the
+        # query side (parser, oracle) analyzes with THAT name, so the
+        # `analyzer` recorded in manifests is the base
+        from ..payloads import PAYLOAD_ANALYZERS
+
+        if payload_analyzer not in PAYLOAD_ANALYZERS:
+            raise ValueError(f"unregistered payload analyzer: "
+                             f"{payload_analyzer!r}")
+        analyzer = PAYLOAD_ANALYZERS[payload_analyzer][0]
     os.makedirs(out_dir, exist_ok=True)
     plan_path = os.path.join(out_dir, "build_plan.json")
     if resume and os.path.exists(plan_path):
@@ -533,7 +611,8 @@ def build_index(
         segs = pending[ci : ci + chunk]
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
                      max_postings_per_row, block_size, keyword_fields,
-                     analyzed_fields, field_analyzers, boost_col)
+                     analyzed_fields, field_analyzers, boost_col,
+                     payload_analyzer)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -544,8 +623,15 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  max_postings_per_row: int, block_size: int,
                  keyword_fields: tuple = (), analyzed_fields: tuple = (),
                  field_analyzers: dict | None = None,
-                 boost_col: str | None = None) -> None:
+                 boost_col: str | None = None,
+                 payload_analyzer: str | None = None) -> None:
     import pyarrow.parquet as pq
+
+    payload_fn = None
+    if payload_analyzer is not None:
+        from ..payloads import PAYLOAD_ANALYZERS
+
+        payload_fn = PAYLOAD_ANALYZERS[payload_analyzer][1]
 
     t0 = time.time()
     chunk_files = [f for f in plan.files if f.seg in set(segs)]
@@ -612,8 +698,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
                        keyword_fields, analyzed_fields, field_analyzers,
-                       boost_col),
-        schema=TOKENS_SCHEMA,
+                       boost_col, payload_fn),
+        schema=tokens_schema(payload_fn is not None),
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
     # twice (docmap + postings) without re-tokenizing
@@ -650,17 +736,21 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     # predicates prune via parquet min/max stats — the two-level term-index
     # seek of the reference (.tii/.tis, index/TermInfosWriter.java:59) falls
     # out of the storage layout.
-    (tok.select(
-            "seg", "docid",
-            F.explode(F.arrays_zip(
-                F.col("terms").alias("term"),
+    zip_cols = [F.col("terms").alias("term"),
                 F.col("tfs").alias("tf"),
                 F.col("positions").alias("positions"),
-                F.col("dls").alias("dl"))).alias("z"))
-        .select("seg", F.col("z.term").alias("term"), "docid",
-                F.col("z.tf").alias("tf"),
-                F.col("z.dl").alias("doclen"),  # per-term FIELD length
-                F.col("z.positions").alias("positions"))
+                F.col("dls").alias("dl")]
+    proj = ["seg", F.col("z.term").alias("term"), "docid",
+            F.col("z.tf").alias("tf"),
+            F.col("z.dl").alias("doclen"),  # per-term FIELD length
+            F.col("z.positions").alias("positions")]
+    if payload_fn is not None:
+        zip_cols.append(F.col("payloads").alias("payloads"))
+        proj.append(F.col("z.payloads").alias("payloads"))
+    (tok.select(
+            "seg", "docid",
+            F.explode(F.arrays_zip(*zip_cols)).alias("z"))
+        .select(*proj)
         # partition by (seg, term-bucket): every (seg, term) group still
         # lands whole in ONE partition (the encoder's only requirement),
         # but small builds get bucket×segments partitions instead of idling
@@ -670,8 +760,10 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                      "seg", F.pmod(F.xxhash64("term"),
                                    F.lit(_postings_buckets(par, len(segs)))))
         .sortWithinPartitions("seg", "term", "docid")
-        .mapInPandas(_encode_stream(max_postings_per_row, block_size, store_positions),
-                     schema=POSTINGS_SCHEMA)
+        .mapInPandas(_encode_stream(max_postings_per_row, block_size,
+                                    store_positions,
+                                    store_payloads=payload_fn is not None),
+                     schema=postings_schema(payload_fn is not None))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("seg")
         .parquet(os.path.join(out_dir, "postings")))
     _dm_t.join()
@@ -777,6 +869,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "phase_ms": dict(phases),
             "attempt": 1,
             "boost_col": boost_col,
+            "payload_analyzer": payload_analyzer,
             "analyzer": analyzer,
             "analyzed_fields": list(analyzed_fields),
             "field_analyzers": dict(field_analyzers or {}),

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import BLOCK_SIZE
 from ..codec import decode_postings
-from .build import POSTINGS_SCHEMA, _encode_stream
+from .build import POSTINGS_SCHEMA, _encode_stream, postings_schema
 
 DELETED_TERM = "\x00deleted"
 
@@ -186,6 +186,8 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
 
     cfg = read_manifest_config(index_dir)
     store_positions = bool(cfg.get("store_positions", True))
+    store_payloads = (bool(cfg.get("payload_analyzer"))
+                      and "payloads" in tok.columns)
     block_size = int(cfg.get("block_size", block_size))
     # per-term field lengths (multi-field indexes); pre-multifield token
     # layouts fall back to the doc-level doclen
@@ -195,8 +197,11 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
         ["boost"] if "boost" in tok.columns else [])
     zip_cols = [F.col("terms").alias("term"), F.col("tfs").alias("tf"),
                 F.col("positions").alias("positions")] + (
-        [F.col("dls").alias("dl")] if has_dls else [])
+        [F.col("dls").alias("dl")] if has_dls else []) + (
+        [F.col("payloads").alias("payloads")] if store_payloads else [])
     dl_col = F.col("z.dl") if has_dls else F.col("doclen")
+    pay_cols = ([F.col("z.payloads").alias("payloads")]
+                if store_payloads else [])
     # tokens is rewritten LAST: docmap/postings lineage reads the old tokens
     # files, which must still exist when those stages execute
     stages = {
@@ -207,12 +212,13 @@ def expunge_deletes(spark: SparkSession, index_dir: str,
                 F.explode(F.arrays_zip(*zip_cols)).alias("z"))
             .select("seg", F.col("z.term").alias("term"), "docid",
                     F.col("z.tf").alias("tf"), dl_col.alias("doclen"),
-                    F.col("z.positions").alias("positions"))
+                    F.col("z.positions").alias("positions"), *pay_cols)
             .repartition(len(segs), "seg")
             .sortWithinPartitions("seg", "term", "docid")
             .mapInPandas(_encode_stream(max_postings_per_row, block_size,
-                                        store_positions),
-                         schema=POSTINGS_SCHEMA)),
+                                        store_positions,
+                                        store_payloads=store_payloads),
+                         schema=postings_schema(store_payloads))),
         "tokens": tok,
     }
     # stage ALL tables first, swap after: a crash during the (long) Spark

@@ -81,6 +81,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
     th.start()
 
     analyzer = None
+    payload_analyzer = None
     field_analyzers: dict = {}
     analyzed_fields: list = []
     keyword_fields: list = ["lang", "url"]
@@ -94,6 +95,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
                 m = json.load(f)
             if analyzer is None:
                 analyzer = m.get("analyzer")
+                payload_analyzer = m.get("payload_analyzer")
                 field_analyzers = m.get("field_analyzers", {})
                 analyzed_fields = m.get("analyzed_fields", [])
                 keyword_fields = m.get("keyword_fields", keyword_fields)
@@ -153,6 +155,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         if n.endswith(".parquet"))
     stats = {
         "analyzer": analyzer or "standard",
+        "payload_analyzer": payload_analyzer,
         "field_analyzers": field_analyzers,
         "N": int(n_docs),
         "avgdl": float(avgdl),
@@ -185,7 +188,8 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
 
     def fn(key, pdf: pd.DataFrame):
         term = key[0]
-        chunks = []  # (first_docid, ids, tfs, dls, positions|None)
+        has_pay = "payloads_blob" in pdf.columns
+        chunks = []  # (first_docid, ids, tfs, dls, positions|None, payloads)
         has_pos = True
         for _, r in pdf.iterrows():
             ids, tfs, dls = decode_postings(r, block_size=block_size)
@@ -196,7 +200,13 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
             else:
                 pos = None
                 has_pos = False
-            chunks.append((int(ids[0]), ids, tfs, dls, pos))
+            pay = None
+            if has_pay and r["payloads_blob"] is not None:
+                from ..payloads import decode_payloads_at
+
+                pay = decode_payloads_at(
+                    r["payloads_blob"], tfs, np.arange(ids.size))
+            chunks.append((int(ids[0]), ids, tfs, dls, pos, pay))
         chunks.sort(key=lambda c: c[0])
         ids_l = [c[1] for c in chunks]
         tfs_l = [c[2] for c in chunks]
@@ -205,6 +215,14 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
         if has_pos:
             for c in chunks:
                 pos_l.extend(c[4])
+        pay_l = []
+        if has_pay:
+            for c in chunks:
+                # a chunk with no payload data still occupies its posting
+                # slots (None → NaN padding at encode) so later chunks'
+                # payloads stay attached to THEIR docs
+                pay_l.extend(c[5] if c[5] is not None
+                             else [None] * c[1].size)
         ids = np.concatenate(ids_l) if ids_l else np.empty(0, dtype=np.int64)
         tfs = np.concatenate(tfs_l) if tfs_l else np.empty(0, dtype=np.int64)
         dls = np.concatenate(dls_l) if dls_l else np.empty(0, dtype=np.int64)
@@ -213,6 +231,8 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
             ids, tfs, dls = ids[order], tfs[order], dls[order]
             if has_pos:
                 pos_l = [pos_l[i] for i in order]
+            if has_pay:
+                pay_l = [pay_l[i] for i in order]
         rows = []
         n = ids.size
         nsplits = (n + max_postings_per_row - 1) // max_postings_per_row
@@ -231,7 +251,14 @@ def _compact_group(block_size: int, max_postings_per_row: int, dest: int):
                     else np.empty(0, dtype=np.uint64))
             else:
                 pos_blob = b""
+            extra = {}
+            if has_pay:
+                from ..payloads import encode_payloads_blob
+
+                extra["payloads_blob"] = encode_payloads_blob(
+                    pay_l[lo:hi], tfs[lo:hi])
             rows.append({
+                **extra,
                 "seg": dest, "term": term, "salt": salt,
                 "df": enc["df"], "cf": enc["cf"],
                 "ids_blob": enc["ids_blob"], "tfs_blob": enc["tfs_blob"],
@@ -381,6 +408,8 @@ def compact_segments(
     # a mismatched block_size would silently scramble docids)
     cfg = read_manifest_config(out_dir)
     block_size = int(cfg.get("block_size", block_size))
+    from .build import postings_schema
+    out_schema = postings_schema(bool(cfg.get("payload_analyzer")))
 
     protected = referenced_segments(out_dir) & set(seg_group)
     dest = _next_merge_seg(out_dir) if protected else min(seg_group)
@@ -401,7 +430,8 @@ def compact_segments(
     # rename-commit pattern, same as the manifest writes).
     for name, df_fn in (
         ("postings", lambda df: df.groupBy("term").applyInPandas(
-            _compact_group(block_size, max_postings_per_row, dest), schema=POSTINGS_SCHEMA)),
+            _compact_group(block_size, max_postings_per_row, dest),
+            schema=out_schema)),
         ("docmap", lambda df: df.withColumn("seg", F.lit(dest))),
         ("tokens", lambda df: df.withColumn("seg", F.lit(dest))),
     ):

@@ -237,6 +237,9 @@ class IndexReader:
         # extra ANALYZED fields (analysis/PerFieldAnalyzerWrapper.java:47);
         # fields absent here use the index default
         self.field_analyzers: dict = self.stats.get("field_analyzers", {})
+        # payload-producing chain name when the index stores payloads
+        # (lucene_spark/payloads.py; None for plain indexes)
+        self.payload_analyzer: str | None = self.stats.get("payload_analyzer")
         # point-in-time segment set (NRT reopen contract — see _snapshot);
         # None (no manifests dir: pre-manifest layouts) → read everything
         from .build import committed_segments

@@ -24,6 +24,8 @@ from .queries.ast import (
     Fuzzy,
     MatchAll,
     MultiPhrase,
+    PayloadNear,
+    PayloadTerm,
     Phrase,
     Prefix,
     Query,
@@ -55,6 +57,10 @@ class OracleIndex:
     # reference norm byte (document/Document.java:88 setBoost folded by
     # index/NormsWriter.java:61) — absent docid ⇒ 1.0
     boosts: dict[int, float] = field(default_factory=dict)
+    # per-position payloads, aligned with postings' position lists
+    # (None = no payload at that position); empty for plain indexes
+    # (lucene_spark/payloads.py storage note)
+    payloads: dict[str, dict[int, list]] = field(default_factory=dict)
 
     @property
     def terms_sorted(self) -> list[str]:
@@ -87,6 +93,18 @@ class OracleIndex:
     def boost_of(self, docid: int) -> float:
         return self.boosts.get(docid, 1.0)
 
+    def payload_arr(self, term: str, docid: int) -> np.ndarray:
+        """float32 payloads at the term's positions in the doc (NaN =
+        absent) — quantized through the SAME float32 storage type the
+        engine's payloads_blob uses, so both engines score from identical
+        post-quantization values."""
+        plist = self.postings.get(term, {}).get(docid, [])
+        lst = self.payloads.get(term, {}).get(docid)
+        if lst is None:
+            return np.full(len(plist), np.nan, dtype=np.float32)
+        return np.asarray([np.nan if v is None else v for v in lst],
+                          dtype=np.float32)
+
 
 def _pairs_fn(name: str):
     """Analyzer name → positional (term, pos) pairs function — delegates to
@@ -101,7 +119,8 @@ def build_oracle_index(docs: list[tuple[int, str]],
                        extra_fields: dict[str, dict[int, str]] | None = None,
                        analyzer: str = "standard",
                        field_analyzers: dict[str, str] | None = None,
-                       boosts: dict[int, float] | None = None
+                       boosts: dict[int, float] | None = None,
+                       payload_fn=None,
                        ) -> OracleIndex:
     """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
     terms namespaced field:term with their own length stats (the reference
@@ -120,7 +139,17 @@ def build_oracle_index(docs: list[tuple[int, str]],
     analyze_main = _pairs_fn(analyzer)
     total = 0
     for docid, text in docs:
-        pairs = analyze_main(text or "")
+        if payload_fn is not None:
+            # payload-producing chain (lucene_spark/payloads.py): the
+            # (term, pos) stream defines postings exactly as the base
+            # chain would; payloads ride alongside, aligned per position
+            triples = payload_fn(text or "")
+            pairs = [(t, p) for t, p, _pay in triples]
+            for term, pos, pay in triples:
+                idx.payloads.setdefault(term, {}).setdefault(
+                    docid, []).append(pay)
+        else:
+            pairs = analyze_main(text or "")
         idx.doclen[docid] = len(pairs)
         total += len(pairs)
         for term, pos in pairs:
@@ -285,6 +314,69 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
     return out
 
 
+def _eval_payload_term(idx: OracleIndex, q) -> dict[int, float]:
+    """PayloadTermQuery (search/payloads/PayloadTermQuery.java:48-142) —
+    the shared PayloadFunction (payloads.payload_doc_score) over ALL of
+    the doc's payloads for the term; span-score leg is _eval_term's BM25."""
+    from .payloads import payload_doc_score
+
+    plist = idx.postings.get(q.term)
+    if not plist:
+        return {}
+    idf = float(bm25_idf(idx.N, len(plist)))
+    out = {}
+    for docid, positions in plist.items():
+        dsc = payload_doc_score(idx.payload_arr(q.term, docid), q.func)
+        if not q.include_span_score:
+            out[docid] = dsc
+            continue
+        w = float(bm25_tf_weight(len(positions), idx.dl_of(q.term, docid),
+                                 idx.avgdl_of(q.term)))
+        # association order pinned to the kernel: (boost·idf·w)·nrm, ×dsc
+        out[docid] = q.boost * idf * w * idx.boost_of(docid) * dsc
+    return out
+
+
+def _eval_payload_near(idx: OracleIndex, q) -> dict[int, float]:
+    """PayloadNearQuery (search/payloads/PayloadNearQuery.java:54-200) —
+    matches and per-clause matched positions from the SHARED
+    payloads.payload_near_matches (identical to the kernel), payloads
+    read at exactly those positions."""
+    from .payloads import payload_doc_score, payload_near_matches
+
+    terms = list(q.phrase_terms)
+    if not terms or any(not idx.postings.get(t) for t in terms):
+        return {}
+    cand = set(idx.postings[terms[0]].keys())
+    for t in terms[1:]:
+        cand &= idx.postings[t].keys()
+    wmin = len(terms)
+    uniq = list(dict.fromkeys(terms))
+    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    out: dict[int, float] = {}
+    for d in cand:
+        plists = [np.asarray(idx.postings[t][d], dtype=np.int64)
+                  for t in terms]
+        matches = payload_near_matches(plists, q.slop, q.in_order)
+        if not matches:
+            continue
+        fr = 0.0
+        vals: list[float] = []
+        for (s, e, clause_pos) in matches:
+            fr += 1.0 / (1.0 + max((e - s) - wmin, 0))
+            for i, p in enumerate(clause_pos):
+                j = int(np.searchsorted(plists[i], p))
+                vals.append(idx.payload_arr(terms[i], d)[j])
+        dsc = payload_doc_score(np.asarray(vals, dtype=np.float32), q.func)
+        if not q.include_span_score:
+            out[d] = dsc
+            continue
+        w = float(bm25_tf_weight(fr, idx.dl_of_any(uniq, d),
+                                 idx.avgdl_of(uniq[0])))
+        out[d] = q.boost * idf * w * idx.boost_of(d) * dsc
+    return out
+
+
 def expand_multiterm(idx_terms: list[str], q: Query,
                      max_clauses: int | None = 1024) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary
@@ -370,6 +462,10 @@ def _eval(idx: OracleIndex, q: Query) -> dict[int, float]:
         return _eval_multiphrase(idx, q)
     if isinstance(q, SpanQuery):
         return _eval_span(idx, q)
+    if isinstance(q, PayloadTerm):
+        return _eval_payload_term(idx, q)
+    if isinstance(q, PayloadNear):
+        return _eval_payload_near(idx, q)
     if isinstance(q, FuzzyLikeThis):
         # contrib FuzzyLikeThisQuery rewrite (FuzzyLikeThisQuery.java:254):
         # same shared resolver as the planner, fed the oracle dictionary

@@ -288,6 +288,55 @@ class SpanFirst(SpanQuery):
         return self.match.terms()
 
 
+# --- payload family (reference search/payloads/; lucene_spark/payloads.py) ---
+
+
+@dataclass
+class PayloadTerm(Query):
+    """search/payloads/PayloadTermQuery.java:48-142 — a term query whose
+    score is multiplied by a PayloadFunction over the payloads at the
+    term's matched positions in each doc: score = spanScore ×
+    func(payloads) when `include_span_score` (the reference default),
+    else func(payloads) alone (PayloadTermQuery.java:135-140; the boost
+    lives in the span-score weight, so payload-only scoring ignores it —
+    same as the reference, whose queryWeight is part of the span score).
+    spanScore here is the engine's BM25 term score (north rule; the
+    reference's TF-IDF span score substituted engine-wide). `func` is one
+    of 'avg'|'min'|'max' (Average/Min/MaxPayloadFunction); docs where no
+    matched position carries a payload score func=1
+    (AveragePayloadFunction.java:36)."""
+
+    term: str
+    func: str = "avg"
+    include_span_score: bool = True
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass
+class PayloadNear(Query):
+    """search/payloads/PayloadNearQuery.java:54-200 — SpanNear over TERM
+    clauses whose score is multiplied by a PayloadFunction over the
+    payloads at every matched clause position of every matching span
+    (getPayloads walks all subspans, PayloadNearQuery.java:152-178).
+    Span semantics are the engine's deterministic-greedy near matchers
+    (payloads.payload_near_matches ≡ spans.py on width-1 clauses); span
+    score is BM25 over the sloppy span frequency like every span query
+    here."""
+
+    phrase_terms: list[str] = field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+    func: str = "avg"
+    include_span_score: bool = True
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+
 @dataclass
 class DisjunctionMax(Query):
     queries: list[Query] = field(default_factory=list)

@@ -38,6 +38,8 @@ from .ast import (
     DisjunctionMax,
     MatchAll,
     MultiPhrase,
+    PayloadNear,
+    PayloadTerm,
     Phrase,
     Query,
     SpanQuery,
@@ -218,6 +220,40 @@ class SegmentPostings:
         if not ids.size:
             return ids, []
         return ids, np.split(flat, np.cumsum(lens)[:-1])
+
+    def payloads_for(self, term: str, targets: np.ndarray
+                     ) -> tuple[np.ndarray, list[np.ndarray]]:
+        """(docids ∩ targets, per-doc float32 payload arrays, NaN = no
+        payload at that position) — the payload twin of positions_for,
+        decoded only for target docs (the reference reads a position's
+        payload lazily on demand, index/SegmentTermPositions.java
+        getPayload). Rows without a payload stream (plain index, or legacy
+        rows merged into a payload index) yield all-NaN arrays, so payload
+        scoring degrades to docScore=1 exactly like the reference's
+        isPayloadAvailable()=false path. `targets` must be sorted, unique,
+        tombstone-free (same contract as positions_flat_for)."""
+        from ..payloads import decode_payloads_at
+
+        out_ids: list[np.ndarray] = []
+        out_pays: list[np.ndarray] = []
+        for r in self.rows[term]:
+            ids, tfs, _ = decode_postings(r, self.block_size)
+            sel = np.flatnonzero(np.isin(ids, targets, assume_unique=True))
+            if not sel.size:
+                continue
+            blob = r.get("payloads_blob")
+            if not isinstance(blob, (bytes, bytearray, memoryview)):
+                # no payload stream on this row (plain index, side-car-free
+                # legacy row, or a NULL slot from unionByName)
+                out_pays.extend(
+                    np.full(int(tfs[i]), np.nan, dtype=np.float32)
+                    for i in sel)
+            else:
+                out_pays.extend(decode_payloads_at(blob, tfs, sel))
+            out_ids.append(ids[sel])
+        if not out_ids:
+            return np.empty(0, dtype=np.int64), []
+        return np.concatenate(out_ids), out_pays
 
     def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
         ub = 0.0
@@ -798,6 +834,103 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
                          if oi in clause_results], q.boost)
 
 
+def _eval_payload_term(sp: SegmentPostings, ctx: Ctx, q: PayloadTerm):
+    """PayloadTermQuery (search/payloads/PayloadTermQuery.java:48-142):
+    every position of the term is a matched position, so docScore =
+    PayloadFunction over ALL of the doc's payloads for the term; final
+    score = BM25 span score × docScore when include_span_score (the
+    reference default), else docScore alone (the boost rides the span
+    score, so payload-only scoring ignores it — PayloadTermQuery.java:
+    135-140)."""
+    from ..payloads import payload_doc_score
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if not sp.has(q.term):
+        return empty
+    ids, tfs, dls = sp.full(q.term)
+    if ids.size == 0:
+        return empty
+    _pids, pays = sp.payloads_for(q.term, ids)
+    doc_sc = np.asarray([payload_doc_score(p, q.func) for p in pays],
+                        dtype=np.float64)
+    if not q.include_span_score:
+        return ids, doc_sc
+    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls,
+                                                    ctx.avgdl_of(q.term))
+    return ids, sp.apply_boost(ids, sc) * doc_sc
+
+
+def _eval_payload_near(sp: SegmentPostings, ctx: Ctx, q: PayloadNear):
+    """PayloadNearQuery (search/payloads/PayloadNearQuery.java:54-200):
+    SpanNear over term clauses; docScore = PayloadFunction over the
+    payloads at every matched clause position of every matching span
+    (getPayloads walks all subspans). Span frequency is the engine's
+    sloppy span freq (Σ 1/(1+slack)) so the span-score leg is identical
+    to the SpanNear over the same clauses (pinned by tests)."""
+    from ..payloads import payload_doc_score, payload_near_matches
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    terms = list(q.phrase_terms)
+    if not terms or any(not sp.has(t) for t in terms):
+        return empty
+    cand: np.ndarray | None = None
+    for t in dict.fromkeys(terms):
+        ids = sp.full(t)[0]
+        cand = ids if cand is None else np.intersect1d(
+            cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    cand = np.sort(cand)
+    pos_by: list[dict[int, np.ndarray]] = []
+    pay_by: list[dict[int, np.ndarray]] = []
+    seen: dict[str, int] = {}
+    for t in terms:
+        if t in seen:  # duplicate clause: share the decoded streams
+            pos_by.append(pos_by[seen[t]])
+            pay_by.append(pay_by[seen[t]])
+            continue
+        seen[t] = len(pos_by)
+        ids_t, pls = sp.positions_for(t, cand)
+        _i2, pas = sp.payloads_for(t, cand)
+        pos_by.append({int(d): pl for d, pl in zip(ids_t, pls)})
+        pay_by.append({int(d): pa for d, pa in zip(ids_t, pas)})
+    wmin = len(terms)
+    docs_l: list[int] = []
+    frs_l: list[float] = []
+    dsc_l: list[float] = []
+    for d in cand:
+        d = int(d)
+        plists = [pos_by[i].get(d) for i in range(len(terms))]
+        if any(p is None for p in plists):
+            continue
+        matches = payload_near_matches(plists, q.slop, q.in_order)
+        if not matches:
+            continue
+        fr = 0.0
+        vals: list[float] = []
+        for (s, e, clause_pos) in matches:
+            fr += 1.0 / (1.0 + max((e - s) - wmin, 0))
+            for i, p in enumerate(clause_pos):
+                j = int(np.searchsorted(plists[i], p))
+                vals.append(pay_by[i][d][j])
+        docs_l.append(d)
+        frs_l.append(fr)
+        dsc_l.append(payload_doc_score(
+            np.asarray(vals, dtype=np.float32), q.func))
+    if not docs_l:
+        return empty
+    docs = np.asarray(docs_l, dtype=np.int64)
+    doc_sc = np.asarray(dsc_l, dtype=np.float64)
+    if not q.include_span_score:
+        return docs, doc_sc
+    uniq = list(dict.fromkeys(terms))
+    idf = float(sum(ctx.idf(t) for t in uniq))
+    dls = _dl_map(sp, uniq, docs)
+    sc = q.boost * idf * bm25_tf_weight(
+        np.asarray(frs_l, dtype=np.float64), dls, ctx.avgdl_of(uniq[0]))
+    return docs, sp.apply_boost(docs, sc) * doc_sc
+
+
 def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
     """→ (sorted docids, scores) for this segment.
 
@@ -816,6 +949,10 @@ def eval_query(sp: SegmentPostings, ctx: Ctx, q: Query, top: bool = False):
         return _eval_multiphrase(sp, ctx, q)
     if isinstance(q, SpanQuery):
         return _eval_span(sp, ctx, q)
+    if isinstance(q, PayloadTerm):
+        return _eval_payload_term(sp, ctx, q)
+    if isinstance(q, PayloadNear):
+        return _eval_payload_near(sp, ctx, q)
     if isinstance(q, ConstantScore):
         inner = q.query
         if isinstance(inner, Bool) and _is_term_disjunction(inner):

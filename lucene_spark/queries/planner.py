@@ -266,7 +266,9 @@ class Searcher:
         for side in (deleted_rows(self.reader.spark, self.reader.index_dir),
                      norms_rows(self.reader.spark, self.reader.index_dir)):
             if side is not None:
-                rows = rows.unionByName(side)
+                # payload indexes carry payloads_blob on postings rows;
+                # side-cars stay on the base schema (their slot fills NULL)
+                rows = rows.unionByName(side, allowMissingColumns=True)
         return rows
 
     def _live_docmap(self) -> DataFrame:

@@ -111,10 +111,13 @@ def append_to_index(
         analyzed_fields = tuple(cfg.get("analyzed_fields", ()))
     if block_size is None:
         block_size = int(cfg.get("block_size", BLOCK_SIZE))
+    field_analyzers = cfg.get("field_analyzers") or None
+    payload_analyzer = cfg.get("payload_analyzer")
     if pending:
         _build_chunk(spark, plan, pending, index_dir, analyzer,
                      store_positions, max_postings_per_row, block_size,
-                     tuple(keyword_fields), tuple(analyzed_fields))
+                     tuple(keyword_fields), tuple(analyzed_fields),
+                     field_analyzers, None, payload_analyzer)
     if pending and refresh_stats:
         merge_index(spark, index_dir)
     if pending and commit_points:
