@@ -30,6 +30,8 @@ from .ast import (
     DisjunctionMax,
     Fuzzy,
     MatchAll,
+    PayloadNear,
+    PayloadTerm,
     Phrase,
     Prefix,
     Query,
@@ -50,13 +52,31 @@ from .parser import parse_query
 
 MAX_CLAUSES = 1024  # reference BooleanQuery.maxClauseCount (search/BooleanQuery.java:34)
 
+
+def _needs_payloads(q) -> bool:
+    """True iff the query tree (or any tree in a list/dict of them) holds a
+    payload-scoring node — the only consumers of the payloads_blob column.
+    Generic dataclass walk so new composite nodes are covered by default."""
+    from dataclasses import fields as _dfields
+
+    if q is None:
+        return False
+    if isinstance(q, (list, tuple, dict)):
+        vals = q.values() if isinstance(q, dict) else q
+        return any(_needs_payloads(c) for c in vals)
+    if isinstance(q, (PayloadTerm, PayloadNear)):
+        return True
+    if not isinstance(q, Query):
+        return False
+    return any(_needs_payloads(getattr(q, f.name)) for f in _dfields(q))
+
+
 # ConstantScoreAutoRewrite cutoffs (search/MultiTermQuery.java:382-386):
 # ≥350 enumerated terms, or visited df ≥ 0.1 % of maxDoc → filter rewrite
 AUTO_TERM_CUTOFF = 350
 AUTO_DOC_COUNT_PERCENT = 0.1
 
 _MULTITERM = (Prefix, Wildcard, Fuzzy, Regexp, TermRange)
-
 
 
 def _terms_pred(terms: list[str]):
@@ -253,6 +273,18 @@ class Searcher:
         return rows.repartition(parts, "seg")
 
     # ------------------------------------------------------------------ #
+    def _postings_for(self, pred, q=None) -> DataFrame:
+        """Pushed-down postings scan for the query's terms, with the
+        payload column PRUNED whenever the query tree holds no
+        payload-scoring node: parquet is columnar, so a plain query over a
+        payload-bearing index reads zero payload bytes (ReadSchema excludes
+        payloads_blob — the reference equivalent is that .prx payload bytes
+        are only read through getPayload, never on the docs/freqs path)."""
+        rows = self.reader.postings().where(pred)
+        if "payloads_blob" in rows.columns and not _needs_payloads(q):
+            rows = rows.drop("payloads_blob")
+        return rows
+
     def _with_deleted(self, rows: DataFrame) -> DataFrame:
         """Union the side-car rows into the kernel input: tombstones so
         each segment kernel can subtract its deleted set (the per-segment
@@ -561,7 +593,7 @@ class Searcher:
         if pred is None:
             return None
         rows = self._with_job(
-            self._with_deleted(self.reader.postings().where(pred)),
+            self._with_deleted(self._postings_for(pred)),
             (k, boost))
         return self._apply_grouped(self._kernel_rows(rows), self._filter_udf)
 
@@ -600,7 +632,7 @@ class Searcher:
 
         qterms = [t for t in terms if t in dfs]
         rows = self._with_job(
-            self._with_deleted(self.reader.postings().where(_terms_pred(qterms))),
+            self._with_deleted(self._postings_for(_terms_pred(qterms), q)),
             (q, ctx))
         per_seg = self._apply_grouped(
             self._kernel_rows(rows, n_terms=len(qterms)), self._topk_udf)
@@ -647,7 +679,7 @@ class Searcher:
             qterms = [t for t in all_terms if t in dfs]
             rows = self._with_job(
                 self._with_deleted(
-                    self.reader.postings().where(_terms_pred(qterms))),
+                    self._postings_for(_terms_pred(qterms), kernel_qs)),
                 (kernel_qs, ctx_by))
             per_seg = self._apply_grouped(
                 self._kernel_rows(rows, n_terms=len(qterms)), self._many_udf)
@@ -688,7 +720,7 @@ class Searcher:
                   avgdl_fields=self.reader.avgdl_fields)
         rows = self._with_job(
             self._with_deleted(
-                self.reader.postings().where(_terms_pred(list(dfs)))),
+                self._postings_for(_terms_pred(list(dfs)), q)),
             (q, ctx))
         return self._apply_grouped(
             self._kernel_rows(rows, n_terms=len(dfs)), self._topk_udf)
@@ -836,7 +868,7 @@ class Searcher:
             return self.reader.spark.createDataFrame(
                 [], "docid long, term string, tf long, dl long, df long, "
                     "idf double, tf_weight double, score double")
-        rows = self.reader.postings().where(_terms_pred(list(dfs)))
+        rows = self._postings_for(_terms_pred(list(dfs)))
 
         def decode(batches):
             import numpy as np
@@ -891,7 +923,7 @@ class Searcher:
                   avgdl_fields=self.reader.avgdl_fields)
         rows = self._with_job(
             self._with_deleted(
-                self.reader.postings().where(_terms_pred(list(dfs)))),
+                self._postings_for(_terms_pred(list(dfs)), q)),
             (q, ctx))
         return (self._apply_grouped(
                     self._kernel_rows(rows, n_terms=len(dfs)),

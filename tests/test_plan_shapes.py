@@ -141,3 +141,25 @@ def test_embedding_cosine_no_forced_broadcast(spark, fresh_sf):
     with _no_auto_broadcast(spark):
         plan = _exec_plan(spark, "dedup_embedding_cosine", sf=fresh_sf)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_payload_column_pruned_unless_needed(spark):
+    """Over the payload-bearing contract index, a plain TermQuery's postings
+    scan must NOT read payloads_blob (columnar pruning — the .prx payload
+    bytes are only read through getPayload in the reference, never on the
+    docs/freqs path), while a PayloadTerm's scan must."""
+    from lucene_spark.queries.ast import PayloadTerm, Term
+    from lucene_spark.queries.planner import Searcher
+
+    s = Searcher(E._index_pay(spark, SF))
+    plain = s.search(Term("order"), k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    pay = s.search(PayloadTerm("order", func="avg"), k=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    scans = [ln for ln in plain.splitlines() if "FileScan parquet" in ln
+             and "postings" in ln]
+    assert scans, plain
+    assert all("payloads_blob" not in ln for ln in scans), plain
+    pay_scans = [ln for ln in pay.splitlines() if "FileScan parquet" in ln
+                 and "postings" in ln]
+    assert any("payloads_blob" in ln for ln in pay_scans), pay
