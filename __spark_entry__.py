@@ -1300,6 +1300,47 @@ _MIX_THRESHOLDS = {"en": 9000, "es": 6000, "de": 6000, "fr": 6000, "zh": 3000}
 _MIX_DEFAULT_THRESHOLD = 5000
 
 
+def _syn_urls(spark, sf_dir):
+    """Deterministic URL column over `documents` (the table carries no URL,
+    so the driver entry synthesizes one from doc_id — ground truth is the
+    construction, the mm_binary_meta pattern): docs {d, d+7, d+14} inside
+    each 21-block share a logical URL, presented as three alias spellings
+    (plain / UPPER+`:80`+trailing-slash / tracking-param). Every 97th doc
+    gets an unparseable URL (the hostile-input contract: quarantined, not
+    crashed on)."""
+    d = _docs(spark, sf_dir)
+    docid = F.col("doc_id")
+    host = F.concat(F.lit("h"), (docid % 7).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/p/"), F.expr("doc_id DIV 21").cast("string"))
+    v = docid % 3
+    url = (
+        F.when(docid % 97 == 0, F.lit("garbage"))
+        .when(v == 0, F.concat(F.lit("http://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80"),
+                               path, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://"), host, path,
+                            F.lit("?utm_source=x")))
+    )
+    return d.select("doc_id", url.alias("url"), "text")
+
+
+def _q_text_url_stats(spark, sf_dir):
+    """Host-level crawl health over canonicalized URLs (urls.py
+    host_stats): page count, distinct canonical URLs, URL-alias rate,
+    exact-text dup rate — one aggregation shuffle keyed on host."""
+    from lucene_spark.urls import host_stats
+    return host_stats(_syn_urls(spark, sf_dir)).orderBy("host")
+
+
+def _q_text_url_dedup(spark, sf_dir):
+    """URL-level dedup (urls.py url_dedup): one survivor per canonical
+    URL (min doc_id), unparseable-URL rows all kept."""
+    from lucene_spark.urls import url_dedup
+    out = url_dedup(_syn_urls(spark, sf_dir), order_col="doc_id")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def _q_text_sample_mix(spark, sf_dir):
     """Deterministic stratified corpus sampling for training-data mixing:
     keep a document iff knuth_hash(doc_id) mod 10000 falls under its
@@ -2084,6 +2125,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
         "ft_payload_near": _q_ft_payload_near,
+        # round 4: URL canonicalization / URL dedup / host stats — the
+        # first dedup pass of a crawl pipeline (lucene_spark/urls.py)
+        "text_url_stats": _q_text_url_stats,
+        "text_url_dedup": _q_text_url_dedup,
     }
 
 
@@ -2833,6 +2878,34 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         "ft_term_tail": _sql_term("dup"),
         "ft_phrase2": _sql_phrase("order", "sort"),
+        # URL ops: the synthesized aliases {d, d+7, d+14} per 21-block all
+        # canonicalize to f(host, d DIV 21), so ground truth is doc_id
+        # arithmetic — the oracle never parses a URL
+        "text_url_stats": """WITH d AS (
+  SELECT doc_id, text,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         doc_id // 21 AS p
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT p) AS BIGINT) AS n_urls,
+       round(1.0 - count(DISTINCT p) / CAST(count(*) AS DOUBLE), 4)
+         AS url_alias_rate,
+       CAST(count(DISTINCT md5(coalesce(text, chr(0) || 'null'))) AS BIGINT)
+         AS n_distinct_texts,
+       round(1.0 - count(DISTINCT md5(coalesce(text, chr(0) || 'null')))
+             / CAST(count(*) AS DOUBLE), 4) AS text_dup_rate
+FROM d GROUP BY host ORDER BY host""",
+        "text_url_dedup": """WITH good AS (
+  SELECT doc_id, doc_id % 7 AS h, doc_id // 21 AS p
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT doc_id FROM (
+  SELECT min(doc_id) AS doc_id FROM good GROUP BY h, p
+  UNION ALL
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+) ORDER BY doc_id""",
         # payload = (pos % 8) + 1 (the contract_pospay chain) restated from
         # tok positions; association order ((idf·w)·docScore) matches the
         # kernel's _eval_payload_term / _eval_payload_near
