@@ -285,6 +285,21 @@ def _q_ft_payload_near(spark, sf_dir):
     return _topk_pay(spark, sf_dir, q)
 
 
+def _q_ft_payload_extract(spark, sf_dir):
+    """PayloadSpanUtil.getPayloadsForQuery analog
+    (search/payloads/PayloadSpanUtil.java:66): the payload multiset at the
+    matched positions of Bool(should=[Term('key'), Phrase(['key',
+    'order'])]) — term unit contributes every 'key' payload, the phrase
+    unit the payloads at both positions of each exact 'key order' match."""
+    q = Bool(should=[Term("key"), Phrase(["key", "order"])])
+    s = Searcher(_index_pay(spark, sf_dir))
+    out = s.payloads_for_query(q)
+    dm = _index_pay(spark, sf_dir).docmap().select("docid", "url")
+    return (dm.join(out, "docid")
+            .select(F.col("url").cast("long").alias("doc_id"), "payload")
+            .orderBy("doc_id", "payload"))
+
+
 def _q_ft_multiphrase(spark, sf_dir):
     """MultiPhraseQuery (search/MultiPhraseQuery.java:39): ("order"|"sort")
     immediately followed by ("table"|"scan")."""
@@ -2125,6 +2140,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
         "ft_payload_near": _q_ft_payload_near,
+        "ft_payload_extract": _q_ft_payload_extract,
         # round 4: URL canonicalization / URL dedup / host stats — the
         # first dedup pass of a crawl pipeline (lucene_spark/urls.py)
         "text_url_stats": _q_text_url_stats,
@@ -2909,6 +2925,18 @@ SELECT doc_id FROM (
         # payload = (pos % 8) + 1 (the contract_pospay chain) restated from
         # tok positions; association order ((idf·w)·docScore) matches the
         # kernel's _eval_payload_term / _eval_payload_near
+        "ft_payload_extract": f"""WITH {_PRELUDE},
+m AS (
+  SELECT a.doc_id, a.pos AS p
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'key' AND b.term = 'order'
+)
+SELECT doc_id, payload FROM (
+  SELECT doc_id, CAST((pos % 8) + 1 AS DOUBLE) AS payload
+  FROM tok WHERE term = 'key'
+  UNION ALL SELECT doc_id, CAST((p % 8) + 1 AS DOUBLE) FROM m
+  UNION ALL SELECT doc_id, CAST(((p + 1) % 8) + 1 AS DOUBLE) FROM m
+) ORDER BY doc_id, payload""",
         "ft_payload_term": f"""WITH {_PRELUDE},
 pays AS (
   SELECT doc_id, avg(CAST((pos % 8) + 1 AS DOUBLE)) AS dsc

@@ -377,6 +377,35 @@ def _eval_payload_near(idx: OracleIndex, q) -> dict[int, float]:
     return out
 
 
+def oracle_payloads_for_query(idx: OracleIndex, q: Query
+                              ) -> list[tuple[int, float]]:
+    """Single-node PayloadSpanUtil.getPayloadsForQuery — the SAME
+    payload_units conversion and extract_unit_payloads walker the Spark
+    kernel uses, fed the oracle's postings/payloads. Sorted
+    (docid, payload) multiset."""
+    from .payloads import extract_unit_payloads, payload_units
+
+    pos_cache: dict[str, dict] = {}
+    pay_cache: dict[str, dict] = {}
+
+    def pos_of(t: str) -> dict:
+        if t not in pos_cache:
+            pos_cache[t] = {d: np.asarray(pl, dtype=np.int64)
+                            for d, pl in idx.postings.get(t, {}).items()}
+            pay_cache[t] = {d: idx.payload_arr(t, d)
+                            for d in idx.postings.get(t, {})}
+        return pos_cache[t]
+
+    def pay_of(t: str) -> dict:
+        pos_of(t)
+        return pay_cache[t]
+
+    out: list[tuple[int, float]] = []
+    for u in payload_units(q):
+        out.extend(extract_unit_payloads(u, pos_of, pay_of))
+    return sorted(out)
+
+
 def expand_multiterm(idx_terms: list[str], q: Query,
                      max_clauses: int | None = 1024) -> list[str]:
     """MultiTermQuery term enumeration against the term dictionary

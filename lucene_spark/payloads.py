@@ -241,6 +241,169 @@ def payload_doc_score(values: np.ndarray, func: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# PayloadSpanUtil (search/payloads/PayloadSpanUtil.java) — query → units
+# ---------------------------------------------------------------------------
+
+def payload_units(q) -> list:
+    """PayloadSpanUtil.queryToSpanQuery (PayloadSpanUtil.java:74-170)
+    re-expressed as flat extraction units:
+
+      ("term", term)                        TermQuery / SpanTermQuery
+      ("or", [terms])                       SpanOr of terms
+      ("near", clauses, slop, in_order)     PhraseQuery (in_order iff
+                                            slop==0, the reference rule) /
+                                            MultiPhraseQuery / SpanNear —
+                                            each clause a list of
+                                            alternative terms
+
+    Boolean recurses into non-prohibited clauses (must + should;
+    PayloadSpanUtil.java:80 isProhibited skip); DisjunctionMax into every
+    leg; FilteredQuery into its scored side. Shapes the reference's
+    if-chain does not handle contribute NOTHING (same silent-skip — its
+    javadoc says to rewrite wildcards first). SpanNot/SpanFirst/SpanMask
+    raise: the reference serves them through generic Spans payload
+    iteration, which this engine does not re-express (documented
+    deviation)."""
+    from .queries.ast import (Bool, Boosting, ConstantScore, DisjunctionMax,
+                              MultiPhrase, PayloadNear, PayloadTerm, Phrase,
+                              SpanNear, SpanOr, SpanQuery, SpanTerm, Term)
+
+    def clause_terms(c) -> list[str]:
+        if isinstance(c, SpanTerm):
+            return [c.term]
+        if isinstance(c, SpanOr) and all(
+                isinstance(s, SpanTerm) for s in c.clauses):
+            return [s.term for s in c.clauses]
+        raise ValueError(
+            f"unsupported span clause for payload extraction: {type(c).__name__}")
+
+    units: list = []
+
+    def walk(q) -> None:
+        if isinstance(q, Bool):
+            for c in list(q.must) + list(q.should):
+                walk(c)
+        elif isinstance(q, Phrase):
+            # reference PhraseQuery branch: terms only, in_order iff
+            # slop==0 (PayloadSpanUtil.java:86-101; position holes are
+            # ignored there too)
+            units.append(("near", [[t] for t in q.phrase_terms], q.slop,
+                          q.slop == 0))
+        elif isinstance(q, MultiPhrase):
+            # MultiPhraseQuery branch (PayloadSpanUtil.java:117-166):
+            # group alternatives by query position, add position gaps to
+            # the slop, in_order iff slop==0
+            by_pos: dict[int, list[str]] = {}
+            for slot, p in zip(q.slots, q.qpositions()):
+                by_pos.setdefault(p, []).extend(slot)
+            gaps = (max(by_pos) + 1) - len(by_pos) if by_pos else 0
+            units.append(("near", [by_pos[p] for p in sorted(by_pos)],
+                          q.slop + gaps, q.slop == 0))
+        elif isinstance(q, (Term, PayloadTerm)):
+            units.append(("term", q.term))
+        elif isinstance(q, PayloadNear):
+            units.append(("near", [[t] for t in q.phrase_terms], q.slop,
+                          q.in_order))
+        elif isinstance(q, SpanTerm):
+            units.append(("term", q.term))
+        elif isinstance(q, SpanOr):
+            units.append(("or", clause_terms(q)))
+        elif isinstance(q, SpanNear):
+            units.append(("near", [clause_terms(c) for c in q.clauses],
+                          q.slop, q.in_order))
+        elif isinstance(q, SpanQuery):
+            raise ValueError(
+                f"unsupported span shape for payload extraction: {type(q).__name__}")
+        elif isinstance(q, DisjunctionMax):
+            for c in q.queries:
+                walk(c)
+        elif isinstance(q, (ConstantScore,)):
+            walk(q.query)
+        elif isinstance(q, Boosting):
+            walk(q.match)
+        # anything else: silently contributes nothing (reference if-chain)
+
+    walk(q)
+    return units
+
+
+def unit_terms(units: list) -> list[str]:
+    """All terms an extraction-unit list touches (postings scan pred)."""
+    out: list[str] = []
+    for u in units:
+        if u[0] == "term":
+            out.append(u[1])
+        elif u[0] == "or":
+            out.extend(u[1])
+        else:
+            for alts in u[1]:
+                out.extend(alts)
+    return list(dict.fromkeys(out))
+
+
+def merge_clause_doc(pos_arrays: list, pay_arrays: list
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """One doc, one clause: merge the alternative terms' (positions,
+    payloads) into one position-sorted pair (a SpanOr clause's merged
+    spans). Alternatives never share a position (one token per position
+    in this engine's chains)."""
+    pos = np.concatenate(pos_arrays) if pos_arrays else np.empty(0, np.int64)
+    pay = (np.concatenate(pay_arrays) if pay_arrays
+           else np.empty(0, np.float32))
+    order = np.argsort(pos, kind="stable")
+    return pos[order], pay[order]
+
+
+def extract_unit_payloads(unit, pos_of, pay_of) -> list[tuple[int, float]]:
+    """(docid, payload) pairs for one extraction unit — payloads at every
+    matched position, NaN (absent) skipped like the reference's
+    isPayloadAvailable() gate (PayloadSpanUtil.java:173-178). `pos_of` /
+    `pay_of`: term → {docid → positions / aligned payloads}. Shared by the
+    Spark kernel and the single-node oracle."""
+    out: list[tuple[int, float]] = []
+
+    def emit(d: int, vals) -> None:
+        for v in vals:
+            if not np.isnan(v):
+                out.append((d, float(v)))
+
+    if unit[0] in ("term", "or"):
+        terms = [unit[1]] if unit[0] == "term" else unit[1]
+        docs = sorted({d for t in terms for d in pos_of(t)})
+        for d in docs:
+            pos_a = [pos_of(t)[d] for t in terms if d in pos_of(t)]
+            pay_a = [pay_of(t)[d] for t in terms if d in pay_of(t)]
+            _p, pay = merge_clause_doc(pos_a, pay_a)
+            emit(d, pay)
+        return out
+
+    _kind, clauses, slop, in_order = unit
+    docsets = []
+    for alts in clauses:
+        ds: set = set()
+        for t in alts:
+            ds |= set(pos_of(t))
+        docsets.append(ds)
+    cand = sorted(set.intersection(*docsets)) if docsets else []
+    for d in cand:
+        plists, paylists = [], []
+        for alts in clauses:
+            pos_a = [pos_of(t)[d] for t in alts if d in pos_of(t)]
+            pay_a = [pay_of(t)[d] for t in alts if d in pay_of(t)]
+            p, pay = merge_clause_doc(pos_a, pay_a)
+            plists.append(p)
+            paylists.append(pay)
+        for (_s, _e, clause_pos) in payload_near_matches(plists, slop,
+                                                         in_order):
+            vals = []
+            for i, p in enumerate(clause_pos):
+                j = int(np.searchsorted(plists[i], p))
+                vals.append(paylists[i][j])
+            emit(d, vals)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # near matching with per-clause match positions (PayloadNearQuery support)
 # ---------------------------------------------------------------------------
 

@@ -1237,6 +1237,44 @@ def segment_filter_ids(pdf: pd.DataFrame, k: int, boost: float,
                          "score": np.full(ids.size, boost, dtype=np.float64)})
 
 
+def segment_payload_values(pdf: pd.DataFrame, units: list,
+                           block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """PayloadSpanUtil extraction for ONE segment → (docid, payload) rows:
+    the payloads at every matched position of every extraction unit
+    (lucene_spark/payloads.py payload_units), NaN/absent skipped. Decoded
+    streams are cached per term so units sharing a term pay once."""
+    from ..payloads import extract_unit_payloads
+
+    sp = SegmentPostings(pdf, block_size)
+    pos_cache: dict[str, dict] = {}
+    pay_cache: dict[str, dict] = {}
+
+    def pos_of(t: str) -> dict:
+        if t not in pos_cache:
+            if not sp.has(t):
+                pos_cache[t] = {}
+                pay_cache[t] = {}
+            else:
+                ids = np.sort(sp.full(t)[0])
+                ids_p, pls = sp.positions_for(t, ids)
+                _i, pas = sp.payloads_for(t, ids)
+                pos_cache[t] = {int(d): pl for d, pl in zip(ids_p, pls)}
+                pay_cache[t] = {int(d): pa for d, pa in zip(ids_p, pas)}
+        return pos_cache[t]
+
+    def pay_of(t: str) -> dict:
+        pos_of(t)
+        return pay_cache[t]
+
+    rows: list[tuple[int, float]] = []
+    for u in units:
+        rows.extend(extract_unit_payloads(u, pos_of, pay_of))
+    if not rows:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "payload": pd.Series(dtype="float64")})
+    return pd.DataFrame(rows, columns=["docid", "payload"])
+
+
 def segment_topk(pdf: pd.DataFrame, q: Query, ctx: Ctx, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
     """Entry point for applyInPandas: one segment's query-term posting rows →
     per-segment top-k (docid, score) with docid-asc tie-break (the reference

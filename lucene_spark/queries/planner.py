@@ -218,6 +218,26 @@ class Searcher:
             self._explain_udf_c = run
         return self._explain_udf_c
 
+    @property
+    def _payx_udf(self):
+        if not hasattr(self, "_payx_udf_c"):
+            import pickle
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            from .kernel import segment_payload_values as _payx
+
+            import zlib
+
+            @pandas_udf("docid long, payload double",
+                        PandasUDFType.GROUPED_MAP)
+            def run(pdf):
+                units = pickle.loads(zlib.decompress(bytes(pdf["_job"].iloc[0])))
+                return _payx(pdf, units)
+
+            self._payx_udf_c = run
+        return self._payx_udf_c
+
     @staticmethod
     def _with_job(rows: DataFrame, payload) -> DataFrame:
         """Attach the pickled (query, ctx) payload as a literal column.
@@ -851,6 +871,38 @@ class Searcher:
     def count(self, query: Query | str) -> int:
         """Total hits (reference TopDocs.totalHits)."""
         return self.matching(query).count()
+
+    def payloads_for_query(self, query: Query | str) -> DataFrame:
+        """PayloadSpanUtil.getPayloadsForQuery
+        (search/payloads/PayloadSpanUtil.java:66-178) →
+        DataFrame(docid long, payload double): every payload at every
+        matched position of the query's extraction units (term / phrase /
+        multiphrase / boolean / dismax / span near-or-term shapes —
+        payloads.payload_units documents the exact conversion and its
+        silent-skip rule). Runs distributed on the SAME plan family as
+        search(): pushed-down postings scan for the units' terms,
+        per-segment extraction kernel, no driver-side postings. Rows are a
+        multiset (one row per matched payload occurrence)."""
+        from ..payloads import payload_units, unit_terms
+
+        q = self.parse(query) if isinstance(query, str) else query
+        q = self.rewrite(q)
+        units = payload_units(q)
+        terms = unit_terms(units)
+        empty = self.reader.spark.createDataFrame(
+            [], "docid long, payload double")
+        if not terms:
+            return empty
+        # payloads_blob stays in the scan by construction: the pred-only
+        # postings read here never passes through _postings_for's pruning
+        rows = self._with_job(
+            self._with_deleted(
+                self.reader.postings().where(_terms_pred(terms))),
+            units)
+        return (self._apply_grouped(
+                    self._kernel_rows(rows, n_terms=len(terms)),
+                    self._payx_udf)
+                .orderBy("docid", "payload"))
 
     def explain(self, query: Query | str) -> DataFrame:
         """Per-(doc, term) score decomposition for the query's terms —

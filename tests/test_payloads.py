@@ -405,3 +405,84 @@ def test_payloads_survive_append(spark, pay_corpus, tmp_path_factory):
               PayloadNear(["alpha", "beta"], slop=2, in_order=True,
                           func="avg")):
         assert_rank_identical(_topk(s, q), oracle_search(oracle, q, K))
+
+
+# ---------------------------------------------------------------------------
+# PayloadSpanUtil analog: payloads at a query's matched positions
+# ---------------------------------------------------------------------------
+
+def test_payload_units_conversion():
+    from lucene_spark.payloads import payload_units
+    from lucene_spark.queries.ast import (Bool, MultiPhrase, Phrase, Prefix,
+                                          SpanNear, SpanNot, SpanOr,
+                                          SpanTerm, Term)
+
+    # boolean: prohibited (must_not) clauses skipped, must+should recurse
+    u = payload_units(Bool(must=[Term("a")], should=[Phrase(["b", "c"])],
+                           must_not=[Term("x")]))
+    assert u == [("term", "a"), ("near", [["b"], ["c"]], 0, True)]
+    # sloppy phrase: in_order iff slop == 0 (the reference rule)
+    assert payload_units(Phrase(["a", "b"], slop=2)) == [
+        ("near", [["a"], ["b"]], 2, False)]
+    # multiphrase: alternatives grouped per position, gaps fold into slop
+    mp = MultiPhrase([["a", "b"], ["c"]], positions=[0, 2])
+    assert payload_units(mp) == [("near", [["a", "b"], ["c"]], 1, True)]
+    # span near with an or-clause
+    sn = SpanNear([SpanTerm("a"), SpanOr([SpanTerm("b"), SpanTerm("c")])],
+                  slop=1, in_order=True)
+    assert payload_units(sn) == [("near", [["a"], ["b", "c"]], 1, True)]
+    # unhandled non-span shapes contribute nothing (reference if-chain)
+    assert payload_units(Prefix("ab")) == []
+    # unsupported span subtypes raise (documented deviation)
+    with pytest.raises(ValueError):
+        payload_units(SpanNot(SpanTerm("a"), SpanTerm("b")))
+
+
+def test_payload_extraction_hand_values():
+    from lucene_spark.oracle import oracle_payloads_for_query
+    from lucene_spark.queries.ast import Bool, Phrase, Term
+
+    fn = make_delimited_payload("whitespace", "|")
+    idx = build_oracle_index(
+        [(0, "a|1 b|2 a|3"), (1, "a|9 c b"), (2, "b|5 a|4")],
+        analyzer="whitespace", payload_fn=fn)
+    # term unit: every 'a' payload per doc
+    assert oracle_payloads_for_query(idx, Term("a")) == [
+        (0, 1.0), (0, 3.0), (1, 9.0), (2, 4.0)]
+    # phrase 'a b': doc0 a@0 b@1 -> payloads 1,2; doc1 a@0 c@1 (no adj b);
+    # doc2 b@0 a@1 wrong order
+    assert oracle_payloads_for_query(idx, Phrase(["a", "b"])) == [
+        (0, 1.0), (0, 2.0)]
+    # boolean multiset: term 'b' (NaN-absent at doc1 skipped) + phrase
+    got = oracle_payloads_for_query(
+        idx, Bool(should=[Term("b"), Phrase(["a", "b"])]))
+    assert got == [(0, 1.0), (0, 2.0), (0, 2.0), (2, 5.0)]
+
+
+PAYX_QUERIES = [
+    Term("alpha"),
+    Bool(must=[Term("alpha")], should=[Term("beta")],
+         must_not=[Term("gamma")]),
+    PayloadNear(["alpha", "beta"], slop=2, in_order=True),
+    SpanNear([SpanTerm("beta"), SpanTerm("gamma")], slop=1, in_order=False),
+]
+
+
+@pytest.mark.parametrize("q", PAYX_QUERIES, ids=lambda q: type(q).__name__)
+def test_payloads_for_query_engine_vs_oracle(pay_searcher, pay_oracle, q):
+    from lucene_spark.oracle import oracle_payloads_for_query
+
+    got = [(int(r["docid"]), float(r["payload"]))
+           for r in pay_searcher.payloads_for_query(q).collect()]
+    assert got == oracle_payloads_for_query(pay_oracle, q)
+
+
+def test_payloads_for_query_phrase(pay_searcher, pay_oracle):
+    from lucene_spark.oracle import oracle_payloads_for_query
+    from lucene_spark.queries.ast import Phrase
+
+    q = Phrase(["alpha", "beta"])
+    got = [(int(r["docid"]), float(r["payload"]))
+           for r in pay_searcher.payloads_for_query(q).collect()]
+    want = oracle_payloads_for_query(pay_oracle, q)
+    assert got == want and len(want) > 0
