@@ -1168,6 +1168,27 @@ def _explain_node(sp: SegmentPostings, ctx: Ctx, q: Query, scale: float,
     if isinstance(q, Boosting):
         _explain_node(sp, ctx, q.match, scale * q.boost, recs)
         return
+    if isinstance(q, (PayloadTerm, PayloadNear)):
+        # payload row: freq carries the PayloadFunction docScore (the
+        # reference Explanation nests "payload score" under the span
+        # score, PayloadTermQuery.java explain), weight the span tf-weight
+        from dataclasses import replace
+
+        ids, sc = eval_query(sp, ctx, q)
+        if not ids.size:
+            return
+        _i2, dsc = eval_query(sp, ctx, replace(q, include_span_score=False))
+        uniq = list(dict.fromkeys(q.terms()))
+        label = "payload(" + " ".join(uniq) + f"):{q.func}"
+        idf = float(sum(ctx.idf(t) for t in uniq))
+        dls = _dl_map(sp, uniq, ids)
+        boosted = sp.apply_boost(ids, np.ones(ids.size))
+        denom = q.boost * idf * boosted * dsc
+        w = np.divide(sc, denom, out=np.zeros_like(sc),
+                      where=denom != 0) if idf else np.zeros(ids.size)
+        _explain_rows(recs, ids, label, "payload", dsc, dls, idf, w,
+                      sc * scale)
+        return
     # MatchAll / unknown shapes: nothing postings-backed to decompose
 
 

@@ -486,3 +486,20 @@ def test_payloads_for_query_phrase(pay_searcher, pay_oracle):
            for r in pay_searcher.payloads_for_query(q).collect()]
     want = oracle_payloads_for_query(pay_oracle, q)
     assert got == want and len(want) > 0
+
+
+def test_explain_full_payload_components(pay_searcher):
+    """explain_full decomposes payload queries: kind='payload' rows whose
+    freq column carries the PayloadFunction docScore and whose score
+    equals the search() score per doc."""
+    q = PayloadTerm("alpha", func="avg")
+    ex = {int(r["docid"]): r for r in
+          pay_searcher.explain_full(q).collect()}
+    top = {int(r["docid"]): float(r["score"])
+           for r in pay_searcher.search(q, k=5).collect()}
+    assert top and set(top) <= set(ex)
+    for d, s in top.items():
+        r = ex[d]
+        assert r["kind"] == "payload" and r["component"].endswith(":avg")
+        assert math.isclose(float(r["score"]), s, rel_tol=1e-9)
+        assert r["freq"] > 0  # the docScore leg
