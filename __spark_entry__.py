@@ -1356,6 +1356,36 @@ def _q_text_url_dedup(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def _q_text_pii_scrub(spark, sf_dir):
+    """PII scrub + per-type counts (lucene_spark/pii.py) over documents
+    text with deterministically synthesized PII (the table carries none —
+    ground truth is the construction, the URL-ops pattern): doc_id%3==0
+    gets an email, %4==0 an IPv4, %5==0 a phone. Output: per-doc counts +
+    md5 of the scrubbed text (so a mis-redaction hash-fails). One narrow
+    projection, no shuffle below the contract orderBy."""
+    from lucene_spark.pii import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" contact u"), i.cast("string"), F.lit("@ex"),
+            (i % 5).cast("string"), F.lit(".com"))).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(
+            F.lit(" from 10.0."), (i % 256).cast("string"),
+            F.lit(".7"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit(" call 555-000-"),
+            F.lpad((i % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+    )
+    out = pii_scrub(d.select("doc_id", t.alias("text")))
+    return (out.select("doc_id", "n_email", "n_ip", "n_phone",
+                       F.md5("text").alias("scrub_md5"))
+            .orderBy("doc_id"))
+
+
 def _q_text_sample_mix(spark, sf_dir):
     """Deterministic stratified corpus sampling for training-data mixing:
     keep a document iff knuth_hash(doc_id) mod 10000 falls under its
@@ -2145,6 +2175,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first dedup pass of a crawl pipeline (lucene_spark/urls.py)
         "text_url_stats": _q_text_url_stats,
         "text_url_dedup": _q_text_url_dedup,
+        # round 4: PII detection + scrubbing (lucene_spark/pii.py)
+        "text_pii_scrub": _q_text_pii_scrub,
     }
 
 
@@ -2913,6 +2945,42 @@ SELECT host,
        round(1.0 - count(DISTINCT md5(coalesce(text, chr(0) || 'null')))
              / CAST(count(*) AS DOUBLE), 4) AS text_dup_rate
 FROM d GROUP BY host ORDER BY host""",
+        # PII scrub: the synthesized text is restated in SQL, the patterns
+        # verbatim from lucene_spark/pii.py (RE2-safe subset), counts with
+        # the same pass precedence (each type counted after the previous
+        # types were redacted), 'g' flag ≙ Spark's replace-all
+        "text_pii_scrub": """WITH syn AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-000-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM syn
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\-\\s]{7,13}\\d')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '\\+?\\d[\\d\\-\\s]{7,13}\\d', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
+FROM s3 ORDER BY doc_id""",
         "text_url_dedup": """WITH good AS (
   SELECT doc_id, doc_id % 7 AS h, doc_id // 21 AS p
   FROM documents WHERE doc_id % 97 <> 0
