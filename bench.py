@@ -167,7 +167,11 @@ def main() -> None:
                 "text_decontaminate", "text_dup_ngram_coverage",
                 "ft_percolate",
                 "ann_cosine_topk", "ann_knn_join",
-                "ann_ivf_search", "events_sessionize")
+                "ann_ivf_search", "events_sessionize",
+                # round 4: URL canonicalization/host stats, PII scrub,
+                # payload-scored term query (its warm pass also pays the
+                # one-time payload-index build, cached per sf dir)
+                "text_url_stats", "text_pii_scrub", "ft_payload_term")
     efns = dict(entry.queries())
     efns.update(entry.extra_queries())
     for name in PIPELINE:
