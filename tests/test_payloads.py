@@ -503,3 +503,40 @@ def test_explain_full_payload_components(pay_searcher):
         assert r["kind"] == "payload" and r["component"].endswith(":avg")
         assert math.isclose(float(r["score"]), s, rel_tol=1e-9)
         assert r["freq"] > 0  # the docScore leg
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): blob codec alignment invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_pay_val = st.one_of(st.none(), st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32))
+
+
+@given(st.lists(st.tuples(
+    st.integers(min_value=1, max_value=6),           # tf
+    st.lists(_pay_val, max_size=8)), max_size=20))   # payload list (any len)
+@settings(max_examples=60, deadline=None)
+def test_payload_blob_alignment_property(doc_specs):
+    """For ANY tf vector and ANY ragged/short/None payload lists, the blob
+    decodes to exactly sum(tf) float32 slots, each doc's slice carries its
+    first min(len, tf) values (None → NaN) and NaN-pads the rest — the
+    alignment-is-an-invariant contract of encode_payloads_blob."""
+    tfs = np.array([tf for tf, _ in doc_specs], dtype=np.int64)
+    pays = [pl for _, pl in doc_specs]
+    blob = encode_payloads_blob(pays, tfs)
+    flat = decode_payloads_flat(blob)
+    assert flat.size == int(tfs.sum())
+    per_doc = decode_payloads_at(blob, tfs, np.arange(tfs.size)) \
+        if tfs.size else []
+    for (tf, pl), arr in zip(doc_specs, per_doc):
+        assert arr.size == tf
+        for j in range(tf):
+            want = pl[j] if j < len(pl) else None
+            if want is None:
+                assert np.isnan(arr[j])
+            else:
+                assert arr[j] == np.float32(want)
