@@ -2963,19 +2963,19 @@ FROM d GROUP BY host ORDER BY host""",
 ),
 s1 AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         CAST(coalesce(len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_email,
          regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
   FROM syn
 ),
 s2 AS (
   SELECT doc_id, n_email,
-         CAST(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+         CAST(coalesce(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')), 0) AS BIGINT) AS n_ip,
          regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t
   FROM s1
 ),
 s3 AS (
   SELECT doc_id, n_email, n_ip,
-         CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\-\\s]{7,13}\\d')) AS BIGINT) AS n_phone,
+         CAST(coalesce(len(regexp_extract_all(t, '\\+?\\d[\\d\\-\\s]{7,13}\\d')), 0) AS BIGINT) AS n_phone,
          regexp_replace(t, '\\+?\\d[\\d\\-\\s]{7,13}\\d', '<PHONE>', 'g') AS t
   FROM s2
 )

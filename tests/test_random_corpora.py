@@ -26,6 +26,10 @@ _OPS = [
     "text_sample_mix", "text_source_stats", "text_dup_ngram_coverage",
     "dedup_cluster", "text_unigram_logprob", "text_dup_run",
     "text_winnow_fp",
+    # round 4: URL + PII ops (synthesized from doc_id + text; the
+    # null-injected corpora exercise NULL-text propagation through
+    # host_stats' md5 sentinel and pii's count/md5 semantics)
+    "text_url_stats", "text_url_dedup", "text_pii_scrub",
 ]
 
 _VOCABS = {
