@@ -55,6 +55,7 @@ from lucene_spark.queries.ast import (
     Term,
     TermRange,
 )
+from lucene_spark import spatial
 from lucene_spark.payloads import make_position_payload, register_payload_analyzer
 from lucene_spark.queries.ast import PayloadNear, PayloadTerm
 from lucene_spark.queries.percolate import percolate
@@ -2125,6 +2126,81 @@ def _q_ft_percolate(spark, sf_dir):
             .orderBy("doc_id", "query_id"))
 
 
+# Geo surface (contrib/spatial analog — lucene_spark/spatial.py). The
+# sandbox tables carry no coordinates, so the documents table gets
+# deterministic lat/lng derived from doc_id with integer arithmetic the
+# DuckDB oracle reproduces exactly (same multiply/mod/scale, both engines
+# compute in int64 then divide by 100.0).
+_GEO_CENTER = (40.0, -74.0)     # search center
+_GEO_RADIUS = 2000.0            # miles (distance filter)
+_GEO_JOIN_RADIUS = 500.0        # miles (pairwise join)
+
+_GEO_TABLE_SQL = """SELECT doc_id,
+  (doc_id * 7919 % 17000) / 100.0 - 85.0 AS lat,
+  (doc_id * 104729 % 35900) / 100.0 - 179.5 AS lng
+FROM documents"""
+
+
+def _geo_dist_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """The LatLng.java:107-138 arc distance as SQL text (identical
+    constants and clamps to lucene_spark.spatial.arc_distance_miles)."""
+    c = "0.01745329251994"
+    cosb = (f"(cos((90.0 - {lat1}) * {c}) * cos((90.0 - {lat2}) * {c})"
+            f" + sin((90.0 - {lat1}) * {c}) * sin((90.0 - {lat2}) * {c})"
+            f" * cos(({lng2} - {lng1}) * {c}))")
+    return (f"(CASE WHEN {cosb} < -1.0 THEN pi() * 3963.205"
+            f" WHEN {cosb} >= 1.0 THEN 0.0"
+            f" ELSE acos({cosb}) * 3963.205 END)")
+
+
+_GEO_KNN_CENTER = (10.0, 10.0)  # knn probe point
+
+_GEO_SQL = (f"geo AS ({_GEO_TABLE_SQL}),\n"
+            f"gdist AS (SELECT doc_id, "
+            + _geo_dist_sql("lat", "lng", repr(_GEO_CENTER[0]),
+                            f"({_GEO_CENTER[1]!r})")
+            + " AS dist FROM geo),\n"
+            f"gknn AS (SELECT doc_id, "
+            + _geo_dist_sql("lat", "lng", repr(_GEO_KNN_CENTER[0]),
+                            f"({_GEO_KNN_CENTER[1]!r})")
+            + " AS dist FROM geo)")
+
+
+def _geo_docs(spark, sf_dir):
+    lat = (F.col("doc_id") * 7919 % 17000) / 100.0 - 85.0
+    lng = (F.col("doc_id") * 104729 % 35900) / 100.0 - 179.5
+    return _docs(spark, sf_dir).select("doc_id", lat.alias("lat"),
+                                       lng.alias("lng"))
+
+
+def _q_geo_distance_search(spark, sf_dir):
+    """Radius search: pushed-down bounding-box predicate, exact arc
+    distance (LatLng.java:107-138 formula), distance-then-docid order —
+    the DistanceQueryBuilder pipeline (contrib/spatial)."""
+    out = spatial.distance_search(_geo_docs(spark, sf_dir), *_GEO_CENTER,
+                                  _GEO_RADIUS)
+    return out.select("doc_id", F.round("distance_miles", 4)
+                      .alias("dist_mi"))
+
+
+def _q_geo_knn(spark, sf_dir):
+    """10 nearest docs to a point — DistanceFieldComparatorSource sort as
+    one TakeOrderedAndProject."""
+    out = spatial.knn_search(_geo_docs(spark, sf_dir), *_GEO_KNN_CENTER, 10)
+    return out.select("doc_id", F.round("distance_miles", 4)
+                      .alias("dist_mi"))
+
+
+def _q_geo_distance_join(spark, sf_dir):
+    """All doc pairs within 500 miles via the bounded grid-cell equality
+    join (CartesianShapeFilter analog) + exact verify — never a cross
+    join; the oracle states ground truth with the brute-force predicate."""
+    g = _geo_docs(spark, sf_dir)
+    out = spatial.distance_join(g, g, _GEO_JOIN_RADIUS).where("a < b")
+    return out.select("a", "b", F.round("distance_miles", 4)
+                      .alias("dist_mi"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operator variants consolidated out of the 50-entry driver registry
     (each is the same code path as a registry sibling with one knob
@@ -2177,6 +2253,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_dedup": _q_text_url_dedup,
         # round 4: PII detection + scrubbing (lucene_spark/pii.py)
         "text_pii_scrub": _q_text_pii_scrub,
+        # round 4: contrib/spatial analog (lucene_spark/spatial.py)
+        "geo_distance_search": _q_geo_distance_search,
+        "geo_knn": _q_geo_knn,
+        "geo_distance_join": _q_geo_distance_join,
     }
 
 
@@ -3331,4 +3411,22 @@ SELECT doc_id, query_id FROM (
                  WHERE t.doc_id = d.doc_id
                    AND t.term >= 'batch' AND t.term <= 'column')
 ) ORDER BY doc_id, query_id""",
+        # geo: brute-force ground truth over the derived coordinates with
+        # the reference arc-distance formula (LatLng.java:107-138 — the
+        # truncated 0.01745329251994 deg→rad constant, radius 3963.205 mi,
+        # clamped cosB). The engine's grid/box pruning must change nothing.
+        "geo_distance_search": f"""WITH {_GEO_SQL}
+SELECT doc_id, round(dist, 4) AS dist_mi
+FROM gdist WHERE dist <= {_GEO_RADIUS}""",
+        "geo_knn": f"""WITH {_GEO_SQL}
+SELECT doc_id, round(dist, 4) AS dist_mi
+FROM gknn ORDER BY dist, doc_id LIMIT 10""",
+        "geo_distance_join": f"""WITH geo AS ({_GEO_TABLE_SQL}),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         {_geo_dist_sql('a.lat', 'a.lng', 'b.lat', 'b.lng')} AS dist
+  FROM geo a, geo b WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, round(dist, 4) AS dist_mi
+FROM pairs WHERE dist <= {_GEO_JOIN_RADIUS}""",
     }

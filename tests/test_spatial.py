@@ -1,0 +1,218 @@
+"""contrib/spatial parity: geohash / tier / arc-distance twins, and the
+distance search + bounded grid-cell distance join vs brute force.
+
+Reference cites: contrib/spatial/.../geohash/GeoHashUtils.java (encode
+vectors from TestGeoHashUtils.java:34-40), geometry/LatLng.java:107-138
+(arcDistance), tier/projections/CartesianTierPlotter.java:86-103,
+tier/DistanceQueryBuilder.java (filter-then-exact pipeline)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.spatial import (
+    arc_distance_miles, arc_distance_miles_py, bounding_box, distance_join,
+    distance_search, geohash_col, geohash_decode_py, geohash_py, knn_search,
+    tier_box_id, tier_box_id_py, _max_dlng_deg_py,
+)
+
+
+def _rand_points(seed, n, lat_span=(-89.0, 89.0), lng_span=(-180.0, 180.0)):
+    rng = random.Random(seed)
+    return [(i, rng.uniform(*lat_span), rng.uniform(*lng_span))
+            for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# pure twins vs the reference's published vectors
+# ---------------------------------------------------------------------------
+
+def test_geohash_reference_vectors():
+    # TestGeoHashUtils.java:34-40
+    assert geohash_py(42.6, -5.6) == "ezs42e44yx96"
+    assert geohash_py(57.64911, 10.40744) == "u4pruydqqvj8"
+
+
+def test_geohash_decode_roundtrip():
+    # TestGeoHashUtils.java:47-56 (decode within 1e-5 of the original)
+    for lat, lng in [(52.3738007, 4.8909347), (84.6, 10.5), (-31.3, 151.2)]:
+        dlat, dlng = geohash_decode_py(geohash_py(lat, lng))
+        assert abs(dlat - lat) < 1e-5 and abs(dlng - lng) < 1e-5
+
+
+def test_arc_distance_known_values():
+    # one degree of latitude = R * pi/180 miles everywhere
+    one_deg = 3963.205 * 0.01745329251994
+    assert arc_distance_miles_py(0, 0, 1, 0) == pytest.approx(one_deg,
+                                                              rel=1e-9)
+    assert arc_distance_miles_py(10, 20, 10, 20) == 0.0
+    # antipodal clamp (LatLng.java:132-133)
+    assert arc_distance_miles_py(0, 0, 0, 180) == pytest.approx(
+        math.pi * 3963.205, rel=1e-9)
+
+
+def test_max_dlng_bound_is_sound():
+    """The longitude bound must dominate every realized pair: random pairs
+    within R miles always have circular lng separation <= the bound at the
+    pair's max |lat|."""
+    rng = random.Random(7)
+    for _ in range(2000):
+        lat1, lng1 = rng.uniform(-89, 89), rng.uniform(-180, 180)
+        lat2 = min(89.0, max(-89.0, lat1 + rng.uniform(-2, 2)))
+        lng2 = lng1 + rng.uniform(-3, 3)
+        d = arc_distance_miles_py(lat1, lng1, lat2, lng2)
+        if d > 150.0 or d == 0.0:
+            continue
+        sep = abs(lng2 - lng1)
+        sep = min(sep, 360 - sep)
+        bound = _max_dlng_deg_py(d, max(abs(lat1), abs(lat2)))
+        assert sep <= bound + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# JVM columns == pure twins
+# ---------------------------------------------------------------------------
+
+def test_geohash_col_matches_py(spark):
+    pts = _rand_points(42, 300) + [(900, 42.6, -5.6),
+                                   (901, 57.64911, 10.40744),
+                                   (902, -90.0, -180.0), (903, 90.0, 180.0),
+                                   (904, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    got = {r["doc_id"]: r["h"]
+           for r in df.select("doc_id",
+                              geohash_col(F.col("lat"), F.col("lng"))
+                              .alias("h")).collect()}
+    for i, lat, lng in pts:
+        assert got[i] == geohash_py(lat, lng), (i, lat, lng)
+
+
+def test_geohash_col_precision_prefix(spark):
+    df = spark.createDataFrame([(42.6, -5.6)], "lat double, lng double")
+    row = df.select(geohash_col(F.col("lat"), F.col("lng"), 5).alias("h"),
+                    geohash_col(F.col("lat"), F.col("lng"), 12).alias("h12")
+                    ).first()
+    assert row["h"] == "ezs42" and row["h12"].startswith(row["h"])
+
+
+def test_tier_box_id_matches_py(spark):
+    pts = _rand_points(7, 200)
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    for level in (2, 4, 9, 15):
+        got = {r["doc_id"]: r["t"]
+               for r in df.select("doc_id",
+                                  tier_box_id(F.col("lat"), F.col("lng"),
+                                              level).alias("t")).collect()}
+        for i, lat, lng in pts:
+            assert got[i] == pytest.approx(tier_box_id_py(lat, lng, level),
+                                           abs=1e-12)
+
+
+def test_arc_distance_col_matches_py(spark):
+    pts = _rand_points(11, 200)
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    got = {r["doc_id"]: r["d"]
+           for r in df.select("doc_id",
+                              arc_distance_miles(F.col("lat"), F.col("lng"),
+                                                 F.lit(40.0), F.lit(-74.0))
+                              .alias("d")).collect()}
+    for i, lat, lng in pts:
+        assert got[i] == pytest.approx(
+            arc_distance_miles_py(lat, lng, 40.0, -74.0), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# distance search / knn / join vs brute force
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,center,radius", [
+    (1, (40.0, -74.0), 400.0),
+    (2, (-33.9, 151.2), 800.0),
+    (3, (64.1, -21.9), 600.0),      # high latitude
+    (4, (0.0, 179.5), 500.0),       # dateline-crossing box
+    (5, (87.0, 10.0), 700.0),       # near-polar: full-ring lng window
+])
+def test_distance_search_matches_brute_force(spark, seed, center, radius):
+    pts = _rand_points(seed, 500)
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    got = [(r["doc_id"], r["distance_miles"])
+           for r in distance_search(df, center[0], center[1],
+                                    radius).collect()]
+    want = sorted(
+        ((i, arc_distance_miles_py(lat, lng, *center))
+         for i, lat, lng in pts
+         if arc_distance_miles_py(lat, lng, *center) <= radius),
+        key=lambda t: (t[1], t[0]))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
+
+
+def test_knn_matches_brute_force(spark):
+    pts = _rand_points(21, 400)
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    got = [r["doc_id"] for r in knn_search(df, 10.0, 10.0, 15).collect()]
+    want = [i for i, _ in sorted(
+        ((i, arc_distance_miles_py(lat, lng, 10.0, 10.0))
+         for i, lat, lng in pts), key=lambda t: (t[1], t[0]))[:15]]
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,radius,span", [
+    (31, 200.0, ((-60.0, 60.0), (-180.0, 180.0))),
+    (32, 350.0, ((55.0, 89.5), (-180.0, 180.0))),   # polar band
+    (33, 150.0, ((-20.0, 20.0), (170.0, 180.0))),   # dateline cluster
+])
+def test_distance_join_matches_brute_force(spark, seed, radius, span):
+    pts = _rand_points(seed, 220, lat_span=span[0], lng_span=span[1])
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lng double")
+    got = {(r["a"], r["b"]) for r in
+           distance_join(df, df, radius).where("a < b").collect()}
+    want = set()
+    for i, (ai, alat, alng) in enumerate(pts):
+        for bi, blat, blng in pts[i + 1:]:
+            if arc_distance_miles_py(alat, alng, blat, blng) <= radius:
+                want.add((ai, bi))
+    assert got == want
+
+
+def test_distance_search_pushes_box_to_scan(spark, tmp_path):
+    """The coarse stage must reach the Parquet reader as PushedFilters on
+    lat — the scan-pruning analog of the reference's tier filter."""
+    pts = _rand_points(99, 1000)
+    p = str(tmp_path / "geo.parquet")
+    spark.createDataFrame(pts, "doc_id long, lat double, lng double") \
+         .write.mode("overwrite").parquet(p)
+    plan = distance_search(spark.read.parquet(p), 40.0, -74.0, 300.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lat" in plan and "LessThanOrEqual(lat" in plan
+
+
+def test_bounding_box_contains_circle():
+    rng = random.Random(17)
+    for _ in range(300):
+        lat0, lng0 = rng.uniform(-80, 80), rng.uniform(-180, 180)
+        radius = rng.uniform(10, 1500)
+        lat_min, lat_max, lng_min, lng_max = bounding_box(lat0, lng0, radius)
+        for _ in range(30):
+            brg = rng.uniform(0, 2 * math.pi)
+            # point at ~radius along bearing (small-angle sphere step)
+            dlat = (radius / (3963.205 * 0.01745329251994)) * math.cos(brg)
+            lat = max(-89.9, min(89.9, lat0 + dlat))
+            dlng = (radius / (3963.205 * 0.01745329251994)) * math.sin(brg) \
+                / max(1e-6, math.cos(math.radians(lat)))
+            lng = lng0 + dlng
+            if arc_distance_miles_py(lat0, lng0, lat,
+                                     ((lng + 180) % 360) - 180) > radius:
+                continue
+            assert lat_min - 1e-9 <= lat <= lat_max + 1e-9
+            w = ((lng + 180) % 360) - 180
+            if lng_min <= -180.0 and lng_max >= 180.0:
+                continue
+            in_box = (lng_min - 1e-9 <= lng <= lng_max + 1e-9
+                      or lng_min - 1e-9 <= lng - 360 <= lng_max + 1e-9
+                      or lng_min - 1e-9 <= lng + 360 <= lng_max + 1e-9)
+            assert in_box, (lat0, lng0, radius, lat, w)
