@@ -36,7 +36,13 @@ from .queries.ast import (
     Wildcard,
 )
 from .queries.flt import FuzzyLikeThis, resolve_fuzzy_like_this
-from .scoring import bm25_idf, bm25_tf_weight, levenshtein, phrase_freq, wildcard_to_regex
+from .scoring import levenshtein, phrase_freq, wildcard_to_regex
+
+
+def _default_sim():
+    from .scoring import DEFAULT_SIMILARITY
+
+    return DEFAULT_SIMILARITY
 
 
 @dataclass
@@ -61,6 +67,9 @@ class OracleIndex:
     # (None = no payload at that position); empty for plain indexes
     # (lucene_spark/payloads.py storage note)
     payloads: dict[str, dict[int, list]] = field(default_factory=dict)
+    # pluggable Similarity (search/Similarity.java:527) — same strategy
+    # object the engine's Ctx carries, so both engines swap together
+    sim: object = field(default_factory=lambda: _default_sim())
 
     @property
     def terms_sorted(self) -> list[str]:
@@ -121,6 +130,7 @@ def build_oracle_index(docs: list[tuple[int, str]],
                        field_analyzers: dict[str, str] | None = None,
                        boosts: dict[int, float] | None = None,
                        payload_fn=None,
+                       similarity=None,
                        ) -> OracleIndex:
     """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
     terms namespaced field:term with their own length stats (the reference
@@ -129,9 +139,10 @@ def build_oracle_index(docs: list[tuple[int, str]],
     {docid: boost} index-time document boosts — quantized through the SAME
     byte315 codec the engine's norms side-car stores, so both engines score
     with the identical post-quantization multiplier."""
-    from .scoring import byte315_to_float, float_to_byte315
+    from .scoring import byte315_to_float, float_to_byte315, similarity_by_name
 
     idx = OracleIndex()
+    idx.sim = similarity_by_name(similarity)
     idx.analyzer = analyzer
     idx.field_analyzers = dict(field_analyzers or {})
     idx.boosts = {d: float(byte315_to_float(float_to_byte315([b]))[0])
@@ -180,10 +191,10 @@ def _eval_term(idx: OracleIndex, q: Term) -> dict[int, float]:
     if not plist:
         return {}
     df = len(plist)
-    idf = float(bm25_idf(idx.N, df))
+    idf = float(idx.sim.term_weight(idx.N, df))
     out = {}
     for docid, positions in plist.items():
-        w = float(bm25_tf_weight(len(positions), idx.dl_of(q.term, docid),
+        w = float(idx.sim.tf_weight(len(positions), idx.dl_of(q.term, docid),
                                  idx.avgdl_of(q.term)))
         # index-time doc boost multiplies LAST — same association order as
         # the kernel's apply_boost over (q.boost * idf * tfw)
@@ -213,11 +224,11 @@ def _eval_phrase(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     # PhraseWeight semantics (Similarity.idfExplain sums term idfs), which
     # needs only global term stats (segment-local kernels can't know global
     # phrase df)
-    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in dict.fromkeys(q.phrase_terms)))
+    idf = float(sum(idx.sim.term_weight(idx.N, idx.df(t)) for t in dict.fromkeys(q.phrase_terms)))
     t0 = q.phrase_terms[0]
     return {
         d: q.boost * idf * float(
-            bm25_tf_weight(f, idx.dl_of(t0, d), idx.avgdl_of(t0)))
+            idx.sim.tf_weight(f, idx.dl_of(t0, d), idx.avgdl_of(t0)))
         * idx.boost_of(d)
         for d, f in freqs.items()
     }
@@ -245,13 +256,13 @@ def _eval_multiphrase(idx: OracleIndex, q: MultiPhrase) -> dict[int, float]:
     qpos = q.qpositions()
     uniq = list(dict.fromkeys(q.terms()))
     # absent terms (df=0) contribute no idf — matches the kernel's Ctx.idf
-    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    idf = float(sum(idx.sim.term_weight(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
     out: dict[int, float] = {}
     for d in cand:
         f = phrase_freq([sp[d] for sp in slot_pos], qpos, q.slop)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of_any(uniq, d),
+                idx.sim.tf_weight(f, idx.dl_of_any(uniq, d),
                                idx.avgdl_of(uniq[0]))) * idx.boost_of(d)
     return out
 
@@ -303,13 +314,13 @@ def _eval_span(idx: OracleIndex, q: SpanQuery) -> dict[int, float]:
         return {}
     wmin = span_width_min(q)
     uniq = list(dict.fromkeys(q.terms()))
-    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    idf = float(sum(idx.sim.term_weight(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
     out: dict[int, float] = {}
     for d, sp_arr in spans.items():
         f = span_freq(sp_arr, wmin)
         if f > 0:
             out[d] = q.boost * idf * float(
-                bm25_tf_weight(f, idx.dl_of_any(uniq, d),
+                idx.sim.tf_weight(f, idx.dl_of_any(uniq, d),
                                idx.avgdl_of(uniq[0]))) * idx.boost_of(d)
     return out
 
@@ -323,14 +334,14 @@ def _eval_payload_term(idx: OracleIndex, q) -> dict[int, float]:
     plist = idx.postings.get(q.term)
     if not plist:
         return {}
-    idf = float(bm25_idf(idx.N, len(plist)))
+    idf = float(idx.sim.term_weight(idx.N, len(plist)))
     out = {}
     for docid, positions in plist.items():
         dsc = payload_doc_score(idx.payload_arr(q.term, docid), q.func)
         if not q.include_span_score:
             out[docid] = dsc
             continue
-        w = float(bm25_tf_weight(len(positions), idx.dl_of(q.term, docid),
+        w = float(idx.sim.tf_weight(len(positions), idx.dl_of(q.term, docid),
                                  idx.avgdl_of(q.term)))
         # association order pinned to the kernel: (boost·idf·w)·nrm, ×dsc
         out[docid] = q.boost * idf * w * idx.boost_of(docid) * dsc
@@ -352,7 +363,7 @@ def _eval_payload_near(idx: OracleIndex, q) -> dict[int, float]:
         cand &= idx.postings[t].keys()
     wmin = len(terms)
     uniq = list(dict.fromkeys(terms))
-    idf = float(sum(bm25_idf(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
+    idf = float(sum(idx.sim.term_weight(idx.N, idx.df(t)) for t in uniq if idx.df(t)))
     out: dict[int, float] = {}
     for d in cand:
         plists = [np.asarray(idx.postings[t][d], dtype=np.int64)
@@ -371,7 +382,7 @@ def _eval_payload_near(idx: OracleIndex, q) -> dict[int, float]:
         if not q.include_span_score:
             out[d] = dsc
             continue
-        w = float(bm25_tf_weight(fr, idx.dl_of_any(uniq, d),
+        w = float(idx.sim.tf_weight(fr, idx.dl_of_any(uniq, d),
                                  idx.avgdl_of(uniq[0])))
         out[d] = q.boost * idf * w * idx.boost_of(d) * dsc
     return out

@@ -30,7 +30,7 @@ import pandas as pd
 from .. import BLOCK_SIZE
 from ..codec import (decode_block, decode_positions,
                      decode_positions_flat_at, decode_postings)
-from ..scoring import bm25_idf, bm25_tf_weight, phrase_freq
+from ..scoring import DEFAULT_SIMILARITY, phrase_freq
 from .ast import (
     Bool,
     Boosting,
@@ -255,27 +255,33 @@ class SegmentPostings:
             return np.empty(0, dtype=np.int64), []
         return np.concatenate(out_ids), out_pays
 
-    def term_upper_bound(self, term: str, idf: float, avgdl: float) -> float:
+    def term_upper_bound(self, term: str, idf: float, avgdl: float,
+                         sim=None) -> float:
+        sim = sim or DEFAULT_SIMILARITY
         ub = 0.0
         for r in self.rows[term]:
             mt = np.asarray(r["block_max_tf"], dtype=np.float64)
             md = np.asarray(r["block_min_dl"], dtype=np.float64)
-            ub = max(ub, float(np.max(bm25_tf_weight(mt, md, avgdl))))
+            ub = max(ub, float(np.max(sim.tf_weight_upper(mt, md, avgdl))))
         return idf * ub
 
 
 class Ctx:
     def __init__(self, N: int, avgdl: float, dfs: dict[str, int], k: int,
-                 avgdl_fields: dict[str, float] | None = None):
+                 avgdl_fields: dict[str, float] | None = None, sim=None):
         self.N = N
         self.avgdl = avgdl
         self.dfs = dfs
         self.k = k
         self.avgdl_fields = avgdl_fields or {}
+        # pluggable Similarity (search/Similarity.java:527): every scorer
+        # in this module draws BOTH score factors from here, so a swap is
+        # total, never per-query-shape
+        self.sim = sim or DEFAULT_SIMILARITY
 
     def idf(self, term: str) -> float:
         df = self.dfs.get(term, 0)
-        return float(bm25_idf(self.N, df)) if df else 0.0
+        return float(self.sim.term_weight(self.N, df)) if df else 0.0
 
     def avgdl_of(self, term: str) -> float:
         """Per-field average length (the per-field norms of the reference,
@@ -305,7 +311,7 @@ def _eval_term_full(sp: SegmentPostings, ctx: Ctx, q: Term):
     if not sp.has(q.term):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     ids, tfs, dls = sp.full(q.term)
-    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls, ctx.avgdl_of(q.term))
+    sc = q.boost * ctx.idf(q.term) * ctx.sim.tf_weight(tfs, dls, ctx.avgdl_of(q.term))
     return ids, sp.apply_boost(ids, sc)
 
 
@@ -432,7 +438,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
             return empty
         l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids_arr)
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
-        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
+        sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
         return ids_arr, sp.apply_boost(ids_arr, sc)
     per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
         sp.positions_for(t, cand) for t in q.phrase_terms
@@ -455,7 +461,7 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     # need dl per candidate: take from any term's postings via lookup
     l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids)
     dls = l_dls[np.searchsorted(l_ids, ids)]
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
+    sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
     return ids, sp.apply_boost(ids, sc)
 
 
@@ -566,7 +572,7 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
     if ids_arr.size == 0:
         return empty
     dls = _dl_map(sp, uniq, ids_arr)
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
+    sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
     return ids_arr, sp.apply_boost(ids_arr, sc)
 
 
@@ -712,7 +718,7 @@ def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
         uniq = list(dict.fromkeys(q.terms()))
         idf = float(sum(ctx.idf(t) for t in uniq))
         dls = _dl_map(sp, uniq, docs)
-        sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
+        sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
         return docs, sp.apply_boost(docs, sc)
 
     root_cand = np.sort(_span_candidates(sp, q))
@@ -742,7 +748,7 @@ def _eval_span(sp: SegmentPostings, ctx: Ctx, q: SpanQuery):
     uniq = list(dict.fromkeys(q.terms()))
     idf = float(sum(ctx.idf(t) for t in uniq))
     dls = _dl_map(sp, uniq, docs)
-    sc = q.boost * idf * bm25_tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
+    sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(uniq[0]))
     return docs, sp.apply_boost(docs, sc)
 
 
@@ -790,7 +796,8 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
     Index-time boosts scale each upper bound by the segment's max boost
     (sp.max_boost) — admissible since no doc's multiplier exceeds it, so
     pruning stays exact on boosted segments too."""
-    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term), ctx.avgdl_of(c.term))
+    terms = [(c, sp.term_upper_bound(c.term, ctx.idf(c.term),
+                                     ctx.avgdl_of(c.term), ctx.sim)
               * c.boost * sp.max_boost)
              for c in q.should if sp.has(c.term)]
     if not terms:
@@ -801,7 +808,7 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
             ids, tfs, dls = sp.full(c.term)
             results.append((ids, sp.apply_boost(
                 ids, c.boost * ctx.idf(c.term)
-                * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))))
+                * ctx.sim.tf_weight(tfs, dls, ctx.avgdl_of(c.term)))))
         return _combine_sum(results, q.boost)
     # evaluation must preserve clause order for FP-identical sums → we keep
     # per-clause results and sum in clause order at the end; pruning only
@@ -825,7 +832,7 @@ def _eval_or_maxscore(sp: SegmentPostings, ctx: Ctx, q: Bool):
         else:
             ids, tfs, dls = sp.full(c.term)
         sc = sp.apply_boost(ids, c.boost * ctx.idf(c.term)
-                            * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
+                            * ctx.sim.tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
         clause_results[oi] = (ids, sc)
         acc_ids, acc_sc = _merge_sum(acc_ids, acc_sc, ids, sc)
         theta = _topk_theta(acc_ids, acc_sc, ctx.k)
@@ -855,7 +862,7 @@ def _eval_payload_term(sp: SegmentPostings, ctx: Ctx, q: PayloadTerm):
                         dtype=np.float64)
     if not q.include_span_score:
         return ids, doc_sc
-    sc = q.boost * ctx.idf(q.term) * bm25_tf_weight(tfs, dls,
+    sc = q.boost * ctx.idf(q.term) * ctx.sim.tf_weight(tfs, dls,
                                                     ctx.avgdl_of(q.term))
     return ids, sp.apply_boost(ids, sc) * doc_sc
 
@@ -926,7 +933,7 @@ def _eval_payload_near(sp: SegmentPostings, ctx: Ctx, q: PayloadNear):
     uniq = list(dict.fromkeys(terms))
     idf = float(sum(ctx.idf(t) for t in uniq))
     dls = _dl_map(sp, uniq, docs)
-    sc = q.boost * idf * bm25_tf_weight(
+    sc = q.boost * idf * ctx.sim.tf_weight(
         np.asarray(frs_l, dtype=np.float64), dls, ctx.avgdl_of(uniq[0]))
     return docs, sp.apply_boost(docs, sc) * doc_sc
 
@@ -1026,7 +1033,7 @@ def _eval_bool_general(sp: SegmentPostings, ctx: Ctx, q: Bool):
                 ids, tfs, dls = sp.lookup(c.term, cand)
                 sc = sp.apply_boost(
                     ids, c.boost * ctx.idf(c.term)
-                    * bm25_tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
+                    * ctx.sim.tf_weight(tfs, dls, ctx.avgdl_of(c.term)))
             else:
                 ids, sc = eval_query(sp, ctx, c)
             if ids.size == 0:
@@ -1102,7 +1109,7 @@ def _explain_node(sp: SegmentPostings, ctx: Ctx, q: Query, scale: float,
             return
         ids, sc = _eval_term_full(sp, ctx, q)
         _, tfs, dls = sp.full(q.term)
-        w = bm25_tf_weight(tfs, dls, ctx.avgdl_of(q.term))
+        w = ctx.sim.tf_weight(tfs, dls, ctx.avgdl_of(q.term))
         _explain_rows(recs, ids, q.term, "term", tfs.astype(np.float64),
                       dls, ctx.idf(q.term), w, sc * scale)
         return

@@ -109,8 +109,16 @@ def boolean_filter(must: list[Query] | None = None,
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, similarity=None):
+        """`similarity`: a scoring.Similarity instance or registered name
+        ('bm25' default, 'classic', 'sweetspot') — the pluggable seam of
+        search/Similarity.java:527. The strategy rides the Ctx into the
+        kernel workers, so EVERY scorer shape (term/bool/phrase/span) and
+        the MaxScore bounds use it; the contract surface stays BM25."""
+        from ..scoring import similarity_by_name
+
         self.reader = reader
+        self.similarity = similarity_by_name(similarity)
         # per-searcher df cache: the index snapshot is immutable, so a term's
         # global df never changes under this reader. MultiTermQuery
         # enumeration fills it as a side effect (expand_terms_with_df), so
@@ -648,7 +656,8 @@ class Searcher:
         if not dfs:
             return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k,
-                  avgdl_fields=self.reader.avgdl_fields)
+                  avgdl_fields=self.reader.avgdl_fields,
+                  sim=self.similarity)
 
         qterms = [t for t in terms if t in dfs]
         rows = self._with_job(
@@ -690,7 +699,8 @@ class Searcher:
                             if qid not in match_all for t in q.terms()})
         dfs = self._doc_freqs(all_terms)
         ctx_by = {qid: Ctx(self.reader.N, self.reader.avgdl, dfs, k,
-                           avgdl_fields=self.reader.avgdl_fields)
+                           avgdl_fields=self.reader.avgdl_fields,
+                  sim=self.similarity)
                   for qid in qs}
         kernel_qs = {qid: q for qid, q in qs.items() if qid not in match_all}
 
@@ -737,7 +747,8 @@ class Searcher:
         if not dfs:
             return self._empty()
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
-                  avgdl_fields=self.reader.avgdl_fields)
+                  avgdl_fields=self.reader.avgdl_fields,
+                  sim=self.similarity)
         rows = self._with_job(
             self._with_deleted(
                 self._postings_for(_terms_pred(list(dfs)), q)),
@@ -972,7 +983,8 @@ class Searcher:
         if not dfs:
             return empty
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k=1 << 62,
-                  avgdl_fields=self.reader.avgdl_fields)
+                  avgdl_fields=self.reader.avgdl_fields,
+                  sim=self.similarity)
         rows = self._with_job(
             self._with_deleted(
                 self._postings_for(_terms_pred(list(dfs)), q)),

@@ -41,6 +41,135 @@ def bm25_term_upper_bound(N: int, df: int, max_tf: int, min_dl: int, avgdl: floa
 
 
 # ---------------------------------------------------------------------------
+# Pluggable Similarity (search/Similarity.java:527 extension point).
+#
+# The engine's per-term contribution everywhere is
+#     boost · term_weight(N, df) · tf_weight(tf, dl, avgdl)
+# with BM25 as the north-rule default. Swapping the strategy swaps BOTH
+# factors in every scorer (term, boolean, phrase, span — the kernel calls
+# through ctx.sim) and in the single-node oracle, so rank identity between
+# the two engines holds per similarity by construction.
+#
+# Stated deviations from the reference's full VSM pipeline: queryNorm
+# (DefaultSimilarity.java:51) is a per-query constant — rank-neutral —
+# and omitted; coord (DefaultSimilarity.java:75) is omitted (the
+# reference itself ships BooleanQuery coord-disabling, and BM25-era
+# scoring dropped coord entirely).
+# ---------------------------------------------------------------------------
+
+class Similarity:
+    """BM25 (k1=1.2, b=0.75) — the engine default pinned by the north rule."""
+
+    name = "bm25"
+
+    def term_weight(self, N: int, df):
+        """Per-term document-frequency weight (the idf factor of the
+        score; for ClassicSimilarity this is idf² because the reference
+        applies idf once in the Weight and once in the Scorer —
+        search/TermQuery.java scorer × DefaultSimilarity.java:69)."""
+        return bm25_idf(N, df)
+
+    def tf_weight(self, tf, dl, avgdl: float):
+        """tf-and-length component of the score (vectorized)."""
+        return bm25_tf_weight(tf, dl, avgdl)
+
+    def tf_weight_upper(self, max_tf, min_dl, avgdl: float):
+        """Admissible per-block bound for MaxScore pruning. BM25's
+        tf-weight is monotone ↑ in tf and ↓ in dl, so evaluating at
+        (max_tf, min_dl) dominates every doc in the block. Similarities
+        whose length norm is NOT monotone must override."""
+        return self.tf_weight(max_tf, min_dl, avgdl)
+
+
+class ClassicSimilarity(Similarity):
+    """The reference's DefaultSimilarity (search/DefaultSimilarity.java:
+    23-77): tf = sqrt(freq) (:57), idf = ln(N/(df+1)) + 1 (:69) applied
+    squared per term, lengthNorm = 1/sqrt(numTerms) (:45). avgdl unused."""
+
+    name = "classic"
+
+    def term_weight(self, N: int, df):
+        idf = np.log(N / (np.asarray(df, dtype=np.float64) + 1.0)) + 1.0
+        return idf * idf
+
+    def tf(self, freq):
+        return np.sqrt(np.asarray(freq, dtype=np.float64))
+
+    def length_norm(self, dl):
+        return 1.0 / np.sqrt(np.asarray(dl, dtype=np.float64))
+
+    def tf_weight(self, tf, dl, avgdl: float):
+        return self.tf(tf) * self.length_norm(dl)
+    # tf ↑, length_norm ↓ in dl → the base-class (max_tf, min_dl) bound
+    # stays admissible.
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """contrib/misc SweetSpotSimilarity.java:47-270 — plateau length norm
+    `1/sqrt(steepness·(|dl−min| + |dl−max| − (max−min)) + 1)` (:171-186,
+    defaults min=max=1, steepness=0.5) with either the baseline tf
+    `freq<=tf_min ? tf_base : sqrt(freq + tf_base² − tf_min)` (:221-227,
+    defaults 0/0 ⇒ sqrt) or the hyperbolic tf
+    `min + (max−min)/2 · (tanh-form((freq−xoffset)·ln base) + 1)`
+    (:244-266, defaults min=0 max=2 base=1.3 xoffset=10)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0, hyperbolic_tf: bool = False,
+                 tf_hyper_min: float = 0.0, tf_hyper_max: float = 2.0,
+                 tf_hyper_base: float = 1.3, tf_hyper_xoffset: float = 10.0):
+        self.ln_min, self.ln_max, self.steepness = ln_min, ln_max, steepness
+        self.tf_base, self.tf_min = tf_base, tf_min
+        self.hyperbolic_tf = hyperbolic_tf
+        self.tf_hyper_min, self.tf_hyper_max = tf_hyper_min, tf_hyper_max
+        self.tf_hyper_base = tf_hyper_base
+        self.tf_hyper_xoffset = tf_hyper_xoffset
+
+    def tf(self, freq):
+        freq = np.asarray(freq, dtype=np.float64)
+        if self.hyperbolic_tf:
+            x = (freq - self.tf_hyper_xoffset) * np.log(self.tf_hyper_base)
+            out = (self.tf_hyper_min
+                   + (self.tf_hyper_max - self.tf_hyper_min) / 2.0
+                   * (np.tanh(x) + 1.0))
+        else:
+            out = np.where(
+                freq <= self.tf_min, self.tf_base,
+                np.sqrt(np.maximum(freq + self.tf_base ** 2 - self.tf_min,
+                                   0.0)))
+        return np.where(freq == 0.0, 0.0, out)
+
+    def length_norm(self, dl):
+        dl = np.asarray(dl, dtype=np.float64)
+        plateau = (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
+                   - (self.ln_max - self.ln_min))
+        return 1.0 / np.sqrt(self.steepness * plateau + 1.0)
+
+    def tf_weight_upper(self, max_tf, min_dl, avgdl: float):
+        """The plateau norm is NOT monotone in dl (it peaks at 1.0 inside
+        [ln_min, ln_max]), so bound it by its maximum instead of
+        evaluating at min_dl."""
+        return self.tf(max_tf) * 1.0
+
+
+DEFAULT_SIMILARITY = Similarity()
+
+_SIMILARITIES = {"bm25": Similarity, "classic": ClassicSimilarity,
+                 "sweetspot": SweetSpotSimilarity}
+
+
+def similarity_by_name(name_or_sim) -> Similarity:
+    """Accepts a Similarity instance, a registered name, or None (BM25)."""
+    if name_or_sim is None:
+        return DEFAULT_SIMILARITY
+    if isinstance(name_or_sim, Similarity):
+        return name_or_sim
+    return _SIMILARITIES[name_or_sim]()
+
+
+# ---------------------------------------------------------------------------
 # Index-time boost quantization — the reference norm byte (util/SmallFloat
 # .java floatToByte315/byte315ToFloat, used by index/NormsWriter.java:61 to
 # store boost×lengthNorm in ONE byte per doc-field). Our BM25 keeps exact
