@@ -6,5 +6,11 @@ from .commits import (  # noqa: F401
 from .merge import compact_segments, merge_index  # noqa: F401
 from .plan import make_build_plan, read_build_plan  # noqa: F401
 from .reader import IndexReader  # noqa: F401
+from .splitter import (  # noqa: F401
+    list_segments,
+    remove_segments,
+    split_by_docs,
+    split_segments,
+)
 from .writer import IndexWriter  # noqa: F401
 from .validate import validate_index  # noqa: F401
