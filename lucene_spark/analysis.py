@@ -637,12 +637,29 @@ ANALYZERS["english"] = lambda text: [t for t, _ in analyze_english(text)]
 POSITIONAL_ANALYZERS = {"standard": analyze, "english": analyze_english}
 
 
+def _ensure_registered(name: str) -> None:
+    """Lazy-load the contrib language pack on a registry miss so
+    ``build_index(analyzer="german")`` etc. work without an explicit
+    ``import lucene_spark.lang`` (the pack registers its 14 chains at
+    import)."""
+    if name not in ANALYZERS and name not in POSITIONAL_ANALYZERS:
+        from . import lang  # noqa: F401 — import side effect: register()
+
+
+def get_analyzer(name: str, default: str = "whitespace"):
+    """Simple (terms-only) analyzer by name, language pack included;
+    unknown names fall back to `default` (the parser's contract)."""
+    _ensure_registered(name)
+    return ANALYZERS.get(name, ANALYZERS[default])
+
+
 def positional_pairs_fn(name: str):
     """Analyzer name → fn(text) -> [(term, pos)]. THE single definition of
     the position-assignment rule for simple (non-positional) chains:
     consecutive positions 0..n-1, no holes. Build side, oracle, caching
     wrapper, and chain composer all resolve through here — the
     engine/oracle analysis-identity contract depends on one copy."""
+    _ensure_registered(name)
     pa = POSITIONAL_ANALYZERS.get(name)
     if pa is not None:
         return lambda text: pa(text or "")

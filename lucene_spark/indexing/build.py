@@ -169,9 +169,23 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
 
     empty_pos: list[list[int]] = []
 
-    analyze_pairs = make_pairs_fn(analyzer)
+    # analyzer="by_lang": per-document routing through the lang column —
+    # the multilingual-crawl shape (each page analyzed by its language's
+    # contrib chain, fallback standard). Resolved here, not in the registry,
+    # because the chain needs the row's lang value alongside its text.
+    routed = analyzer == "by_lang"
+    if routed:
+        from ..lang import analyze_by_lang
+        analyze_pairs = analyze_by_lang
+    else:
+        analyze_pairs = make_pairs_fn(analyzer)
     # PerFieldAnalyzerWrapper (analysis/PerFieldAnalyzerWrapper.java:47):
     # each extra ANALYZED field may run its own chain
+    for af in analyzed_fields:
+        if (field_analyzers or {}).get(af, analyzer) == "by_lang":
+            raise ValueError(
+                "by_lang routes the main text field; give extra analyzed "
+                f"field {af!r} an explicit chain via field_analyzers")
     field_pairs = {
         af: make_pairs_fn((field_analyzers or {}).get(af, analyzer))
         for af in analyzed_fields
@@ -252,7 +266,12 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                                else list(empty_pos))
                         pays = list(pagg.values())
                     else:
-                        pairs = analyze_pairs(text)
+                        if routed:
+                            pairs = analyze_pairs(
+                                text,
+                                langs.iloc[i] if langs is not None else None)
+                        else:
+                            pairs = analyze_pairs(text)
                         agg = {}
                         for term, p in pairs:
                             agg.setdefault(term, []).append(p)

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import re
 
-from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS, analyze
+from ..analysis import (POSITIONAL_ANALYZERS, _ensure_registered, analyze,
+                        get_analyzer)
 from .ast import (
     Bool,
     ConstantScore,
@@ -114,10 +115,11 @@ def _range_query(tok: str) -> Query | None:
 def _analyze_pairs(text: str, analyzer: str) -> list[tuple[str, int]]:
     """Run query text through the INDEX's analyzer (QueryParser.java:513:
     getFieldQuery analyzes the query string with the field analyzer)."""
+    _ensure_registered(analyzer)
     fn = POSITIONAL_ANALYZERS.get(analyzer)
     if fn is not None:
         return fn(text)
-    toks = ANALYZERS.get(analyzer, ANALYZERS["whitespace"])(text)
+    toks = get_analyzer(analyzer)(text)
     return list(zip(toks, range(len(toks))))
 
 

@@ -51,7 +51,7 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 
-from ..analysis import ANALYZERS
+from ..analysis import get_analyzer
 from .ast import (
     Bool,
     Boosting,
@@ -100,7 +100,7 @@ def _boost(el: ET.Element, q: Query) -> Query:
 
 
 def _analyze(text: str, analyzer: str) -> list[str]:
-    return ANALYZERS.get(analyzer, ANALYZERS["whitespace"])(text or "")
+    return get_analyzer(analyzer)(text or "")
 
 
 def _children(el: ET.Element) -> list[ET.Element]:
