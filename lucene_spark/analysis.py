@@ -640,7 +640,7 @@ POSITIONAL_ANALYZERS = {"standard": analyze, "english": analyze_english}
 def _ensure_registered(name: str) -> None:
     """Lazy-load the contrib language pack on a registry miss so
     ``build_index(analyzer="german")`` etc. work without an explicit
-    ``import lucene_spark.lang`` (the pack registers its 14 chains at
+    ``import lucene_spark.lang`` (the pack registers its 15 chains at
     import)."""
     if name not in ANALYZERS and name not in POSITIONAL_ANALYZERS:
         from . import lang  # noqa: F401 — import side effect: register()

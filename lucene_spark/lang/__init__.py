@@ -30,6 +30,11 @@ stemmers are out of scope, stated deviation):
              → stop
 - hindi      IndicTokenizer → lower → IndicNormalizer → HindiNormalizer
              → stop → HindiStemmer
+- spanish    Standard → StandardFilter → lower → stop → snowball
+             SpanishStemmer (the one 3.1+ snowball chain implemented —
+             es has no classic contrib stemmer and the test corpus is
+             partly Spanish; lang/spanish.py follows the published
+             algorithm definition)
 - turkish    Standard → StandardFilter → TurkishLowerCase → stop
              (snowball TurkishStemmer out of scope, stated deviation)
 - cjk        CJKTokenizer (overlapping bigrams) → stop
@@ -209,6 +214,21 @@ def analyze_hindi(text: str):
     return out
 
 
+def analyze_spanish(text: str):
+    # SpanishAnalyzer (es/SpanishAnalyzer.java createComponents):
+    # Standard → StandardFilter → lower → stop(snowball list) → snowball
+    # SpanishStemmer (lang/spanish.py — published algorithm, the reference
+    # ships only the generated tartarus Java)
+    from .spanish import spanish_stem
+    out = []
+    for typ, raw, pos in _std_stream(text):
+        t = _standard_filter(typ, raw).lower()
+        if t in _sw.SPANISH_STOP:
+            continue
+        out.append((spanish_stem(t), pos))
+    return out
+
+
 def analyze_cjk(text: str):
     pairs = [(tok, pos) for pos, (_typ, tok)
              in enumerate(cjk_tokenize(text or ""))]
@@ -231,6 +251,7 @@ LANG_CHAINS = {
     "greek": analyze_greek,
     "turkish": analyze_turkish,
     "russian": analyze_russian,
+    "spanish": analyze_spanish,
     "arabic": analyze_arabic,
     "persian": analyze_persian,
     "hindi": analyze_hindi,
@@ -242,7 +263,8 @@ LANG_CHAINS = {
 # carry 2-letter codes); English routes to the standard chain
 LANG_CODES = {
     "de": "german", "fr": "french", "nl": "dutch", "pt": "brazilian",
-    "cs": "czech", "bg": "bulgarian", "el": "greek", "tr": "turkish",
+    "es": "spanish", "cs": "czech", "bg": "bulgarian", "el": "greek",
+    "tr": "turkish",
     "ru": "russian", "ar": "arabic", "fa": "persian", "hi": "hindi",
     "zh": "cjk", "ja": "cjk", "ko": "cjk", "en": "standard",
 }

@@ -27,8 +27,16 @@ Reference (cites /root/reference/contrib/analyzers/common/src/java/...):
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 _cat = unicodedata.category
+
+# Every stemmer/normalizer here is a pure term→term function over a Zipfian
+# token stream, so a per-worker LRU makes the build-side cost per DISTINCT
+# term, not per token (the reused PySpark workers keep the cache warm across
+# Arrow batches — the same treatment analysis.cached_analyzer gives whole
+# texts).
+_CACHE = 1 << 16
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +109,7 @@ def _de_strip(buf: list[str], subst: int) -> None:
             break
 
 
+@lru_cache(maxsize=_CACHE)
 def german_stem(term: str) -> str:
     """Classic German 'medium' stemmer (de/GermanStemmer.java:38 stem)."""
     term = term.lower()
@@ -448,6 +457,7 @@ def _fr_stemmable(term: str) -> bool:
     return first <= 0
 
 
+@lru_cache(maxsize=_CACHE)
 def french_stem(term: str) -> str:
     """Classic French stemmer (fr/FrenchStemmer.java:60 stem)."""
     if not _fr_stemmable(term):
@@ -515,6 +525,7 @@ def _nl_en_ending(buf: list[str], r1: int) -> bool:
     return False
 
 
+@lru_cache(maxsize=_CACHE)
 def dutch_stem(term: str) -> str:
     """Classic Dutch stemmer (nl/DutchStemmer.java:37 stem)."""
     term = term.lower()
@@ -682,6 +693,7 @@ def _ru_remove_pred(zone: list[str], endings, preds) -> bool:
     return True
 
 
+@lru_cache(maxsize=_CACHE)
 def russian_stem(word: str) -> str:
     """Classic Russian stemmer (ru/RussianStemmer.java:230 stem)."""
     # markPositions (with the reference's ++i-in-the-guard semantics)
@@ -850,6 +862,7 @@ def _br_get_rv(value: str | None) -> str | None:
     return None
 
 
+@lru_cache(maxsize=_CACHE)
 def brazilian_stem(term: str) -> str | None:
     """Classic Brazilian stemmer (br/BrazilianStemmer.java:36 stem).
     Returns None for non-indexable terms (len<3 or len>=30 after
@@ -930,6 +943,7 @@ def brazilian_stem(term: str) -> str | None:
 # Czech (cz/CzechStemmer.java — light stemmer; goldens: TestCzechStemmer)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=_CACHE)
 def czech_stem(term: str) -> str:
     """Czech light stemmer (cz/CzechStemmer.java:33 stem): case endings →
     possessives → normalize. Operates on the already-lowercased token."""
@@ -992,6 +1006,7 @@ def czech_stem(term: str) -> str:
 # Bulgarian (bg/BulgarianStemmer.java — light stemmer)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=_CACHE)
 def bulgarian_stem(term: str) -> str:
     """Bulgarian light stemmer (bg/BulgarianStemmer.java:28 stem)."""
     s = list(term)
@@ -1070,6 +1085,7 @@ _HI_SUFFIXES = (
 )
 
 
+@lru_cache(maxsize=_CACHE)
 def hindi_stem(term: str) -> str:
     """Hindi light stemmer (hi/HindiStemmer.java:25 stem)."""
     n = len(term)
@@ -1098,6 +1114,7 @@ _HI_MAP = {
 _HI_DELETE = {"़", "‍", "‌", "्"}
 
 
+@lru_cache(maxsize=_CACHE)
 def hindi_normalize(term: str) -> str:
     """Hindi orthographic normalization (hi/HindiNormalizer.java:41)."""
     out: list[str] = []
@@ -1211,6 +1228,7 @@ def _in_script(cp: int) -> tuple[int, int] | None:
     return None
 
 
+@lru_cache(maxsize=_CACHE)
 def indic_normalize(term: str) -> str:
     """Indic composed-form normalization (in/IndicNormalizer.java:236
     normalize): scan left-to-right, composing one decomposed sequence per
@@ -1256,6 +1274,7 @@ _AR_MAP = {"آ": _AR_ALEF, "أ": _AR_ALEF, "إ": _AR_ALEF,
 _AR_DELETE = set("ـًٌٍَُِّْ")
 
 
+@lru_cache(maxsize=_CACHE)
 def arabic_normalize(term: str) -> str:
     """Arabic normalization (ar/ArabicNormalizer.java:59 normalize)."""
     return "".join(_AR_MAP.get(c, c) for c in term if c not in _AR_DELETE)
@@ -1269,6 +1288,7 @@ _AR_SUFFIXES = ("ها", "ان", "ات",
                 "ية", "ه", "ة", "ي")
 
 
+@lru_cache(maxsize=_CACHE)
 def arabic_stem(term: str) -> str:
     """Arabic light stemmer (ar/ArabicStemmer.java:62 stem): one prefix
     strip (wa- needs len≥4, others len≥prefix+2), then EVERY matching
@@ -1295,6 +1315,7 @@ _FA_MAP = {"ی": "ي", "ے": "ي", "ک": "ك",
            "ۀ": "ه", "ہ": "ه"}
 
 
+@lru_cache(maxsize=_CACHE)
 def persian_normalize(term: str) -> str:
     """Persian normalization (fa/PersianNormalizer.java:46 normalize)."""
     return "".join(_FA_MAP.get(c, c) for c in term if c != "ٔ")
@@ -1320,12 +1341,14 @@ _EL_MAP = {
 }
 
 
+@lru_cache(maxsize=_CACHE)
 def greek_lower(term: str) -> str:
     """Greek lowercase + diacritic fold + final-sigma normalization
     (el/GreekLowerCaseFilter.java:56 lowerCase)."""
     return "".join(_EL_MAP.get(c, c.lower()) for c in term)
 
 
+@lru_cache(maxsize=_CACHE)
 def turkish_lower(term: str) -> str:
     """Turkish-aware lowercase (tr/TurkishLowerCaseFilter.java:45):
     I → ı (dotless) unless followed by combining-dot-above (→ i, dot

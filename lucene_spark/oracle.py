@@ -131,6 +131,7 @@ def build_oracle_index(docs: list[tuple[int, str]],
                        boosts: dict[int, float] | None = None,
                        payload_fn=None,
                        similarity=None,
+                       doc_langs: dict[int, str] | None = None,
                        ) -> OracleIndex:
     """`extra_fields`: {field: {docid: value}} — extra ANALYZED fields,
     terms namespaced field:term with their own length stats (the reference
@@ -138,7 +139,10 @@ def build_oracle_index(docs: list[tuple[int, str]],
     its own chain (PerFieldAnalyzerWrapper.java:47). `boosts`:
     {docid: boost} index-time document boosts — quantized through the SAME
     byte315 codec the engine's norms side-car stores, so both engines score
-    with the identical post-quantization multiplier."""
+    with the identical post-quantization multiplier. `analyzer="by_lang"`
+    routes each doc through `doc_langs[docid]`'s chain (the engine's
+    multilingual-crawl analyzer) — the oracle twin of
+    build_index(analyzer="by_lang")."""
     from .scoring import byte315_to_float, float_to_byte315, similarity_by_name
 
     idx = OracleIndex()
@@ -147,7 +151,17 @@ def build_oracle_index(docs: list[tuple[int, str]],
     idx.field_analyzers = dict(field_analyzers or {})
     idx.boosts = {d: float(byte315_to_float(float_to_byte315([b]))[0])
                   for d, b in (boosts or {}).items() if b != 1.0}
-    analyze_main = _pairs_fn(analyzer)
+    if analyzer == "by_lang":
+        from .lang import analyze_by_lang
+        langs = doc_langs or {}
+
+        def pairs_of(docid, text):
+            return analyze_by_lang(text or "", langs.get(docid))
+    else:
+        analyze_main = _pairs_fn(analyzer)
+
+        def pairs_of(docid, text):
+            return analyze_main(text or "")
     total = 0
     for docid, text in docs:
         if payload_fn is not None:
@@ -160,7 +174,7 @@ def build_oracle_index(docs: list[tuple[int, str]],
                 idx.payloads.setdefault(term, {}).setdefault(
                     docid, []).append(pay)
         else:
-            pairs = analyze_main(text or "")
+            pairs = pairs_of(docid, text)
         idx.doclen[docid] = len(pairs)
         total += len(pairs)
         for term, pos in pairs:

@@ -338,16 +338,25 @@ class Searcher:
         dm = self.reader.docmap()
         return dm if dd is None else dm.join(dd.select("docid"), "docid", "left_anti")
 
-    def parse(self, query: str) -> Query:
+    def parse(self, query: str, lang: str | None = None) -> Query:
         """Parse query text with the index's own analyzer
         (reference QueryParser.java:513); field-scoped syntax resolves
-        against the index's extra ANALYZED fields."""
+        against the index's extra ANALYZED fields. For a ``by_lang``
+        (per-document routed) index the query string carries no lang
+        column, so ``lang=`` picks the query-time chain — ISO code or
+        chain name, default standard — the same resolution rule
+        analyze_by_lang applies per document."""
+        analyzer = self.reader.analyzer
+        if analyzer == "by_lang" or lang is not None:
+            from ..lang import LANG_CHAINS, LANG_CODES
+            name = LANG_CODES.get((lang or "").lower(), (lang or "").lower())
+            analyzer = name if name in LANG_CHAINS else "standard"
         af = self.reader.analyzed_fields
         if self.reader.field_analyzers:
             # dict form: field → its own analyzer chain (PerFieldAnalyzer)
-            af = {f: self.reader.field_analyzers.get(f, self.reader.analyzer)
+            af = {f: self.reader.field_analyzers.get(f, analyzer)
                   for f in af}
-        return parse_query(query, analyzer=self.reader.analyzer,
+        return parse_query(query, analyzer=analyzer,
                            analyzed_fields=af,
                            keyword_fields=self.reader.keyword_fields)
 
@@ -634,10 +643,12 @@ class Searcher:
         return per_seg.orderBy(F.asc("docid")).limit(k)
 
     # ------------------------------------------------------------------ #
-    def search(self, query: Query | str, k: int = 10, hydrate: bool = False) -> DataFrame:
+    def search(self, query: Query | str, k: int = 10, hydrate: bool = False,
+               lang: str | None = None) -> DataFrame:
         """→ DataFrame(docid long, score double[, url, lang]) — global top-k,
-        tie-break docid asc."""
-        q = self.parse(query) if isinstance(query, str) else query
+        tie-break docid asc. ``lang=`` picks the query-time analyzer chain
+        for string queries on a by_lang (multilingual) index."""
+        q = self.parse(query, lang=lang) if isinstance(query, str) else query
         fast = self._multiterm_filter_topk(q, k)
         if fast is not None:
             return self._hydrate(fast) if hydrate else fast

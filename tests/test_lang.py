@@ -334,3 +334,99 @@ def test_by_lang_rejects_extra_field_default(spark, tmp_path):
     with pytest.raises(ValueError, match="by_lang"):
         build_index(spark, corpus, str(tmp_path / "idx"), analyzer="by_lang",
                     analyzed_fields=("url",))
+
+
+# ---------------------------------------------------------------------------
+# Spanish (snowball) — reference gate TestSpanishAnalyzer.testBasics plus
+# vectors hand-traced from the published algorithm definition
+# ---------------------------------------------------------------------------
+
+def test_spanish_stemmer_and_chain():
+    from lucene_spark.lang import analyze_spanish
+    from lucene_spark.lang.spanish import spanish_stem
+
+    # the reference's own assertions (TestSpanishAnalyzer.testBasics)
+    assert spanish_stem("chicana") == "chican"
+    assert spanish_stem("chicano") == "chican"
+    assert [t for t, _ in analyze_spanish("los")] == []  # stopword
+
+    # hand-traced vectors (step number noted)
+    vectors = {
+        "amigo": "amig",              # step3 residual o
+        "canciones": "cancion",       # step2b es
+        "corriendo": "corr",          # step2b iendo
+        "haciéndola": "hac",          # step0 pronoun+accent, then 2b iendo
+        "construyendo": "constru",    # step2a yendo after u
+        "llegues": "lleg",            # step2b es + gu→g undouble
+        "nacionalidad": "nacional",   # step1 idad in R2
+        "felizmente": "feliz",        # step1 mente in R2
+        "rápidamente": "rapid",       # step1 amente in R1 + accent fold
+        "lógicamente": "logic",       # step1 amente, ic survives (not R2)
+        "creativamente": "creativ",   # step1 amente; iv NOT in R2 → kept
+        "atómico": "atom",            # step1 ico in R2
+        "organización": "organiz",    # step1 ación in R2
+        "tecnología": "tecnolog",     # step1 logía → log
+        "universidades": "univers",   # step1 idades in R2
+        "belleza": "bellez",          # step3 residual a
+        "guerra": "guerr",            # step3 residual a
+        "cantando": "cant",           # step2b ando
+    }
+    for w, exp in vectors.items():
+        assert spanish_stem(w) == exp, w
+
+
+def test_spanish_in_by_lang_routing():
+    assert analyze_by_lang("canciones felices", "es") == [
+        ("cancion", 0), ("felic", 1)]
+
+
+def test_by_lang_index_oracle_rank_identity(spark, tmp_path):
+    """Mixed-language corpus indexed with analyzer='by_lang' ranks
+    identically to the oracle's by_lang route (the multilingual-crawl
+    engine/oracle contract): each doc analyzed by its own lang chain,
+    each query by its query-language chain (Searcher lang=)."""
+    import datetime as dt
+
+    from lucene_spark.indexing.build import build_index
+    from lucene_spark.indexing.merge import merge_index
+    from lucene_spark.indexing.reader import IndexReader
+    from lucene_spark.oracle import build_oracle_index, oracle_search
+    from lucene_spark.queries.planner import Searcher
+
+    rows = [
+        ("Die Häuser und die Tische sind groß", "de"),
+        ("Ein Haus mit vielen Tischen und Stühlen", "de"),
+        ("las canciones felices de los amigos", "es"),
+        ("mis amigos cantando canciones tristes", "es"),
+        ("la organización de la universidad", "es"),
+        ("the quick brown fox jumps over the lazy dog", "en"),
+        ("a quick fox and a happy dog", "en"),
+        ("texto sin idioma declarado", None),
+    ]
+    ts = dt.datetime(2020, 1, 1)
+    corpus = str(tmp_path / "pages")
+    _write_pages(spark, corpus, [
+        (f"http://x/{i}", ts, None, t, lg) for i, (t, lg) in enumerate(rows)])
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx, analyzer="by_lang", store_positions=True,
+                target_docs_per_seg=3)
+    merge_index(spark, idx)
+
+    searcher = Searcher(IndexReader(spark, idx))
+    oracle = build_oracle_index(
+        [(i, t) for i, (t, _lg) in enumerate(rows)], analyzer="by_lang",
+        doc_langs={i: lg for i, (_t, lg) in enumerate(rows) if lg})
+
+    from lucene_spark.queries.parser import parse_query
+    cases = [("Häuser tisch", "de"), ("\"die Häuser\"", "de"),
+             ("canciones amigos", "es"), ("cantar OR universidades", "es"),
+             ("quick dog", "en"), ("texto", None)]
+    for qs, lang in cases:
+        eng = [(r["docid"], round(r["score"], 4)) for r in
+               searcher.search(qs, k=5, lang=lang).collect()]
+        from lucene_spark.lang import LANG_CODES
+        chain = LANG_CODES.get(lang or "", "standard")
+        orc = [(d, round(s, 4)) for d, s in
+               oracle_search(oracle, parse_query(qs, analyzer=chain), k=5)]
+        assert eng == orc, qs
+        assert eng, qs  # every case matches something
