@@ -245,6 +245,49 @@ def _q_ft_matchall(spark, sf_dir):
                        F.round("score", 4).alias("score")).orderBy("doc_id"))
 
 
+_QUALITY_TERMS = ("data", "spark", "vector")
+
+
+def _q_ft_quality_eval(spark, sf_dir):
+    """IR quality harness (contrib/benchmark quality/QualityBenchmark.java,
+    QualityStats.java, trec/TrecJudge.java): the quality queries run through
+    the batched kernel top-20, judged against deterministic binary qrels
+    (docs where the term occurs >= 2 times), folded into per-query
+    precision/recall/MAP/MRR stats. The DuckDB oracle restates ranking AND
+    stats from the same corpus."""
+    from lucene_spark.quality import quality_benchmark
+
+    searcher = _searcher(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    parts = [docs
+             .where(F.size(F.filter(F.split("text", " "),
+                                    lambda x: x == F.lit(t))) >= 2)
+             .select(F.lit(t).alias("query_id"),
+                     F.col("doc_id").cast("string").alias("doc"))
+             for t in _QUALITY_TERMS]
+    jud = parts[0]
+    for p in parts[1:]:
+        jud = jud.unionAll(p)
+    stats = quality_benchmark(searcher, {t: Term(t) for t in _QUALITY_TERMS},
+                              jud, k=20, p_at=(5, 10))
+    return (stats.select("query_id", "num_points", "num_good", "max_good",
+                         F.round("recall", 4).alias("recall"),
+                         F.round("avp", 4).alias("avp"),
+                         F.round("mrr", 4).alias("mrr"),
+                         F.round("p_at_5", 4).alias("p_at_5"),
+                         F.round("p_at_10", 4).alias("p_at_10"))
+            .orderBy("query_id"))
+
+
+def _q_ft_high_freq_terms(spark, sf_dir):
+    """HighFreqTerms (contrib/misc/.../HighFreqTerms.java): top-25 default-
+    field terms by df — a TakeOrdered over the term dictionary parquet, no
+    postings decoded."""
+    from lucene_spark.misc import high_freq_terms
+
+    return high_freq_terms(_index(spark, sf_dir), n=25)
+
+
 def _q_ft_min_should(spark, sf_dir):
     q = Bool(should=[Term("data"), Term("spark"), Term("vector")], min_should=2)
     return _topk(spark, sf_dir, q)
@@ -2257,6 +2300,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_search": _q_geo_distance_search,
         "geo_knn": _q_geo_knn,
         "geo_distance_join": _q_geo_distance_join,
+        # round 4: IR quality harness (contrib/benchmark quality/) +
+        # HighFreqTerms (contrib/misc)
+        "ft_quality_eval": _q_ft_quality_eval,
+        "ft_high_freq_terms": _q_ft_high_freq_terms,
     }
 
 
@@ -3005,6 +3052,53 @@ def extra_oracle_sql() -> dict[str, str]:
     identical compare the driver harness does."""
     return {
         "ft_term_tail": _sql_term("dup"),
+        # quality harness: ranking restated from the shared BM25 CTE, stats
+        # from the QualityStats rules (P@n = |rel in first n|/n covers the
+        # reference's beyond-list scaling; MRR cutoff 5; AvP over maxGood)
+        "ft_quality_eval": f"""WITH {_PRELUDE},
+qq(query_id) AS (VALUES ('data'), ('spark'), ('vector')),
+ranked AS (
+  SELECT q.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY s.s DESC, s.doc_id ASC) AS rank
+  FROM qq q JOIN scored s ON s.term = q.query_id
+  QUALIFY rank <= 20
+),
+qrels AS (SELECT term AS query_id, doc_id FROM tfs
+          WHERE tf >= 2 AND term IN ('data', 'spark', 'vector')),
+mg AS (SELECT query_id, count(*) AS max_good FROM qrels GROUP BY query_id),
+judged AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN j.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ranked r LEFT JOIN qrels j
+    ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+cum AS (SELECT query_id, rank, rel,
+               sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cg
+        FROM judged),
+agg AS (
+  SELECT query_id,
+         max(rank) AS np, sum(rel) AS ng,
+         sum(CASE WHEN rel = 1 THEN cg * 1.0 / rank END) AS prs,
+         min(CASE WHEN rel = 1 THEN rank END) AS fr,
+         sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS g5,
+         sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS g10
+  FROM cum GROUP BY query_id)
+SELECT a.query_id,
+       CAST(np AS BIGINT) AS num_points,
+       CAST(ng AS BIGINT) AS num_good,
+       CAST(coalesce(m.max_good, 0) AS BIGINT) AS max_good,
+       round(CASE WHEN coalesce(m.max_good, 0) > 0
+                  THEN ng * 1.0 / m.max_good
+                  ELSE ng * 1.0 / np END, 4) AS recall,
+       round(CASE WHEN coalesce(m.max_good, 0) > 0
+                  THEN coalesce(prs, 0) / m.max_good ELSE 0 END, 4) AS avp,
+       round(CASE WHEN fr <= 5 THEN 1.0 / fr ELSE 0.0 END, 4) AS mrr,
+       round(g5 / 5.0, 4) AS p_at_5,
+       round(g10 / 10.0, 4) AS p_at_10
+FROM agg a LEFT JOIN mg m USING (query_id) ORDER BY query_id""",
+        "ft_high_freq_terms": f"""WITH {_PRELUDE}
+SELECT term, CAST(df AS BIGINT) AS df FROM dfs
+ORDER BY df DESC, term ASC LIMIT 25""",
         "ft_phrase2": _sql_phrase("order", "sort"),
         # URL ops: the synthesized aliases {d, d+7, d+14} per 21-block all
         # canonicalize to f(host, d DIV 21), so ground truth is doc_id

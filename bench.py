@@ -171,7 +171,9 @@ def main() -> None:
                 # round 4: URL canonicalization/host stats, PII scrub,
                 # payload-scored term query (its warm pass also pays the
                 # one-time payload-index build, cached per sf dir)
-                "text_url_stats", "text_pii_scrub", "ft_payload_term")
+                "text_url_stats", "text_pii_scrub", "ft_payload_term",
+                # round 4: IR quality harness (batched search + window fold)
+                "ft_quality_eval")
     efns = dict(entry.queries())
     efns.update(entry.extra_queries())
     for name in PIPELINE:

@@ -1,3 +1,4 @@
+from .addindexes import add_indexes, merge_indexes_tool  # noqa: F401
 from .build import build_index  # noqa: F401
 from .commits import (  # noqa: F401
     KeepAllCommits, KeepLastNCommits, KeepOnlyLastCommit, apply_policy,

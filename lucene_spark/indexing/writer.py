@@ -169,6 +169,14 @@ class IndexWriter:
 
         return expunge_deletes(self.spark, self.index_dir)
 
+    def add_indexes(self, source_dirs: list[str]) -> dict:
+        """Merge whole foreign indexes into this one
+        (IndexWriter.addIndexesNoOptimize, index/IndexWriter.java:3172):
+        rebase-copy every live source segment; deletes travel along."""
+        from .addindexes import add_indexes
+
+        return add_indexes(self.spark, self.index_dir, source_dirs)
+
     # --- readers ----------------------------------------------------------
     def get_reader(self, commit: int | None = None) -> IndexReader:
         """NRT reader over the current state (IndexWriter.getReader), or a

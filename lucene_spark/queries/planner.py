@@ -108,6 +108,70 @@ def boolean_filter(must: list[Query] | None = None,
                               must_not=list(must_not or [])), boost=0.0)
 
 
+def chained_filter(filters: list[Query],
+                   logic: str | list[str] = "or") -> Query:
+    """contrib ChainedFilter (contrib/misc/.../ChainedFilter.java:99-199):
+    left-fold the filter chain with a logical op — one op for the whole
+    chain or one per filter. Ops: or / and / andnot / xor. Reference seed
+    rules (ChainedFilter.java:127-150 initialResult): the first AND seeds
+    with the first filter's set, the first ANDNOT with its complement;
+    OR/XOR start from the empty set (∅∪f=f, ∅⊕f=f). XOR is the iterative
+    symmetric difference — over n filters that is PARITY membership, which
+    the fold reproduces via nested score-neutral Bools. Result composes
+    into Bool.must like every other filter (constant score 0)."""
+    ops = ([logic] * len(filters) if isinstance(logic, str) else list(logic))
+    if len(ops) != len(filters):
+        raise ValueError("Invalid number of elements in logic array")
+    bad = {o for o in ops if o not in ("or", "and", "andnot", "xor")}
+    if bad or not filters:
+        raise ValueError(f"chained_filter: bad ops {sorted(bad)}"
+                         if bad else "chained_filter: empty chain")
+
+    def f_and(acc, f):
+        return Bool(must=[acc, f])
+
+    def f_or(acc, f):
+        return Bool(should=[acc, f])
+
+    def f_andnot(acc, f):
+        return Bool(must=[acc], must_not=[f])
+
+    def f_xor(acc, f):
+        return Bool(should=[Bool(must=[acc], must_not=[f]),
+                            Bool(must=[f], must_not=[acc])])
+
+    step = {"or": f_or, "and": f_and, "andnot": f_andnot, "xor": f_xor}
+    # the fold tracks complements symbolically (De Morgan push-down) so the
+    # final query is pure-positive whenever possible; a residual complement
+    # is materialized as exactly Bool(must=[MatchAll], must_not=[pos]) at
+    # the TOP of the filter, which Searcher.rewrite folds into the
+    # enclosing conjunction's must_not (the kernel never sees MatchAll)
+    if ops[0] == "and":
+        acc, neg, start = filters[0], False, 1
+    elif ops[0] == "andnot":
+        acc, neg, start = filters[0], True, 1   # acc ≡ ¬f0
+    else:
+        acc, neg, start = None, False, 0
+    for i in range(start, len(filters)):
+        f = filters[i]
+        if acc is None:
+            acc = f                             # ∅∪f = ∅⊕f = f
+        elif not neg:
+            acc = step[ops[i]](acc, f)
+        else:                                   # acc holds a, value is ¬a
+            if ops[i] == "or":                  # ¬a ∪ f = ¬(a ∖ f)
+                acc = Bool(must=[acc], must_not=[f])
+            elif ops[i] == "and":               # ¬a ∩ f = f ∖ a
+                acc, neg = Bool(must=[f], must_not=[acc]), False
+            elif ops[i] == "andnot":            # ¬a ∖ f = ¬(a ∪ f)
+                acc = Bool(should=[acc, f])
+            else:                               # ¬a ⊕ f = ¬(a ⊕ f)
+                acc = f_xor(acc, f)
+    if neg:
+        acc = Bool(must=[MatchAll()], must_not=[acc])
+    return ConstantScore(acc, boost=0.0)
+
+
 class Searcher:
     def __init__(self, reader: IndexReader, similarity=None):
         """`similarity`: a scoring.Similarity instance or registered name
@@ -435,10 +499,26 @@ class Searcher:
                 q, enum, lambda t: self._doc_freqs([t]).get(t, 0),
                 self.reader.N, self._flt_analyze)
         if isinstance(q, Bool):
+            # complement-filter elimination: a score-neutral must clause of
+            # exactly the shape ConstantScore(Bool(must=[MatchAll],
+            # must_not=Xs), 0) — chained_filter's residual-complement form —
+            # is the set "everything except Xs"; inside a conjunction that
+            # is just the enclosing Bool's must_not (score unchanged: the
+            # clause contributed a constant 0). Keeps MatchAll out of the
+            # kernel, which plans it as a docmap scan only at top level.
+            must, must_not = [], list(q.must_not)
+            for c in q.must:
+                if (isinstance(c, ConstantScore) and c.boost == 0.0
+                        and isinstance(c.query, Bool) and not c.query.should
+                        and len(c.query.must) == 1 and c.query.must_not
+                        and isinstance(c.query.must[0], MatchAll)):
+                    must_not.extend(c.query.must_not)
+                else:
+                    must.append(c)
             return Bool(
-                must=[self.rewrite(c) for c in q.must],
+                must=[self.rewrite(c) for c in must],
                 should=[self.rewrite(c) for c in q.should],
-                must_not=[self.rewrite(c) for c in q.must_not],
+                must_not=[self.rewrite(c) for c in must_not],
                 min_should=q.min_should,
                 boost=q.boost,
             )

@@ -82,3 +82,96 @@ def test_duplicate_filter(ctx):
     exp = sorted(first_by_key.values(), key=lambda x: (-x[1], x[0]))
     assert_match(got, exp)
     assert len({langs[d] for d, _ in got}) == len(got)  # one per key
+
+
+# ---------------------------------------------------------------------------
+# ChainedFilter (contrib/misc/.../ChainedFilter.java) — fold semantics
+# brute-forced from the oracle's posting sets, engine ≡ oracle rank identity
+# ---------------------------------------------------------------------------
+
+def _docs_of(oracle, term):
+    return set(oracle.postings.get(term, {}))
+
+
+def _chain_sets(oracle, n_docs, terms, ops):
+    """Literal ChainedFilter fold over python sets (the golden)."""
+    sets = [_docs_of(oracle, t) for t in terms]
+    if ops[0] == "and":
+        acc, start = sets[0], 1
+    elif ops[0] == "andnot":
+        acc, start = set(range(n_docs)) - sets[0], 1
+    else:
+        acc, start = set(), 0
+    for i in range(start, len(sets)):
+        if ops[i] == "or":
+            acc = acc | sets[i]
+        elif ops[i] == "and":
+            acc = acc & sets[i]
+        elif ops[i] == "andnot":
+            acc = acc - sets[i]
+        else:
+            acc = acc ^ sets[i]
+    return acc
+
+
+@pytest.mark.parametrize("terms,logic", [
+    (["lang:de", "lang:en"], "or"),
+    (["seven", "forty"], "and"),
+    (["lang:de", "forty"], "andnot"),
+    (["lang:de", "forty"], "xor"),
+    (["lang:de", "forty", "seven"], "xor"),         # 3-way parity
+    (["lang:de", "seven", "forty"], ["or", "and", "andnot"]),  # per-filter ops
+    (["seven", "lang:de", "forty"], ["and", "or", "xor"]),
+    (["lang:de", "forty"], ["andnot", "or"]),        # complement seed
+])
+def test_chained_filter(ctx, terms, logic):
+    from lucene_spark.queries.planner import chained_filter
+
+    searcher, oracle, langs = ctx
+    n_docs = len(langs)
+    ops = [logic] * len(terms) if isinstance(logic, str) else logic
+    want = _chain_sets(oracle, n_docs, terms, ops)
+
+    chain = chained_filter([ConstantScore(Term(t)) for t in terms], logic)
+    q = Bool(must=[Term("seven"), chain])
+    got = hits(searcher, q)
+    assert {d for d, _ in got} == (want & _docs_of(oracle, "seven")), ops
+    assert_match(got, oracle_search(oracle, q, K))
+    # score-neutral: scores equal the bare scored query's
+    base = dict(hits(searcher, Term("seven")))
+    for d, s in got:
+        assert math.isclose(s, base[d], rel_tol=1e-12)
+
+
+def test_chained_filter_validation():
+    from lucene_spark.queries.planner import chained_filter
+
+    with pytest.raises(ValueError, match="Invalid number"):
+        chained_filter([ConstantScore(Term("a"))], ["or", "and"])
+    with pytest.raises(ValueError, match="bad ops"):
+        chained_filter([ConstantScore(Term("a"))], "nand")
+    with pytest.raises(ValueError, match="empty"):
+        chained_filter([], "or")
+
+
+# ---------------------------------------------------------------------------
+# HighFreqTerms (contrib/misc/.../HighFreqTerms.java) — top-n by df
+# ---------------------------------------------------------------------------
+
+def test_high_freq_terms(ctx):
+    from lucene_spark.misc import high_freq_terms
+
+    searcher, oracle, langs = ctx
+    got = [(r["term"], r["df"])
+           for r in high_freq_terms(searcher.reader, n=15).collect()]
+    # golden: df per un-namespaced term from the oracle postings
+    dfs = sorted(((t, len(d)) for t, d in oracle.postings.items()
+                  if not t.startswith("lang:")),
+                 key=lambda x: (-x[1], x[0]))[:15]
+    assert got == dfs
+    # field mode: lang namespace only, prefix stripped
+    got_f = [(r["term"], r["df"]) for r in
+             high_freq_terms(searcher.reader, n=5, field="lang").collect()]
+    dfs_f = sorted(((t[5:], len(d)) for t, d in oracle.postings.items()
+                    if t.startswith("lang:")), key=lambda x: (-x[1], x[0]))[:5]
+    assert got_f == dfs_f
