@@ -160,14 +160,16 @@ _RE_SIMPLE = re.compile(f"^[^\\W_]+$")  # no connectors, no CJ → one ALPHANUM
 _RE_SIMPLE_CJ = re.compile(f"[{_CJ_CLASS}]")
 
 
-def _scan_span(span: str) -> list[tuple[str, str]]:
-    """Exact longest-match scan of one span → [(type, raw_text)]."""
+def _scan_span(span: str, rules=None) -> list[tuple[str, str]]:
+    """Exact longest-match scan of one span → [(type, raw_text)].
+    ``rules`` overrides the JFlex tie-break ORDER (WikipediaTokenizerImpl
+    .jflex:181-187 places NUM before HOST, unlike the standard grammar)."""
     out: list[tuple[str, str]] = []
     pos, n = 0, len(span)
     while pos < n:
         best_len = 0
         best: tuple[str, str] | None = None
-        for typ, pat in _RULES:
+        for typ, pat in (rules if rules is not None else _RULES):
             m = pat.match(span, pos)
             if m is not None:
                 ln = m.end() - pos
@@ -644,6 +646,8 @@ def _ensure_registered(name: str) -> None:
     import)."""
     if name not in ANALYZERS and name not in POSITIONAL_ANALYZERS:
         from . import lang  # noqa: F401 — import side effect: register()
+    if name == "wikipedia" and name not in POSITIONAL_ANALYZERS:
+        from . import wiki  # noqa: F401 — register() at import
 
 
 def get_analyzer(name: str, default: str = "whitespace"):
