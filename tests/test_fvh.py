@@ -209,3 +209,22 @@ def test_fvh_highlight_dataframe(spark):
     assert out["u1"] == ["x y <b>a b</b> z"]
     assert out["u2"] == []
     assert out["u3"] == []
+
+
+def test_hostile_inputs():
+    """Ragged display-side inputs: empty/None text, queries with no
+    highlightable shape, fragment windows past EOF — never raise."""
+    from lucene_spark.queries.ast import MatchAll
+
+    fq = FieldQuery(Term("a"))
+    assert highlight_text("", fq) == []
+    # fragment window extends past the text end: slice clamps
+    assert highlight_text("a", fq, frag_char_size=MIN_FRAG_CHAR_SIZE) \
+        == ["<b>a</b>"]
+    # no flattenable shape → no terms → no fragments (reference discards)
+    fq2 = FieldQuery(MatchAll())
+    assert fq2.term_set == set()
+    assert highlight_text("a b c", fq2) == []
+    # duplicate flat queries dedup; 1-term phrase demotes to term
+    fq3 = FieldQuery(Bool(should=[Term("a"), Term("a"), Phrase(["a"])]))
+    assert highlight_text("a a", fq3) == ["<b>a</b> <b>a</b>"]

@@ -170,3 +170,24 @@ def test_registered_chain(spark, tmp_path):
     hits = {int(r["docid"])
             for r in s.search('"space needle"', k=10).collect()}
     assert hits == {0}
+
+
+def test_hostile_markup():
+    """Unterminated constructs never raise and never loop: the scanner
+    treats EOF as every close delimiter (crawled wikitext is ragged)."""
+    cases = [
+        "", None, "[[", "[[never closed", "[http://x.org never closed",
+        "''", "'''", "''unclosed italics", "=== ", "==a", "<ref>no close",
+        "]] stray close [[a]]", "|pipe alone|", "[[|]]", "[[Category:]]",
+        "<not-a-tag <<< > ''[['']]''", "’curly’ isn't markup",
+        "🎉 emoji [[né]] ''ünïcode''",
+    ]
+    for c in cases:
+        out = wikipedia_tokenize_typed(c or "")
+        assert isinstance(out, list)
+        for t, _tt, inc, so, eo, _f in out:
+            assert t and inc in (0, 1) and 0 <= so < eo <= len(c or "") + 1
+    # unterminated internal link still types its words
+    got = wikipedia_tokenize_typed("[[never closed")
+    assert [(t, tt) for t, tt, *_ in got] == [("never", "il"),
+                                              ("closed", "il")]
