@@ -253,18 +253,23 @@ def match_expr(q: Query, toks: Column,
 
 def percolate(docs: DataFrame, bank: list[tuple[str, Query]],
               text_col: str = "text", id_col: str = "doc_id",
-              field_cols: dict[str, str] | None = None) -> DataFrame:
+              field_cols: dict[str, str] | None = None,
+              passthrough: list[str] | None = None) -> DataFrame:
     """(doc_id, query_id) for every (document, bank query) match.
 
     `docs` rows are whitespace-analyzed from `text_col` (the contract
     analyzer; pre-tokenize upstream for a custom chain and pass an
     array column name as `text_col` — arrays are used as-is).
     `field_cols` maps extra field names to their text/array columns.
+    `passthrough` columns are carried onto each match row unchanged
+    (e.g. the event timestamp for an alerting sink).
 
     The whole bank evaluates in one narrow projection per document:
     filter(bank_structs, s -> s.m) → explode. No shuffle below the
     caller's ordering; bank literals ship inside the serialized plan
-    (driver-side compile, the small side by construction)."""
+    (driver-side compile, the small side by construction). Being a
+    stateless narrow projection, it applies to a STREAMING DataFrame
+    as-is (lucene_spark.streaming.percolate wraps it)."""
     def tok_expr(col: str) -> Column:
         dt = dict(docs.dtypes).get(col, "string")
         return F.col(col) if dt.startswith("array") \
@@ -277,9 +282,11 @@ def percolate(docs: DataFrame, bank: list[tuple[str, Query]],
                  match_expr(q, toks, fields).alias("m"))
         for qid, q in bank])
     hits = F.filter(entries, lambda s: s.m)
+    extra = list(passthrough or [])
     return (docs
-            .select(F.col(id_col), F.explode(hits).alias("hit"))
-            .select(id_col, F.col("hit.query_id").alias("query_id")))
+            .select(F.col(id_col), *[F.col(c) for c in extra],
+                    F.explode(hits).alias("hit"))
+            .select(id_col, *extra, F.col("hit.query_id").alias("query_id")))
 
 
 def guard_terms(q: Query) -> list[str] | None:
