@@ -870,7 +870,23 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     once and cached — signatures AND candidate verification read the same
     materialization instead of re-deriving it."""
     sh, sigs = _minhash_cached(spark, sf_dir)
-    bands = _bands(sigs)
+    # the full 8-component signature RIDES ALONG each band row (64 extra
+    # bytes/row on the band-join shuffle) so the signature-estimate
+    # prefilter (_MH_EST_MIN) applies INSIDE the self-join, before any
+    # pair materializes: the earlier shape distinct-ed the raw band
+    # collisions (12.2M pairs at the 500k probe) and joined them back to
+    # the sigs table TWICE to compute the same 8 comparisons — two
+    # 12M-row doc_id-keyed shuffles plus a 12M-row distinct, all replaced
+    # by a per-collision-row column expression; the distinct now sees
+    # only the estimate survivors (360k at that probe, ~3%). Measured
+    # 500k warm: 26.6 s -> 5.1 s, identical pairs (both shapes verified
+    # side-by-side at the probe).
+    bands = sigs.selectExpr(
+        "doc_id", *[f"mh{j}" for j in range(_N_MINHASH)],
+        "stack(4, " + ", ".join(
+            f"{b}, md5(cast(concat_ws('_', cast(mh{2*b} as string), "
+            f"cast(mh{2*b+1} as string)) as binary))"
+            for b in range(4)) + ") as (band, bh)")
     # MEGA-BUCKET GUARD (same skew treatment as _BUCKET_CAP on the shingle
     # path): under a Zipf-headed corpus, many docs share the globally
     # minimum-hash shingles, so their band hashes collide — measured at a
@@ -879,20 +895,23 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     # Buckets over the cap carry no dedup precision (they are boilerplate
     # collisions, p99 bucket = 72 at that probe), so they are skipped —
     # standard banded-LSH practice. The over-cap set is tiny by Zipf →
-    # broadcastable; one extra map-side-combinable count pass.
+    # broadcastable; one extra map-side-combinable count pass (Catalyst
+    # prunes the mh columns from this aggregation branch).
     big = (bands.groupBy("band", "bh").count()
            .where(F.col("count") > _LSH_BAND_CAP).select("band", "bh"))
     bands = bands.join(F.broadcast(big), ["band", "bh"], "left_anti")
     x = bands.alias("x")
     y = bands.alias("y")
+    n_match = sum((F.col(f"x.mh{j}") == F.col(f"y.mh{j}")).cast("int")
+                  for j in range(_N_MINHASH))
     cand = (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.bh") == F.col("y.bh"))
                & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .where(n_match >= _MH_EST_MIN)
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    cand = _est_filter(cand, sigs)
     # LSH intersections use the FULL shingle set (no cap — mirrored in the
     # oracle); see _verify_pairs for the array-based verify design
     _, _, full_sets = _dedup_artifacts(spark, sf_dir)
