@@ -118,17 +118,20 @@ class IndexWriter:
 
         keys = (read_pages(self.spark, input_path, columns=(key_field,))
                 .select(key_field).distinct())
+        # no forced broadcast of the key set: a "crawl increment" can be
+        # a day of pages (10^9 keys at production scale), which would OOM
+        # a broadcast hint — AQE broadcasts small increments on its own
+        # and falls back to a key-shuffled join for huge ones; docmap
+        # stays distributed (never collected)
         victims = (reader.docmap()
                    .where(~F.col("seg").isin(sorted(own)) if own else F.lit(True))
-                   .join(F.broadcast(keys), key_field)
+                   .join(keys, key_field)
                    .select("seg", "docid"))
         # already-tombstoned docs must not be re-counted or re-tombstoned
         # (a second update of the same keys would otherwise double-report)
         dd = deleted_docids(self.spark, self.index_dir)
         if dd is not None:
             victims = victims.join(dd, ["seg", "docid"], "left_anti")
-        # the batch is one crawl increment — bounded, broadcastable;
-        # docmap stays distributed (never collected)
         n_del = victims.count()
         if n_del:
             delete_by_docids(self.spark, self.index_dir, victims)
