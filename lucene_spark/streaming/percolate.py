@@ -66,3 +66,32 @@ def run_percolate_to_memory(spark: SparkSession, input_dir: str, bank,
     return (streaming_percolate(spark, input_dir, bank)
             .writeStream.format("memory").queryName(query_name)
             .outputMode("append").start())
+
+
+def run_percolate_indexed_to_parquet(spark: SparkSession, input_dir: str,
+                                     bank, out_dir: str,
+                                     checkpoint_dir: str):
+    """LARGE-BANK streaming percolation (10^4–10^6 registered queries):
+    per micro-batch, the batch guard-index evaluator (percolate_indexed —
+    broadcast guard-term join, exact CASE only on candidates) runs via
+    ``foreachBatch`` and appends (url, query_id) alert rows to a parquet
+    sink. foreachBatch is the right lift here, NOT a streaming plan: the
+    indexed form's per-doc candidate groupBy would otherwise become a
+    stateful streaming aggregation with watermark semantics the op does
+    not need — each page's alerts depend only on its own micro-batch.
+    Restart safety comes from the checkpoint (micro-batch replay appends
+    again; downstream dedup on (url, query_id) if the sink must be
+    exactly-once — stated, the parquet sink itself is at-least-once
+    under foreachBatch)."""
+    from ..queries.percolate import percolate_indexed
+
+    parsed = _parse_bank(bank)
+    pages = (spark.readStream.schema(PAGES_DDL).parquet(input_dir)
+             .where(F.col("text").isNotNull()))
+
+    def _batch(df: DataFrame, _epoch: int) -> None:
+        (percolate_indexed(df, parsed, id_col="url")
+         .write.mode("append").parquet(out_dir))
+
+    return (pages.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint_dir).start())

@@ -99,6 +99,32 @@ def test_streaming_matches_batch_twin(spark, tmp_path):
     assert streamed == {(r["url"], r["query_id"]) for r in batch.collect()}
 
 
+def test_streaming_indexed_large_bank_parity(spark, tmp_path):
+    """foreachBatch + percolate_indexed (the large-bank path): streamed
+    alerts equal the batch percolate of the same pages."""
+    from lucene_spark.queries.percolate import percolate
+    from lucene_spark.streaming.percolate import (
+        _parse_bank, run_percolate_indexed_to_parquet)
+
+    src = str(tmp_path / "pages_perc_ix")
+    out = str(tmp_path / "alerts_ix")
+    ckpt = str(tmp_path / "ckpt_ix")
+    _write_pages(src, "w1.parquet", W1)
+    q = run_percolate_indexed_to_parquet(spark, src, BANK, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _write_pages(src, "w2.parquet", W2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {(r["url"], r["query_id"])
+                for r in spark.read.parquet(out).collect()}
+    batch = percolate(
+        spark.read.parquet(src).where(F.col("text").isNotNull()),
+        _parse_bank(BANK), id_col="url")
+    assert streamed == {(r["url"], r["query_id"]) for r in batch.collect()}
+
+
 def test_streaming_percolate_plan_is_stateless(spark, tmp_path):
     """No state store, no shuffle: the streaming plan must carry no
     StateStore/Exchange operator — the property that makes the op safe
