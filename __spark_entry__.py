@@ -1765,19 +1765,16 @@ def _ivf_centroids(spark, sf_dir):
     return _IVF_CENT_CACHE[key]
 
 
-def _q_ann_ivf_search(spark, sf_dir):
-    """IVF ANN (the classic scale path beside LSH): k-means-trained coarse
-    quantizer; every vector assigned to its nearest centroid cell by a
-    MAP-ONLY argmax over the K broadcast centroid literals (K cosine
+def _ivf_assign(spark, sf_dir):
+    """(cents_np, assign): the trained centroids plus the full-corpus cell
+    assignment df (vec_id, embedding, cell:int) — the shared coarse
+    quantizer both ann_ivf_search and dedup_semantic consume. Assignment is
+    a MAP-ONLY argmax over the K broadcast centroid literals (K cosine
     expressions + array_position-of-max inside one projection — no
     crossJoin, no window, zero shuffle: at 10^12 vectors the n×K pair
-    materialization and its per-vector window shuffle would dominate), the
-    query probes only its top-P cells, exact cosine re-rank inside them.
+    materialization and its per-vector window shuffle would dominate).
     Ties take the lowest cell (array_position returns the FIRST max —
-    same rule as the oracle's ORDER BY c DESC, cell ASC). The DuckDB
-    oracle re-derives the SAME centroids via an unrolled-CTE Lloyd's under
-    the shared rounding contract, so quantizer, assignment, and probe are
-    all cross-checked — not just the final re-rank."""
+    same rule as the oracle's ORDER BY c DESC, cell ASC)."""
     import numpy as np
 
     cents_np = _ivf_centroids(spark, sf_dir)
@@ -1818,6 +1815,20 @@ def _q_ann_ivf_search(spark, sf_dir):
         .select("vec_id", "embedding",
                 (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
                 .cast("int").alias("cell")))
+    return cents_np, assign
+
+
+def _q_ann_ivf_search(spark, sf_dir):
+    """IVF ANN (the classic scale path beside LSH): k-means-trained coarse
+    quantizer; every vector assigned to its nearest centroid cell by the
+    zero-shuffle broadcast argmax (_ivf_assign), the query probes only its
+    top-P cells, exact cosine re-rank inside them. The DuckDB oracle
+    re-derives the SAME centroids via an unrolled-CTE Lloyd's under the
+    shared rounding contract, so quantizer, assignment, and probe are all
+    cross-checked — not just the final re-rank."""
+    import numpy as np
+
+    cents_np, assign = _ivf_assign(spark, sf_dir)
 
     qv = _qvec(spark, sf_dir, 1)
     lit_q = _dlit_arr(qv)
@@ -1863,6 +1874,48 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     return (pairs.select("a", "b", F.round(cos, 4).alias("cos"))
             .where(F.col("cos") >= 0.35)
             .orderBy("a", "b"))
+
+
+_SEM_COS_MIN = 0.30  # SemDeDup keep threshold (cosine, rounded 1e-4)
+
+
+def _q_dedup_semantic(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with the SAME deterministic k-means coarse quantizer
+    IVF uses (bounded training sample, broadcast-argmax assignment —
+    zero-shuffle, _ivf_assign), then inside each cell drop every vector
+    that has an earlier (lower vec_id) neighbor at cosine ≥ _SEM_COS_MIN.
+    Output: one row per assigned vector — (vec_id, cell, keep 0/1).
+
+    Scale shape: the pair search is an equality self-join ON CELL — never
+    all-pairs; cells bound the candidate blocks exactly as SemDeDup's
+    k-means clustering intends (K grows with corpus size in production so
+    per-cell population stays bounded; skewed cells are AQE-splittable).
+    The drop set is a distinct on vec_id (map-side combinable) and the
+    final keep flag is a left anti-style join keyed on vec_id. No
+    broadcast of any corpus-sized table; the only driver-side state is
+    the K trained centroids (index-time artifact, memoized).
+
+    Reference parity: the reference has no embedding ops — this is part
+    of the LLM-training-data surface (driver brief) next to the lexical
+    near-dup family; the keep-lowest-id rule mirrors dedup_cluster's
+    canonical-representative convention."""
+    _, assign = _ivf_assign(spark, sf_dir)
+    a = assign.select(F.col("vec_id").alias("a"),
+                      F.col("embedding").alias("ea"), "cell")
+    b = assign.select(F.col("vec_id").alias("b"),
+                      F.col("embedding").alias("eb"), "cell")
+    dropped = (a.join(b, "cell")
+               .where(F.col("a") < F.col("b"))
+               .where(F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+                      >= _SEM_COS_MIN)
+               .select(F.col("b").alias("vec_id")).distinct())
+    return (assign.select("vec_id", "cell")
+            .join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                    F.when(F.col("hit").isNotNull(), 0).otherwise(1)
+                    .cast("int").alias("keep"))
+            .orderBy("vec_id"))
 
 
 def _q_text_token_count(spark, sf_dir):
@@ -2185,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_semantic": _q_dedup_semantic,
         # --- text analysis ---
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -2600,15 +2654,18 @@ inter AS (
 """
 
 
-def _ivf_sql(iters: int = 3) -> str:
-    """Unrolled Lloyd's k-means in SQL mirroring lucene_spark/ann.py's
-    determinism contract: init = first K vectors; assignment = argmax of
-    cosine rounded to 10 decimals (ties → lowest cell); centroid update =
-    per-component mean rounded to 6 decimals; fixed iteration count.
-    Training reads ONLY the bounded vec_id < _IVF_TRAIN_CAP sample (`exr`)
-    — the same deterministic cap the engine's _ivf_centroids collects —
-    while the final assignment + probe re-rank run over the full table."""
-    k, nprobe = _N_IVF_CELLS, _IVF_NPROBE
+def _ivf_train_ctes(iters: int = 3) -> list:
+    """The shared unrolled-Lloyd's CTE prefix (training + full-corpus
+    assignment a{iters+1}) mirroring lucene_spark/ann.py's determinism
+    contract: init = first K vectors; assignment = argmax of cosine rounded
+    to 10 decimals (ties → lowest cell); centroid update = per-component
+    mean rounded to 6 decimals; fixed iteration count. Training reads ONLY
+    the bounded vec_id < _IVF_TRAIN_CAP sample (`exr`) — the same
+    deterministic cap the engine's _ivf_centroids collects — while the
+    final assignment runs over the full table. Consumed by the
+    ann_ivf_search AND dedup_semantic oracles (both ride the same trained
+    quantizer, like the engine's shared _ivf_assign)."""
+    k = _N_IVF_CELLS
     assign_cos = ("round(sum(e.ev * c.cv) / (sqrt(sum(e.ev * e.ev)) "
                   "* sqrt(sum(c.cv * c.cv))), 10)")
     ctes = [f"""ex AS (
@@ -2631,6 +2688,14 @@ def _ivf_sql(iters: int = 3) -> str:
             ctes.append(f"""c{i} AS (
   SELECT a.cell, e.d, round(avg(e.ev), 6) AS cv
   FROM a{i} a JOIN exr e USING (vec_id) GROUP BY a.cell, e.d)""")
+    return ctes
+
+
+def _ivf_sql(iters: int = 3) -> str:
+    """ann_ivf_search oracle: shared quantizer CTEs (_ivf_train_ctes) +
+    probe-cell selection for query vec 1 + exact re-rank in probed cells."""
+    nprobe = _IVF_NPROBE
+    ctes = _ivf_train_ctes(iters)
     ctes.append(f"""probe AS (
   SELECT cell FROM (
     SELECT c.cell,
@@ -2655,6 +2720,29 @@ SELECT d.vec_id, CAST(c.cell AS BIGINT) AS cell,
        round(d.dot / (sqrt(d.na) * sqrt(d.nb)), 4) AS cos
 FROM cdots d JOIN cand c USING (vec_id)
 ORDER BY d.dot / (sqrt(d.na) * sqrt(d.nb)) DESC, d.vec_id ASC LIMIT 10""")
+
+
+def _sem_sql(iters: int = 3) -> str:
+    """dedup_semantic oracle: the same trained quantizer + full assignment
+    (a{iters+1}) as ann_ivf_search, then an intra-cell pair scan — a vector
+    is dropped iff an earlier vector in its cell sits at cosine ≥
+    _SEM_COS_MIN (SemDeDup keep-lowest-id rule)."""
+    ctes = _ivf_train_ctes(iters)
+    ctes.append(f"cells AS (SELECT vec_id, cell FROM a{iters + 1})")
+    ctes.append("""pe AS (
+  SELECT e.vec_id, c.cell, e.d, e.ev FROM ex e JOIN cells c USING (vec_id))""")
+    ctes.append(f"""dropped AS (
+  SELECT DISTINCT b.vec_id AS b
+  FROM pe a JOIN pe b
+    ON a.cell = b.cell AND a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+  HAVING round(sum(a.ev * b.ev) / (sqrt(sum(a.ev * a.ev))
+               * sqrt(sum(b.ev * b.ev))), 4) >= {_SEM_COS_MIN})""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.b
+ORDER BY c.vec_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2983,6 +3071,7 @@ cdots AS (
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
 FROM cdots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
         "ann_ivf_search": _ivf_sql(),
+        "dedup_semantic": _sem_sql(),
         "dedup_embedding_cosine": f"""
 WITH {_LSH_BUCKETS_CTE},
 ex AS (SELECT vec_id, unnest(embedding) AS ev,

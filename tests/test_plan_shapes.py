@@ -143,6 +143,22 @@ def test_embedding_cosine_no_forced_broadcast(spark, fresh_sf):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_dedup_semantic_cell_join_no_forced_broadcast(spark, fresh_sf):
+    """SemDeDup's pair search must stay an equality self-join ON CELL (the
+    quantizer's blocking key) with Catalyst-chosen strategy: with
+    auto-broadcast off there is no BroadcastExchange (the only broadcast
+    state is the K centroid literals, which live INSIDE the projection,
+    not in an exchange), no cartesian/NLJ anywhere, and every hash shuffle
+    is keyed on cell or vec_id — never an all-pairs shape."""
+    with _no_auto_broadcast(spark):
+        plan = _exec_plan(spark, "dedup_semantic", sf=fresh_sf)
+    assert "BroadcastExchange" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        key = m.group(1)
+        assert key.startswith(("cell", "vec_id", "a#", "b#")), (key, plan)
+
+
 def test_payload_column_pruned_unless_needed(spark):
     """Over the payload-bearing contract index, a plain TermQuery's postings
     scan must NOT read payloads_blob (columnar pruning — the .prx payload
