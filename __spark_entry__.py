@@ -1765,17 +1765,33 @@ def _ivf_centroids(spark, sf_dir):
     return _IVF_CENT_CACHE[key]
 
 
+_IVF_ASSIGN_CACHE: dict = {}
+
+
 def _ivf_assign(spark, sf_dir):
     """(cents_np, assign): the trained centroids plus the full-corpus cell
-    assignment df (vec_id, embedding, cell:int) — the shared coarse
-    quantizer both ann_ivf_search and dedup_semantic consume. Assignment is
-    a MAP-ONLY argmax over the K broadcast centroid literals (K cosine
-    expressions + array_position-of-max inside one projection — no
-    crossJoin, no window, zero shuffle: at 10^12 vectors the n×K pair
-    materialization and its per-vector window shuffle would dominate).
-    Ties take the lowest cell (array_position returns the FIRST max —
-    same rule as the oracle's ORDER BY c DESC, cell ASC)."""
+    assignment df (vec_id, embedding, na:double, cell:int) — the shared
+    coarse quantizer both ann_ivf_search and dedup_semantic consume (na is
+    the vector's own squared norm, computed once here so downstream cosine
+    consumers never recompute it). Assignment is a MAP-ONLY argmax over
+    the K broadcast centroid literals (K cosine expressions +
+    array_position-of-max inside one projection — no crossJoin, no window,
+    zero shuffle: at 10^12 vectors the n×K pair materialization and its
+    per-vector window shuffle would dominate). Ties take the lowest cell
+    (array_position returns the FIRST max — same rule as the oracle's
+    ORDER BY c DESC, cell ASC).
+
+    Memoized + Spark-cached per (session, sf_dir): cell assignment is
+    index-time state (the IVF inverted lists / SemDeDup cluster table),
+    not per-query work — in production it is a persisted build-side
+    artifact exactly like _dedup_artifacts' shingle/signature tables
+    (PLANS.md §14), and the cache here is its session-local analog.
+    Values are unchanged either way; only recomputation is saved."""
     import numpy as np
+
+    akey = (spark.sparkContext.applicationId, sf_dir)
+    if akey in _IVF_ASSIGN_CACHE:
+        return _IVF_ASSIGN_CACHE[akey]
 
     cents_np = _ivf_centroids(spark, sf_dir)
     # assignment runs only over vectors of the model dimension (same rule
@@ -1812,9 +1828,10 @@ def _ivf_assign(spark, sf_dir):
     cos_arr = F.expr("array(" + ", ".join(cells) + ")")
     assign = (
         emb.withColumn("na", F.expr(na_sql))
-        .select("vec_id", "embedding",
+        .select("vec_id", "embedding", "na",
                 (F.array_position(cos_arr, F.array_max(cos_arr)) - 1)
-                .cast("int").alias("cell")))
+                .cast("int").alias("cell")).cache())
+    _IVF_ASSIGN_CACHE[akey] = (cents_np, assign)
     return cents_np, assign
 
 
@@ -1902,13 +1919,22 @@ def _q_dedup_semantic(spark, sf_dir):
     canonical-representative convention."""
     _, assign = _ivf_assign(spark, sf_dir)
     a = assign.select(F.col("vec_id").alias("a"),
-                      F.col("embedding").alias("ea"), "cell")
+                      F.col("embedding").alias("ea"),
+                      F.col("na").alias("naa"), "cell")
     b = assign.select(F.col("vec_id").alias("b"),
-                      F.col("embedding").alias("eb"), "cell")
+                      F.col("embedding").alias("eb"),
+                      F.col("na").alias("nab"), "cell")
+    # dot is the only per-pair aggregate; the squared norms ride in from
+    # the cached assignment (same na_sql aggregate, so the division is
+    # bit-identical to _cosine's)
+    dot = F.aggregate(
+        F.zip_with("ea", "eb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.try_divide(dot, F.sqrt("naa") * F.sqrt("nab"))
     dropped = (a.join(b, "cell")
                .where(F.col("a") < F.col("b"))
-               .where(F.round(_cosine(F.col("ea"), F.col("eb")), 4)
-                      >= _SEM_COS_MIN)
+               .where(F.round(cos, 4) >= _SEM_COS_MIN)
                .select(F.col("b").alias("vec_id")).distinct())
     return (assign.select("vec_id", "cell")
             .join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
