@@ -2264,7 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "dedup_semantic": _q_dedup_semantic,
         # --- text analysis ---
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -2420,6 +2419,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_run": _q_text_dup_run,
         "text_winnow_fp": _q_text_winnow_fp,
         "events_funnel": _q_events_funnel,
+        # SemDeDup rides in extras because queries() is pinned at the
+        # harness's 50-entry recording cap (see queries() docstring)
+        "dedup_semantic": _q_dedup_semantic,
         # round 4: payload family (search/payloads) over the payload-
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
@@ -3097,7 +3099,6 @@ cdots AS (
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
 FROM cdots ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10""",
         "ann_ivf_search": _ivf_sql(),
-        "dedup_semantic": _sem_sql(),
         "dedup_embedding_cosine": f"""
 WITH {_LSH_BUCKETS_CTE},
 ex AS (SELECT vec_id, unnest(embedding) AS ev,
@@ -3434,6 +3435,7 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_fp,
        CAST(bit_xor(m) AS BIGINT) AS fp_xor
 FROM fps GROUP BY doc_id ORDER BY doc_id""",
+        "dedup_semantic": _sem_sql(),
         "events_funnel": """WITH
 ev AS (
   SELECT user_id, event_type,
