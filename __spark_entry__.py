@@ -1019,9 +1019,16 @@ def _q_dedup_cluster(spark, sf_dir):
     not grow with iterations. The result is the exact component minimum —
     deterministic under any partitioning."""
     pairs = _q_dedup_minhash_lsh(spark, sf_dir).select("a", "b")
-    edges = (pairs.union(pairs.select(F.col("b").alias("a"),
-                                      F.col("a").alias("b")))
-             .toDF("u", "v").cache())
+    # both edge directions from ONE scan of the pair plan: a union of
+    # `pairs` with its mirror re-executes the whole upstream LSH plan per
+    # branch (no cross-branch subexpression reuse — measured 5.7 s vs
+    # 2.0 s for the pair plan itself at sf0.1); explode emits (u,v) and
+    # (v,u) from the same row instead
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v"))))
+        .alias("e"))
+        .select("e.u", "e.v").cache())
     labels = (edges.select(F.col("u").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint())
