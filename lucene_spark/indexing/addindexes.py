@@ -67,11 +67,18 @@ def _max_docid(manifests: dict[int, dict]) -> int:
                 if m.get("docid_range")), default=-1)
 
 
-def _rebase_postings(offset: int, block_size: int = BLOCK_SIZE):
+def _rebase_postings(offset: int, in_block_size: int = BLOCK_SIZE,
+                     out_block_size: int = BLOCK_SIZE):
     """mapInPandas fn: shift every docid in POSTINGS_SCHEMA rows by
     ``offset``. Blobs are delta/VByte coded, so the shift re-encodes the
     docid stream (block restarts are absolute); tf/dl streams and the
-    positions/payload blobs are docid-independent and pass through."""
+    positions/payload blobs are docid-independent and pass through
+    (encode_positions is plain concat-VByte — no block structure).
+
+    Decode uses the SOURCE index's block_size and re-encode the
+    DESTINATION's: the delta-with-block-restarts cumsum depends on block
+    size, so decoding a foreign segment with the wrong block_size silently
+    scrambles every docid (same hazard compact_segments documents)."""
 
     def fn(batches):
         for pdf in batches:
@@ -80,9 +87,9 @@ def _rebase_postings(offset: int, block_size: int = BLOCK_SIZE):
                 continue
             recs = pdf.to_dict("records")
             for rec in recs:
-                d, t, dl = decode_postings(rec, block_size)
+                d, t, dl = decode_postings(rec, in_block_size)
                 enc = encode_postings(d + np.int64(offset), t, dl,
-                                      block_size)
+                                      out_block_size)
                 rec.update(enc)
             yield pd.DataFrame(recs, columns=pdf.columns)
 
@@ -97,11 +104,17 @@ def add_indexes(spark: SparkSession, dest_dir: str,
     the destination's (the reference never reconciles analyzers either —
     mixing chains is the caller's contract). Returns per-source offsets
     and the new segment ids."""
+    from .build import read_manifest_config
+
     dest_m = _manifests(dest_dir)
     base = _max_docid(dest_m) + 1
     next_seg = _next_merge_seg(dest_dir)
     report: list[dict] = []
     new_segs: list[int] = []
+    # every copied segment re-encodes to the DESTINATION's codec config; an
+    # empty destination (merge_indexes_tool) adopts the first source's, so
+    # the merged index always ends up with ONE consistent block_size
+    dest_bs = read_manifest_config(dest_dir).get("block_size")
 
     for src in source_dirs:
         src = os.path.abspath(src)
@@ -110,6 +123,9 @@ def add_indexes(spark: SparkSession, dest_dir: str,
         src_m = _manifests(src)
         if not src_m:
             raise ValueError(f"addIndexes: no committed segments in {src}")
+        src_bs = int(read_manifest_config(src).get("block_size", BLOCK_SIZE))
+        if dest_bs is None:
+            dest_bs = src_bs
         offset = base
         for s, m in sorted(src_m.items()):
             k = next_seg
@@ -121,7 +137,8 @@ def add_indexes(spark: SparkSession, dest_dir: str,
                 if not os.path.isdir(sdir):
                     continue
                 (spark.read.parquet(sdir)
-                 .mapInPandas(_rebase_postings(offset),
+                 .mapInPandas(_rebase_postings(offset, src_bs,
+                                               int(dest_bs)),
                               schema=spark.read.parquet(sdir).schema)
                  .write.mode("overwrite")
                  .parquet(os.path.join(dest_dir, sub, f"seg={k}")))
@@ -141,6 +158,8 @@ def add_indexes(spark: SparkSession, dest_dir: str,
                                 m["docid_range"][1] + offset],
                 "added_from": [src, s],
                 "docid_offset": offset,
+                # postings were just re-encoded to the destination codec
+                "block_size": int(dest_bs),
             })
             mdir = os.path.join(dest_dir, "manifests")
             os.makedirs(mdir, exist_ok=True)

@@ -98,15 +98,23 @@ class IndexWriter:
         one live version per key; readers (or pinned commits) from before
         keep the old ones.
 
+        Parquet directory inputs (the facade's primary shape — one batch
+        per directory) get LAST-WRITE-WINS semantics even if a directory
+        accumulates increment files over calls: among this path's own
+        segments, the copy with the highest docid per key (docids are
+        monotone with append order, so the latest crawl) survives and
+        every other live copy — earlier increments in the same directory
+        included — is tombstoned. A retry re-derives the same winners, so
+        it stays a no-op.
+
         Iceberg inputs: "this batch" resolves to EVERY data file currently
         in the table, so the semantic is table-level sync — table versions
         replace matching docs indexed from OTHER sources; two versions of
         the same key BOTH inside the table are left alone (they are the
         table's own content — dedup within a source is delete_documents /
-        the dedup ops' job). Crawl increments that need per-increment
-        replace semantics should arrive as parquet batch directories, the
-        facade's primary shape."""
+        the dedup ops' job)."""
         from .deletes import delete_by_docids, deleted_docids
+        from ..sources.pages import parse_source, read_pages
 
         segs = self.add_documents(input_path)
         own = self._segments_of(input_path)
@@ -114,7 +122,6 @@ class IndexWriter:
             reader = IndexReader(self.spark, self.index_dir)
         except FileNotFoundError:
             return {"deleted": 0, "segments_added": segs}
-        from ..sources.pages import read_pages
 
         keys = (read_pages(self.spark, input_path, columns=(key_field,))
                 .select(key_field).distinct())
@@ -123,15 +130,36 @@ class IndexWriter:
         # a broadcast hint — AQE broadcasts small increments on its own
         # and falls back to a key-shuffled join for huge ones; docmap
         # stays distributed (never collected)
-        victims = (reader.docmap()
-                   .where(~F.col("seg").isin(sorted(own)) if own else F.lit(True))
-                   .join(keys, key_field)
-                   .select("seg", "docid"))
-        # already-tombstoned docs must not be re-counted or re-tombstoned
-        # (a second update of the same keys would otherwise double-report)
         dd = deleted_docids(self.spark, self.index_dir)
-        if dd is not None:
-            victims = victims.join(dd, ["seg", "docid"], "left_anti")
+
+        def _live(df):
+            # already-tombstoned docs must not be re-counted or
+            # re-tombstoned (a second update of the same keys would
+            # otherwise double-report), nor win a last-write-wins race
+            return (df if dd is None
+                    else df.join(dd, ["seg", "docid"], "left_anti"))
+
+        matching = _live(reader.docmap().join(keys, key_field)
+                         .select(key_field, "seg", "docid"))
+        if parse_source(input_path).kind == "iceberg" or not own:
+            # table-level sync: the table's own rows are never victims
+            victims = (matching
+                       .where(~F.col("seg").isin(sorted(own))
+                              if own else F.lit(True))
+                       .select("seg", "docid"))
+        else:
+            # last-write-wins: per key, the live copy with the highest
+            # docid among this path's OWN segments survives; every other
+            # live copy (other sources AND earlier increments under the
+            # same path) is a victim. One increment-sized groupBy + an
+            # anti-join on (seg, docid) — docmap never collected.
+            winners = (matching.where(F.col("seg").isin(sorted(own)))
+                       .groupBy(key_field)
+                       .agg(F.max_by(F.struct("seg", "docid"), F.col("docid"))
+                            .alias("w"))
+                       .select("w.seg", "w.docid"))
+            victims = (matching.select("seg", "docid")
+                       .join(winners, ["seg", "docid"], "left_anti"))
         n_del = victims.count()
         if n_del:
             delete_by_docids(self.spark, self.index_dir, victims)

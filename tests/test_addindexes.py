@@ -146,3 +146,46 @@ def test_add_indexes_validation(spark, tmp_path):
         add_indexes(spark, idx, [idx])
     with pytest.raises(ValueError, match="no committed segments"):
         add_indexes(spark, idx, [str(tmp_path / "nope")])
+
+
+def test_add_indexes_cross_block_size(spark, tmp_path):
+    """A source built with a non-default block_size must decode with ITS
+    block size and re-encode with the destination's — the regression was
+    decoding foreign blobs with the module default, which scrambles every
+    docid silently (delta restarts land on the wrong boundaries)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_spark.fixtures import pages_pdf
+
+    pages_a = str(tmp_path / "pa")
+    pages_b = str(tmp_path / "pb")
+    write_pages_files(pages_a, 30, 1)
+    os.makedirs(pages_b)
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf(30, start=300), preserve_index=False),
+        os.path.join(pages_b, "part-0000.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True)
+    idx_a = str(tmp_path / "ia")   # destination: default block_size
+    idx_b = str(tmp_path / "ib")   # source: tiny block_size (many restarts)
+    _build(spark, pages_a, idx_a, seg_docs=30)
+    build_index(spark, pages_b, idx_b, target_docs_per_seg=30,
+                store_positions=True, block_size=4)
+    merge_index(spark, idx_b)
+    add_indexes(spark, idx_a, [idx_b])
+    assert validate_index(spark, idx_a)["ok"]
+    # rank identity vs the oracle over the concatenated corpus (source
+    # docids shift by 30)
+    texts = _texts(pages_a) + _texts(pages_b)
+    oidx = build_oracle_index(list(enumerate(texts)))
+    searcher = Searcher(IndexReader(spark, idx_a))
+    for q in (Term("seven"), Bool(should=[Term("one"), Term("forty")]),
+              Phrase(["the", "seven"])):
+        got = [(r["docid"], r["score"])
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle_search(oidx, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=0, abs_tol=5e-5)

@@ -134,3 +134,45 @@ def test_update_documents_second_update_counts_once(spark, tmp_path):
     assert s.count("zzzqv1") == 0
     assert s.count("zzzqv2") == 10
     assert s.count("*:*") == 20
+
+
+def test_update_documents_accumulating_directory_last_write_wins(spark,
+                                                                 tmp_path):
+    """A directory that ACCUMULATES increment files across calls must still
+    replace earlier versions: per key, the live copy with the highest docid
+    among the path's own segments wins; earlier increments in the SAME
+    directory are tombstoned like any other stale copy (the regression
+    excluded every segment ever built from the path, so v1 and v2 both
+    stayed live forever). A retry afterwards stays a no-op."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    idx = str(tmp_path / "idx")
+    w = IndexWriter(spark, idx, target_docs_per_seg=10)
+    src1 = str(tmp_path / "b1")
+    write_pages_files(src1, 20, 2)
+    w.add_documents(src1)
+
+    inbox = str(tmp_path / "inbox")
+    v1 = pages_pdf(10)
+    v1["text"] = v1["text"] + " zzzqincr1"
+    _write_pdf(v1, inbox, name="incr1.parquet")
+    assert w.update_documents(inbox)["deleted"] == 10  # the originals
+
+    v2 = pages_pdf(10)
+    v2["text"] = v2["text"] + " zzzqincr2"
+    _write_pdf(v2, inbox, name="incr2.parquet")
+    r = w.update_documents(inbox)
+    assert r["deleted"] == 10  # the v1 copies from the same directory
+    s = Searcher(w.get_reader())
+    assert s.count("zzzqincr1") == 0
+    assert s.count("zzzqincr2") == 10
+    assert s.count("*:*") == 20
+
+    # retry of the same call: same winners, nothing appends or deletes
+    r2 = w.update_documents(inbox)
+    assert r2 == {"deleted": 0, "segments_added": []}
+    assert Searcher(w.get_reader()).count("*:*") == 20
+    assert validate_index(spark, idx)["ok"]
