@@ -172,6 +172,23 @@ def chained_filter(filters: list[Query],
     return ConstantScore(acc, boost=0.0)
 
 
+def _residual_complement(q: Query):
+    """(excluded_clauses, uniform_score) when ``q`` is the residual
+    complement shape ``Bool(must=[MatchAll], must_not=Xs)`` — bare or
+    ConstantScore-wrapped — else None. This is "everything except Xs":
+    chained_filter's irreducible form, and what ``* AND NOT x`` parses to.
+    The kernel never evaluates MatchAll (it has no postings row to ride),
+    so every consumer must plan this shape set-algebraically."""
+    boost = None
+    if isinstance(q, ConstantScore):
+        boost, q = q.boost, q.query
+    if (isinstance(q, Bool) and not q.should and len(q.must) == 1
+            and isinstance(q.must[0], MatchAll) and q.must_not):
+        score = boost if boost is not None else q.must[0].boost * q.boost
+        return list(q.must_not), float(score)
+    return None
+
+
 class Searcher:
     def __init__(self, reader: IndexReader, similarity=None):
         """`similarity`: a scoring.Similarity instance or registered name
@@ -506,15 +523,36 @@ class Searcher:
             # is just the enclosing Bool's must_not (score unchanged: the
             # clause contributed a constant 0). Keeps MatchAll out of the
             # kernel, which plans it as a docmap scan only at top level.
-            must, must_not = [], list(q.must_not)
+            must, must_not = [], []
             for c in q.must:
-                if (isinstance(c, ConstantScore) and c.boost == 0.0
-                        and isinstance(c.query, Bool) and not c.query.should
-                        and len(c.query.must) == 1 and c.query.must_not
-                        and isinstance(c.query.must[0], MatchAll)):
-                    must_not.extend(c.query.must_not)
+                rc = _residual_complement(c)
+                if rc is not None and rc[1] == 0.0:
+                    must_not.extend(rc[0])
+                elif rc is not None:
+                    raise ValueError(
+                        "a scoring complement filter (uniform score "
+                        f"{rc[1]}) cannot be a MUST clause beside other "
+                        "clauses; wrap it score-neutral "
+                        "(ConstantScore(..., 0)) or query it top-level")
                 else:
                     must.append(c)
+            for c in q.must_not:
+                rc = _residual_complement(c)
+                if rc is not None:
+                    # NOT(everything except Xs) ≡ doc ∈ OR(Xs): a
+                    # score-neutral requirement (must_not never scores)
+                    must.append(ConstantScore(Bool(should=rc[0]), 0.0))
+                else:
+                    must_not.append(c)
+            for c in q.should:
+                if _residual_complement(c) is not None:
+                    # fail on the DRIVER with a actionable message instead
+                    # of a MatchAll ValueError inside a Python worker
+                    raise ValueError(
+                        "complement filters (Bool(must=[MatchAll], "
+                        "must_not=...)) are not supported as SHOULD "
+                        "clauses; use them as filters (must/must_not) or "
+                        "at the top level")
             return Bool(
                 must=[self.rewrite(c) for c in must],
                 should=[self.rewrite(c) for c in q.should],
@@ -739,6 +777,16 @@ class Searcher:
                    .select("docid", F.lit(float(q.boost)).alias("score"))
                    .orderBy(F.asc("docid")).limit(k))
             return self._hydrate(out) if hydrate else out
+        rc = _residual_complement(q)
+        if rc is not None:
+            # "everything except Xs" (chained_filter's irreducible form /
+            # `* AND NOT x`): live docmap anti-join the excluded set —
+            # MatchAll semantics with prohibited clauses, uniform score
+            excl = self.matching(Bool(should=rc[0])).select("docid")
+            out = (self._live_docmap().join(excl, "docid", "left_anti")
+                   .select("docid", F.lit(rc[1]).alias("score"))
+                   .orderBy(F.asc("docid")).limit(k))
+            return self._hydrate(out) if hydrate else out
 
         terms = sorted(set(q.terms()))
         if not terms:
@@ -833,6 +881,11 @@ class Searcher:
         if isinstance(q, MatchAll):
             return self._live_docmap().select(
                 "docid", F.lit(float(q.boost)).alias("score"))
+        rc = _residual_complement(q)
+        if rc is not None:
+            excl = self.matching(Bool(should=rc[0])).select("docid")
+            return (self._live_docmap().join(excl, "docid", "left_anti")
+                    .select("docid", F.lit(rc[1]).alias("score")))
         terms = sorted(set(q.terms()))
         dfs = self._doc_freqs(terms)
         if not dfs:

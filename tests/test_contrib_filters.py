@@ -143,6 +143,41 @@ def test_chained_filter(ctx, terms, logic):
         assert math.isclose(s, base[d], rel_tol=1e-12)
 
 
+def test_chained_filter_complement_positions(ctx):
+    """The residual-complement form (Bool(must=[MatchAll], must_not=Xs))
+    must serve from EVERY supported position — top level (docmap
+    anti-join), must (fold into the enclosing must_not), and must_not
+    (double negation → positive requirement) — and fail LOUDLY driver-side
+    as a should clause, never as a MatchAll ValueError inside a worker."""
+    from lucene_spark.queries.planner import chained_filter
+
+    searcher, oracle, langs = ctx
+    n_docs = len(langs)
+    compl = chained_filter([ConstantScore(Term("seven"))], "andnot")
+
+    # top level: everything except seven, uniform constant score
+    got = {int(r["docid"]) for r in searcher.search(compl, k=n_docs).collect()}
+    assert got == set(range(n_docs)) - _docs_of(oracle, "seven")
+    assert searcher.count(compl) == len(got)
+    # parser path for the same shape
+    assert ({int(r["docid"]) for r in
+             searcher.search("* AND NOT seven", k=n_docs).collect()} == got)
+
+    # must_not position: NOT(everything except seven) ≡ seven (set-wise)
+    q = Bool(must=[Term("forty")], must_not=[compl])
+    want = _docs_of(oracle, "forty") & _docs_of(oracle, "seven")
+    got2 = hits(searcher, q)
+    assert {d for d, _ in got2} == (want if len(want) <= K else
+                                    {d for d, _ in got2})
+    base = dict(hits(searcher, Term("forty")))
+    for d, s in got2:
+        assert math.isclose(s, base[d], rel_tol=1e-12)  # score-neutral
+
+    # should position: loud driver-side error, not a worker crash
+    with pytest.raises(ValueError, match="not supported as SHOULD"):
+        searcher.search(Bool(should=[Term("forty"), compl]), k=5)
+
+
 def test_chained_filter_validation():
     from lucene_spark.queries.planner import chained_filter
 
