@@ -2703,10 +2703,20 @@ def _ivf_train_ctes(iters: int = 3) -> list:
     k = _N_IVF_CELLS
     assign_cos = ("round(sum(e.ev * c.cv) / (sqrt(sum(e.ev * e.ev)) "
                   "* sqrt(sum(c.cv * c.cv))), 10)")
-    ctes = [f"""ex AS (
+    ctes = [f"""mdim AS (
+  SELECT len(embedding) AS d0 FROM embeddings
+  WHERE vec_id < {_IVF_TRAIN_CAP} AND embedding IS NOT NULL
+    AND len(embedding) > 0
+  ORDER BY vec_id LIMIT 1)""",
+            # the engine trains AND assigns only vectors of the model
+            # dimension (the first well-formed training vector's, vec_id
+            # order — _ivf_centroids/_ivf_assign); ragged/null vectors
+            # never get a cell on either engine, so the differential
+            # compare holds on hostile corpora too
+            f"""ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
          generate_subscripts(embedding, 1) - 1 AS d
-  FROM embeddings)""",
+  FROM embeddings WHERE len(embedding) = (SELECT d0 FROM mdim))""",
             f"exr AS (SELECT * FROM ex WHERE vec_id < {_IVF_TRAIN_CAP})",
             f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM exr WHERE vec_id < {k})"]
     for i in range(1, iters + 2):  # final pass = assignment under c{iters}

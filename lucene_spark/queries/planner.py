@@ -1231,9 +1231,11 @@ def collect_with_deadline(spark, df: DataFrame, timeout_ms: float) -> list:
     sc = spark.sparkContext
     gid = f"deadline-{uuid.uuid4().hex[:12]}"
     done = threading.Event()
+    fired = threading.Event()  # set IFF our watchdog issued the cancel
 
     def _watchdog() -> None:
         if not done.wait(timeout_ms / 1000.0):
+            fired.set()
             try:
                 sc.cancelJobGroup(gid)
             except Exception:
@@ -1249,8 +1251,12 @@ def collect_with_deadline(spark, df: DataFrame, timeout_ms: float) -> list:
         return rows
     except Exception as ex:
         elapsed = (_time.time() - t0) * 1000.0
-        msg = str(ex).lower()
-        if "cancel" in msg or elapsed >= timeout_ms:
+        # classify as a timeout ONLY when OUR watchdog actually cancelled:
+        # substring/elapsed heuristics reclassified unrelated failures
+        # ('...cancelled because SparkContext was shut down', or any real
+        # error surfacing after the deadline) as TimeExceededException,
+        # hiding the root cause
+        if fired.is_set():
             raise TimeExceededException(timeout_ms, elapsed) from ex
         raise
     finally:
