@@ -63,6 +63,8 @@ _RE_URL = re.compile(r"https?://\S+")
 _RE_TAG = re.compile(r"<(/?)([A-Za-z][A-Za-z0-9]*)[^>]*>")
 _RE_QUOTES = re.compile(r"''+")
 _RE_HEAD = re.compile(r"(={2,3})(.*?)\1")
+_RE_EXTLINK_OPEN = re.compile(r"\[(?=https?://)")
+_RE_REF_CLOSE = re.compile(r"</ref\s*>", re.I)
 
 
 def _std_typed_offsets(text: str, base: int):
@@ -94,7 +96,7 @@ def _segments(text: str):
     balance = 0  # jflex numBalanced: an open ''-run awaiting its closer
     while i < n:
         nxt_link = text.find("[[", i)
-        m_url = re.compile(r"\[(?=https?://)").search(text, i)
+        m_url = _RE_EXTLINK_OPEN.search(text, i)
         m_q = _RE_QUOTES.search(text, i)
         m_h = _RE_HEAD.search(text, i)
         m_t = _RE_TAG.search(text, i)
@@ -170,7 +172,7 @@ def _segments(text: str):
             i = m_h.end()
         else:  # HTML tag
             if m_t.group(2).lower() == "ref" and not m_t.group(1):
-                close = re.compile(r"</ref\s*>", re.I).search(text, m_t.end())
+                close = _RE_REF_CLOSE.search(text, m_t.end())
                 end = close.start() if close else n
                 segs.append((text[m_t.end():end], m_t.end(), CITATION, sid))
                 i = close.end() if close else n
