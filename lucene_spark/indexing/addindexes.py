@@ -49,17 +49,9 @@ from .merge import _next_merge_seg
 
 
 def _manifests(index_dir: str) -> dict[int, dict]:
-    mdir = os.path.join(index_dir, "manifests")
-    out: dict[int, dict] = {}
-    if not os.path.isdir(mdir):
-        return out
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("seg_") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-            if m.get("status") == "committed":
-                out[int(m["seg"])] = m
-    return out
+    from .build import load_manifests
+
+    return load_manifests(index_dir, ("committed",))
 
 
 def _max_docid(manifests: dict[int, dict]) -> int:

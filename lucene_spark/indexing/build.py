@@ -483,21 +483,31 @@ def _manifest_path(out_dir: str, seg: int) -> str:
     return os.path.join(out_dir, "manifests", f"seg_{seg:06d}.json")
 
 
-def _manifest_segments(out_dir: str, statuses: tuple) -> set[int]:
+def load_manifests(out_dir: str,
+                   statuses: tuple | None = None) -> dict[int, dict]:
+    """THE manifest-directory scan (seg id → manifest dict), optionally
+    filtered by status. Every tool that walks manifests/ (resume gate,
+    reader snapshot, splitter, addIndexes) goes through here so a change
+    to the manifest protocol — a new status value, a renamed key — lands
+    in exactly one place."""
     mdir = os.path.join(out_dir, "manifests")
+    out: dict[int, dict] = {}
     if not os.path.isdir(mdir):
-        return set()
-    done = set()
-    for n in os.listdir(mdir):
+        return out
+    for n in sorted(os.listdir(mdir)):
         if n.startswith("seg_") and n.endswith(".json"):
             try:
                 with open(os.path.join(mdir, n)) as f:
                     m = json.load(f)
-                if m.get("status") in statuses:
-                    done.add(int(m["seg"]))
+                if statuses is None or m.get("status") in statuses:
+                    out[int(m["seg"])] = m
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue
-    return done
+    return out
+
+
+def _manifest_segments(out_dir: str, statuses: tuple) -> set[int]:
+    return set(load_manifests(out_dir, statuses))
 
 
 def completed_segments(out_dir: str) -> set[int]:

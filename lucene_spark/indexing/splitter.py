@@ -46,16 +46,9 @@ _SEG_DIRS = ("postings", "docmap", "tokens", "deleted", "norms")
 
 
 def _manifests(index_dir: str) -> dict[int, dict]:
-    mdir = os.path.join(index_dir, "manifests")
-    out: dict[int, dict] = {}
-    if not os.path.isdir(mdir):
-        return out
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("seg_") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-            out[int(m["seg"])] = m
-    return out
+    from .build import load_manifests
+
+    return load_manifests(index_dir)
 
 
 def list_segments(index_dir: str) -> list[dict]:
