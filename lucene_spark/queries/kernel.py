@@ -96,6 +96,7 @@ class SegmentPostings:
             self.boost_ids = None
             self.max_boost = 1.0
         self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._rowdec: dict[str, list] = {}
 
     def apply_boost(self, ids: np.ndarray, sc: np.ndarray) -> np.ndarray:
         """Multiply per-doc scores by the index-time boost (the norms read
@@ -130,10 +131,23 @@ class SegmentPostings:
             return (ids, *arrs)
         return (ids[keep], *(a[keep] for a in arrs))
 
+    def _decoded_rows(self, term: str):
+        """Per-row full decode of `term`'s postings rows, memoized:
+        [(row, ids, tfs, dls), ...]. full() merges these; the position and
+        payload readers need the PER-ROW streams to index into their blobs
+        — without the memo each reader re-ran decode_postings on the same
+        blobs (payload scoring paid the VByte decode 3x per term per
+        segment: docid pass + positions pass + payload pass)."""
+        if term not in self._rowdec:
+            self._rowdec[term] = [
+                (r, *decode_postings(r, self.block_size))
+                for r in self.rows[term]]
+        return self._rowdec[term]
+
     def full(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docids, tfs, dls) — full decode, tombstones stripped, cached."""
         if term not in self._full:
-            parts = [decode_postings(r, self.block_size) for r in self.rows[term]]
+            parts = [(i, t, d) for _r, i, t, d in self._decoded_rows(term)]
             merged = tuple(np.concatenate(x) for x in zip(*parts))
             self._full[term] = self._live(*merged)  # type: ignore[assignment]
         return self._full[term]
@@ -171,8 +185,7 @@ class SegmentPostings:
         """(docids, per-doc position arrays) — full decode, tombstones
         stripped (phrase/span path)."""
         ids_all, pos_all = [], []
-        for r in self.rows[term]:
-            ids, tfs, _ = decode_postings(r, self.block_size)
+        for r, ids, tfs, _ in self._decoded_rows(term):
             ids_all.append(ids)
             pos_all.extend(decode_positions(r["positions_blob"], tfs))
         ids = np.concatenate(ids_all)
@@ -198,8 +211,7 @@ class SegmentPostings:
         out_ids: list[np.ndarray] = []
         out_lens: list[np.ndarray] = []
         out_flat: list[np.ndarray] = []
-        for r in self.rows[term]:
-            ids, tfs, _ = decode_postings(r, self.block_size)
+        for r, ids, tfs, _ in self._decoded_rows(term):
             sel = np.flatnonzero(np.isin(ids, targets, assume_unique=True))
             if not sel.size:
                 continue
@@ -236,8 +248,7 @@ class SegmentPostings:
 
         out_ids: list[np.ndarray] = []
         out_pays: list[np.ndarray] = []
-        for r in self.rows[term]:
-            ids, tfs, _ = decode_postings(r, self.block_size)
+        for r, ids, tfs, _ in self._decoded_rows(term):
             sel = np.flatnonzero(np.isin(ids, targets, assume_unique=True))
             if not sel.size:
                 continue
