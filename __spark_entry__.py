@@ -1951,6 +1951,126 @@ def _q_dedup_semantic(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+_PQ_M = 8       # subspaces (64-dim fixture → 8-dim subvectors)
+_PQ_K = 32      # codes per subspace codebook (5 bits; vector → 8 codes)
+_PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank
+
+_PQ_CB_CACHE: dict = {}
+
+
+def _pq_codebooks(spark, sf_dir):
+    """Offline PQ training (Jégou et al. 2011): per-subspace deterministic
+    L2 Lloyd's (lucene_spark/ann.py pq_train — init first-K, squared-L2
+    argmin rounded 1e-10 ties-to-lowest, means rounded 1e-6, 3 iterations)
+    over the SAME bounded vec_id < _IVF_TRAIN_CAP sample and model-dim
+    rule as IVF training. Codebooks are index-time state, memoized per
+    (session, sf_dir); the collect is capped at CAP×dim doubles regardless
+    of corpus size — full-corpus ENCODING stays distributed."""
+    import numpy as np
+
+    from lucene_spark.ann import pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CB_CACHE:
+        vecs = [r["embedding"] for r in
+                _emb(spark, sf_dir).where(F.col("vec_id") < _IVF_TRAIN_CAP)
+                .where(F.col("embedding").isNotNull())
+                .orderBy("vec_id").select("embedding").collect()]
+        dim = next((len(v) for v in vecs if v), None)
+        if dim is None:
+            raise ValueError("PQ training: no well-formed vectors")
+        train = np.array([v for v in vecs if len(v) == dim],
+                         dtype=np.float64)
+        _PQ_CB_CACHE[key] = pq_train(train, _PQ_M, _PQ_K)
+    return _PQ_CB_CACHE[key]
+
+
+_PQ_CODES_CACHE: dict = {}
+
+
+def _pq_codes(spark, sf_dir) -> DataFrame:
+    """The PQ-coded corpus (vec_id, c0..c{M-1}) — index-time state (the
+    codes ARE the compressed index PQ exists to produce; in production a
+    persisted build-side artifact like _dedup_artifacts), memoized +
+    Spark-cached per (session, sf_dir). Encoding is a zero-shuffle
+    broadcast-codebook argmin: ONE SQL string per code column (the
+    IVF-assign py4j lesson) — subspace j's code = argmin over K centroids
+    of the 1e-10-rounded squared L2 between slice j and the centroid
+    literal (ties → lowest code, array_position's first-match rule)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQ_CODES_CACHE:
+        return _PQ_CODES_CACHE[key]
+    books = _pq_codebooks(spark, sf_dir)
+    w = books[0].shape[1]
+    emb = _emb(spark, sf_dir).where(F.size("embedding") == w * _PQ_M)
+    code_cols = []
+    for j in range(_PQ_M):
+        sub = f"slice(embedding, {j * w + 1}, {w})"
+        d2s = []
+        for c in range(_PQ_K):
+            arr = ", ".join(_dlit(v) for v in books[j][c])
+            d2s.append(
+                f"round(aggregate(zip_with({sub}, array({arr}), "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 10)")
+        arr_expr = "array(" + ", ".join(d2s) + ")"
+        code_cols.append(F.expr(
+            f"CAST(array_position({arr_expr}, array_min({arr_expr})) - 1 "
+            f"AS INT)").alias(f"c{j}"))
+    coded = emb.select("vec_id", *code_cols).cache()
+    _PQ_CODES_CACHE[key] = coded
+    return coded
+
+
+def _q_ann_pq_search(spark, sf_dir):
+    """PQ/ADC ANN search — the MEMORY-compressed scale path beside IVF and
+    LSH: each vector quantizes to _PQ_M small codes (one per subspace, a
+    broadcast-codebook argmin — zero shuffle, exactly the IVF-assign plan
+    shape), the query's approximate distance is the sum of _PQ_M lookups
+    in a driver-tabulated ADC table (an M×K literal array — no float
+    vector is touched by the scan; at 10^12 vectors it reads M code bytes
+    per vector instead of the raw floats), and the exact squared-L2
+    re-rank touches only the _PQ_RERANK-row ADC shortlist (Jégou et al.
+    2011 IVFADC's re-rank stage; vectors for 100 ids is a keyed join, not
+    a scan). Top-10 by ascending exact distance, ties → lowest vec_id;
+    adist rides along so the oracle cross-checks the quantizer + table,
+    not just the final ranking.
+
+    Determinism: codebooks, codes, and ADC entries all live under the
+    shared rounding contract (ann.py); both distance sums are
+    left-associated adds of 1e-10-rounded doubles in BOTH engines."""
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    qv = _qvec(spark, sf_dir, 2)
+
+    from lucene_spark.ann import pq_adc_table
+    lut = pq_adc_table(np.asarray(qv, dtype=np.float64), books)
+    coded = _pq_codes(spark, sf_dir).where(F.col("vec_id") != 2)
+
+    # ADC distance = sum of per-subspace table lookups, left-assoc
+    adist = None
+    for j in range(_PQ_M):
+        term = F.element_at(_dlit_arr(lut[j]), F.col(f"c{j}") + 1)
+        adist = term if adist is None else adist + term
+    short = (coded.withColumn("adist", adist)
+             .orderBy(F.asc("adist"), F.asc("vec_id")).limit(_PQ_RERANK)
+             .select("vec_id", "adist"))
+
+    # exact re-rank of the shortlist only (keyed join back to the vectors)
+    qlit = _dlit_arr(qv)
+    d2 = F.round(F.aggregate(
+        F.zip_with(F.col("embedding"), qlit,
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 10)
+    return (short.join(_emb(spark, sf_dir).select("vec_id", "embedding"),
+                       "vec_id")
+            .withColumn("dist", d2)
+            .orderBy(F.asc("dist"), F.asc("vec_id")).limit(10)
+            .select("vec_id", F.round("adist", 6).alias("adist"),
+                    F.round("dist", 6).alias("dist")))
+
+
 def _q_text_token_count(spark, sf_dir):
     """Token counting, JVM-side (no UDF): whitespace tokens plus a
     BPE-ish subword segmentation (letter runs / digit runs / single
@@ -2426,9 +2546,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_run": _q_text_dup_run,
         "text_winnow_fp": _q_text_winnow_fp,
         "events_funnel": _q_events_funnel,
-        # SemDeDup rides in extras because queries() is pinned at the
+        # SemDeDup + PQ ride in extras because queries() is pinned at the
         # harness's 50-entry recording cap (see queries() docstring)
         "dedup_semantic": _q_dedup_semantic,
+        "ann_pq_search": _q_ann_pq_search,
         # round 4: payload family (search/payloads) over the payload-
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
@@ -2689,6 +2810,25 @@ inter AS (
 """
 
 
+def _emb_ctes() -> list:
+    """Shared exploded-embedding CTEs (mdim/ex/exr): the engine trains AND
+    assigns only vectors of the model dimension (the first well-formed
+    training vector's, vec_id order — _ivf_centroids/_ivf_assign); ragged/
+    null vectors never get a cell on either engine, so the differential
+    compare holds on hostile corpora too. exr is the bounded deterministic
+    training slice every quantizer (IVF, SemDeDup, PQ) shares."""
+    return [f"""mdim AS (
+  SELECT len(embedding) AS d0 FROM embeddings
+  WHERE vec_id < {_IVF_TRAIN_CAP} AND embedding IS NOT NULL
+    AND len(embedding) > 0
+  ORDER BY vec_id LIMIT 1)""",
+            f"""ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings WHERE len(embedding) = (SELECT d0 FROM mdim))""",
+            f"exr AS (SELECT * FROM ex WHERE vec_id < {_IVF_TRAIN_CAP})"]
+
+
 def _ivf_train_ctes(iters: int = 3) -> list:
     """The shared unrolled-Lloyd's CTE prefix (training + full-corpus
     assignment a{iters+1}) mirroring lucene_spark/ann.py's determinism
@@ -2703,22 +2843,8 @@ def _ivf_train_ctes(iters: int = 3) -> list:
     k = _N_IVF_CELLS
     assign_cos = ("round(sum(e.ev * c.cv) / (sqrt(sum(e.ev * e.ev)) "
                   "* sqrt(sum(c.cv * c.cv))), 10)")
-    ctes = [f"""mdim AS (
-  SELECT len(embedding) AS d0 FROM embeddings
-  WHERE vec_id < {_IVF_TRAIN_CAP} AND embedding IS NOT NULL
-    AND len(embedding) > 0
-  ORDER BY vec_id LIMIT 1)""",
-            # the engine trains AND assigns only vectors of the model
-            # dimension (the first well-formed training vector's, vec_id
-            # order — _ivf_centroids/_ivf_assign); ragged/null vectors
-            # never get a cell on either engine, so the differential
-            # compare holds on hostile corpora too
-            f"""ex AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-         generate_subscripts(embedding, 1) - 1 AS d
-  FROM embeddings WHERE len(embedding) = (SELECT d0 FROM mdim))""",
-            f"exr AS (SELECT * FROM ex WHERE vec_id < {_IVF_TRAIN_CAP})",
-            f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM exr WHERE vec_id < {k})"]
+    ctes = _emb_ctes()
+    ctes.append(f"c0 AS (SELECT vec_id AS cell, d, ev AS cv FROM exr WHERE vec_id < {k})")
     for i in range(1, iters + 2):  # final pass = assignment under c{iters}
         src = "exr" if i <= iters else "ex"  # train on the sample; assign all
         ctes.append(f"""a{i} AS (
@@ -2788,6 +2914,74 @@ SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
        CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS INT) AS keep
 FROM cells c LEFT JOIN dropped d ON c.vec_id = d.b
 ORDER BY c.vec_id""")
+
+
+def _pq_sql(iters: int = 3) -> str:
+    """ann_pq_search oracle: per-subspace unrolled L2 Lloyd's under the
+    shared rounding contract (init first-K, squared-L2 argmin rounded
+    1e-10 ties-to-lowest-code, means rounded 1e-6), full-corpus code
+    assignment, a query-side ADC table, and the left-associated 4-lookup
+    distance sum — codebooks, codes, table, and ranking all cross-checked
+    against the engine. Squared differences are written (x-y)*(x-y), not
+    pow(x-y,2): pow may differ from the multiply in the last ULP and the
+    engine computes the multiply."""
+    m, k = _PQ_M, _PQ_K
+    d2 = "round(sum((e.ev - c.cv) * (e.ev - c.cv)), 10)"
+    ctes = _emb_ctes()
+    for j in range(m):
+        # subspace views use a dim placeholder: w = model_dim / m is data-
+        # dependent, but the oracle runs on the fixture tables where the
+        # model dim is the FIRST vector's length — expressed via mdim
+        ctes.append(f"""sx{j} AS (
+  SELECT vec_id, d - {j} * (SELECT d0 FROM mdim) / {m} AS d, ev FROM ex
+  WHERE d >= {j} * (SELECT d0 FROM mdim) / {m}
+    AND d < {j + 1} * (SELECT d0 FROM mdim) / {m})""")
+        ctes.append(f"sxr{j} AS (SELECT * FROM sx{j} WHERE vec_id < {_IVF_TRAIN_CAP})")
+        ctes.append(f"b{j}0 AS (SELECT vec_id AS code, d, ev AS cv "
+                    f"FROM sxr{j} WHERE vec_id < {k})")
+        for i in range(1, iters + 1):
+            ctes.append(f"""pa{j}{i} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.code ASC) AS rnk
+    FROM sxr{j} e JOIN b{j}{i - 1} c ON e.d = c.d
+    GROUP BY e.vec_id, c.code)
+  WHERE rnk = 1)""")
+            ctes.append(f"""b{j}{i} AS (
+  SELECT a.code, e.d, round(avg(e.ev), 6) AS cv
+  FROM pa{j}{i} a JOIN sxr{j} e USING (vec_id) GROUP BY a.code, e.d)""")
+        ctes.append(f"""pc{j} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.code ASC) AS rnk
+    FROM sx{j} e JOIN b{j}{iters} c ON e.d = c.d
+    GROUP BY e.vec_id, c.code)
+  WHERE rnk = 1)""")
+        ctes.append(f"""lut{j} AS (
+  SELECT c.code, {d2.replace('e.ev', 'q.ev')} AS d2
+  FROM sx{j} q JOIN b{j}{iters} c ON q.d = c.d
+  WHERE q.vec_id = 2 GROUP BY c.code)""")
+    adist = " + ".join(f"l{j}.d2" for j in range(m))  # left-assoc, as engine
+    joins = "\n".join(
+        f"JOIN pc{j} p{j} USING (vec_id) JOIN lut{j} l{j} ON l{j}.code = p{j}.code"
+        for j in range(m))
+    ctes.append(f"""short AS (
+  SELECT v.vec_id, {adist} AS adist
+  FROM (SELECT DISTINCT vec_id FROM ex WHERE vec_id != 2) v
+  {joins}
+  ORDER BY {adist} ASC, v.vec_id ASC LIMIT {_PQ_RERANK})""")
+    ctes.append("""rr AS (
+  SELECT s.vec_id, s.adist,
+         round(sum((e.ev - q.ev) * (e.ev - q.ev)), 10) AS dist
+  FROM short s
+  JOIN ex e ON e.vec_id = s.vec_id
+  JOIN ex q ON q.d = e.d AND q.vec_id = 2
+  GROUP BY s.vec_id, s.adist)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT vec_id, round(adist, 6) AS adist, round(dist, 6) AS dist FROM rr
+ORDER BY dist ASC, vec_id ASC LIMIT 10""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3453,6 +3647,7 @@ SELECT doc_id,
        CAST(bit_xor(m) AS BIGINT) AS fp_xor
 FROM fps GROUP BY doc_id ORDER BY doc_id""",
         "dedup_semantic": _sem_sql(),
+        "ann_pq_search": _pq_sql(),
         "events_funnel": """WITH
 ev AS (
   SELECT user_id, event_type,

@@ -167,7 +167,8 @@ def main() -> None:
                 "text_decontaminate", "text_dup_ngram_coverage",
                 "ft_percolate",
                 "ann_cosine_topk", "ann_knn_join",
-                "ann_ivf_search", "dedup_semantic", "events_sessionize",
+                "ann_ivf_search", "ann_pq_search", "dedup_semantic",
+                "events_sessionize",
                 # round 4: URL canonicalization/host stats, PII scrub,
                 # payload-scored term query (its warm pass also pays the
                 # one-time payload-index build, cached per sf dir)

@@ -124,3 +124,52 @@ def test_hostile_embeddings_survive(spark, tmp_path):
     # clear the memoized hostile-quantizer state for other tests
     entrymod._IVF_CENT_CACHE.pop(
         (spark.sparkContext.applicationId, tmp), None)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_pq_adc_recall_at_10():
+    """PQ/ADC shortlist + exact re-rank (ann_pq_search's shape): recall@10
+    vs brute-force squared L2 ≥ 0.8 on the fixture (query = vec_id 2,
+    m=8 subspaces × k=32 codes, shortlist 100). The synthetic embeddings
+    are near-uniform — PQ's worst case (no cluster structure to exploit) —
+    which is exactly why the op re-ranks a shortlist instead of trusting
+    raw ADC order (raw-ADC recall here is ~0.4)."""
+    from lucene_spark.ann import pq_adc_table, pq_train
+
+    ids, x = _vectors()
+    q = x[ids == 2][0]
+    mask = ids != 2
+    xd, idd = x[mask], ids[mask]
+    exact = idd[np.lexsort((idd, ((xd - q) ** 2).sum(1)))][:10]
+
+    books = pq_train(x[ids < 65536], 8, 32)
+    w = x.shape[1] // 8
+    codes = np.stack([
+        np.argmin(np.round(
+            ((xd[:, None, j * w:(j + 1) * w] - books[j][None, :, :]) ** 2
+             ).sum(-1), 10), axis=1)
+        for j in range(8)], axis=1)
+    lut = pq_adc_table(q, books)
+    adist = sum(lut[j][codes[:, j]] for j in range(8))
+    short = np.lexsort((idd, adist))[:100]
+    rr = short[np.lexsort((idd[short], ((xd[short] - q) ** 2).sum(1)))][:10]
+    recall = len(set(idd[rr]) & set(exact)) / 10.0
+    assert recall >= 0.8, f"PQ recall@10 {recall}"
+
+
+def test_pq_train_determinism_and_shapes():
+    """pq_train: per-subspace codebooks under the shared rounding contract
+    — deterministic across runs, correct shapes, loud on non-divisible
+    dims and emptied codes."""
+    from lucene_spark.ann import kmeans_train_l2, pq_train
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(120, 24)
+    b1, b2 = pq_train(x, 4, 8), pq_train(x, 4, 8)
+    assert len(b1) == 4 and all(b.shape == (8, 6) for b in b1)
+    for a, b in zip(b1, b2):
+        assert np.array_equal(a, b)
+    # subspace j trains on exactly its own columns
+    assert np.array_equal(b1[2], kmeans_train_l2(x[:, 12:18], 8))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(x, 5, 8)

@@ -143,6 +143,18 @@ def test_embedding_cosine_no_forced_broadcast(spark, fresh_sf):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_pq_search_shape(spark, fresh_sf):
+    """PQ/ADC: the encode is a broadcast-codebook argmin projection and the
+    ADC ranking a literal-table lookup — no cartesian/NLJ anywhere, and the
+    only hash shuffle key is vec_id (the shortlist's exact-re-rank join);
+    the codebooks live inside the projection, never in an exchange."""
+    with _no_auto_broadcast(spark):
+        plan = _exec_plan(spark, "ann_pq_search", sf=fresh_sf)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("vec_id"), (m.group(1), plan)
+
+
 def test_dedup_semantic_cell_join_no_forced_broadcast(spark, fresh_sf):
     """SemDeDup's pair search must stay an equality self-join ON CELL (the
     quantizer's blocking key) with Catalyst-chosen strategy: with
