@@ -2086,6 +2086,64 @@ def _q_text_token_count(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+_PACK_CTX = 2048  # fixed training context length (tokens per sequence)
+
+
+def _q_text_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining — the GPT-style concat-and-
+    chunk layout: documents are concatenated in corpus (doc_id) order and
+    split into fixed _PACK_CTX-token blocks; each doc reports the pack its
+    first token lands in, its offset inside that pack, and how many packs
+    it spans. Output: (doc_id, n_tok, pack_id, pack_off, n_splits).
+
+    Scale shape — NO single-partition global window: the global prefix
+    sum runs as the classic two-phase scan. Phase 1 range-partitions by
+    doc_id and aggregates ONE row per partition (its token total); those
+    P rows come to the driver (P = shuffle partitions, never corpus-
+    sized) and fold into per-partition start offsets. Phase 2 is a
+    WITHIN-partition cumulative window (partitionBy spark_partition_id)
+    plus the broadcast offset map — every partition works independently.
+    Results are partitioning-invariant by construction (prefix sums don't
+    care where the range boundaries fall; pinned by
+    tests/test_extended_ops.py pack invariance).
+
+    NULL text carries 0 tokens; '' counts 1 whitespace token (the
+    text_token_count convention, mirrored in the oracle)."""
+    from pyspark.sql import Window
+
+    n_col = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split("text", " "))).cast("long")
+    docs = (_docs(spark, sf_dir).select("doc_id", n_col.alias("n_tok"))
+            .repartitionByRange("doc_id")
+            .withColumn("pid", F.spark_partition_id()))
+    totals = {int(r["pid"]): int(r["s"]) for r in
+              docs.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()}
+    if not totals:
+        return docs.select("doc_id", "n_tok",
+                           F.lit(0).cast("long").alias("pack_id"),
+                           F.lit(0).cast("long").alias("pack_off"),
+                           F.lit(0).cast("long").alias("n_splits")).limit(0)
+    offs, acc = {}, 0
+    for pid in sorted(totals):
+        offs[pid] = acc
+        acc += totals[pid]
+    omap = F.create_map(*[F.lit(v) for kv in sorted(offs.items())
+                          for v in kv])
+    w = (Window.partitionBy("pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    end = F.sum("n_tok").over(w) + omap[F.col("pid")]
+    start = (end - F.col("n_tok")).cast("long")
+    ctx = F.lit(_PACK_CTX)
+    pack_id = F.floor(start / ctx).cast("long")
+    last = start + F.greatest(F.col("n_tok"), F.lit(1)) - 1
+    return (docs.select(
+        "doc_id", "n_tok",
+        pack_id.alias("pack_id"),
+        F.pmod(start, ctx).cast("long").alias("pack_off"),
+        (F.floor(last / ctx) - pack_id + 1).cast("long").alias("n_splits"))
+        .orderBy("doc_id"))
+
+
 def _mm_wav_samples(doc_id: int, n: int):
     """Deterministic PCM fixture: sample i = ((doc_id·31 + i·7) % 65536) −
     32768 — int16-exact, so the decode round-trip is bit-checked and the
@@ -2550,6 +2608,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harness's 50-entry recording cap (see queries() docstring)
         "dedup_semantic": _q_dedup_semantic,
         "ann_pq_search": _q_ann_pq_search,
+        "text_pack_sequences": _q_text_pack_sequences,
         # round 4: payload family (search/payloads) over the payload-
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
@@ -3648,6 +3707,23 @@ SELECT doc_id,
 FROM fps GROUP BY doc_id ORDER BY doc_id""",
         "dedup_semantic": _sem_sql(),
         "ann_pq_search": _pq_sql(),
+        "text_pack_sequences": f"""WITH
+toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS s
+  FROM toks)
+SELECT doc_id, n_tok,
+       s // {_PACK_CTX} AS pack_id,
+       s % {_PACK_CTX} AS pack_off,
+       (s + greatest(n_tok, 1) - 1) // {_PACK_CTX} - s // {_PACK_CTX} + 1
+         AS n_splits
+FROM c ORDER BY doc_id""",
         "events_funnel": """WITH
 ev AS (
   SELECT user_id, event_type,

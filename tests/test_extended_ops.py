@@ -118,3 +118,36 @@ def test_search_sorted(searcher, oracle_index):
     expect = sorted(((oracle_index.doclen[d], d) for d in match),
                     key=lambda x: (-x[0], x[1]))[:5]
     assert [(r["doclen"], r["docid"]) for r in rows] == expect
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """text_pack_sequences' two-phase prefix sum must produce identical
+    rows at ANY parallelism (the scalable replacement for a single-
+    partition global window): same output under 2 and 37 shuffle
+    partitions, and the offsets reconstruct the exact concatenated-corpus
+    layout (consecutive starts differ by n_tok)."""
+    import os
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    fn = E.extra_queries()["text_pack_sequences"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = [tuple(r) for r in fn(spark, sf).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        b = [tuple(r) for r in fn(spark, sf).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
+    ctx = E._PACK_CTX
+    start_prev, n_prev = None, None
+    for _doc, n, pid, off, nsp in a:
+        start = pid * ctx + off
+        if start_prev is not None:
+            assert start == start_prev + n_prev  # exact concat layout
+        assert nsp == (start + max(n, 1) - 1) // ctx - start // ctx + 1
+        start_prev, n_prev = start, n
