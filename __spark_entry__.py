@@ -2086,6 +2086,61 @@ def _q_text_token_count(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+_CURATE_MIN_TOKENS = 30   # quality floor: whitespace tokens
+_CURATE_MIN_TTR = 0.28    # quality floor: type-token ratio
+
+
+def _q_text_curation_decisions(spark, sf_dir):
+    """The END-TO-END curation decision table — what a 100-TB corpus run
+    actually ships downstream: one row per document with every drop
+    reason and the final verdict. Composes the already-verified pipeline
+    operators (each keeps its own scale shape):
+
+    - exact_dup: not the lowest-doc_id copy of its md5 content hash
+      (dedup_exact's keep-first rule; map-side-combinable groupBy).
+    - near_dup: dropped by the minhash-LSH connected-components clustering
+      (dedup_cluster's canonical keep flag; banded, never all-pairs).
+    - contaminated: shares ≥K shingles with the held-out benchmark set
+      (text_decontaminate; the bench side is the only broadcast).
+    - low_quality: NULL text, under {_CURATE_MIN_TOKENS} tokens, or
+      type-token ratio < {_CURATE_MIN_TTR} (zero-shuffle per-doc rule).
+    - keep = 1 iff no flag fired.
+
+    All joins are doc_id-keyed (the flag tables are duplicate/contaminated
+    SUBSETS, far smaller than the corpus); the corpus is scanned, never
+    shuffled on content. The DuckDB oracle composes the same three
+    verified oracle queries as derived tables."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eh = (docs.where(F.col("text").isNotNull())
+          .select("doc_id", F.md5(F.col("text").cast("binary")).alias("h")))
+    exact = (eh.join(eh.groupBy("h").agg(F.min("doc_id").alias("keep_doc")),
+                     "h")
+             .where(F.col("doc_id") != F.col("keep_doc"))
+             .select("doc_id").withColumn("xd", F.lit(1)))
+    near = ({**queries(), **extra_queries()}["dedup_cluster"](spark, sf_dir)
+            .where(F.col("keep") == 0)
+            .select("doc_id").withColumn("nd", F.lit(1)))
+    dec = (_q_text_decontaminate(spark, sf_dir)
+           .select("doc_id").distinct().withColumn("ct", F.lit(1)))
+    arr = F.split("text", " ")
+    lowq = (F.col("text").isNull()
+            | (F.size(arr) < _CURATE_MIN_TOKENS)
+            | ((F.size(F.array_distinct(arr))
+                / F.size(arr).cast("double")) < _CURATE_MIN_TTR))
+    flagged = (docs.select("doc_id",
+                           F.when(lowq, 1).otherwise(0).alias("lq"))
+               .join(exact, "doc_id", "left")
+               .join(near, "doc_id", "left")
+               .join(dec, "doc_id", "left"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("int")  # noqa: E731
+    return (flagged.select(
+        "doc_id", z("xd").alias("exact_dup"), z("nd").alias("near_dup"),
+        z("ct").alias("contaminated"), F.col("lq").cast("int").alias("low_quality"),
+        F.when((z("xd") + z("nd") + z("ct") + F.col("lq")) > 0, 0)
+        .otherwise(1).cast("int").alias("keep"))
+        .orderBy("doc_id"))
+
+
 _PACK_CTX = 2048  # fixed training context length (tokens per sequence)
 
 
@@ -2609,6 +2664,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "ann_pq_search": _q_ann_pq_search,
         "text_pack_sequences": _q_text_pack_sequences,
+        "text_curation_decisions": _q_text_curation_decisions,
         # round 4: payload family (search/payloads) over the payload-
         # bearing twin of the contract index
         "ft_payload_term": _q_ft_payload_term,
@@ -3491,7 +3547,7 @@ def extra_oracle_sql() -> dict[str, str]:
     """Oracles for extra_queries() — same SQL the entries carried when they
     sat in the 50-entry registry; tests/test_contract_extras.py runs the
     identical compare the driver harness does."""
-    return {
+    sqls = {
         "ft_term_tail": _sql_term("dup"),
         # quality harness: ranking restated from the shared BM25 CTE, stats
         # from the QualityStats rules (P@n = |rel in first n|/n covers the
@@ -3984,3 +4040,40 @@ pairs AS (
 SELECT a, b, round(dist, 4) AS dist_mi
 FROM pairs WHERE dist <= {_GEO_JOIN_RADIUS}""",
     }
+    # the end-to-end curation decision table composes three already-
+    # verified oracles as derived tables (DuckDB allows WITH [RECURSIVE]
+    # inside a parenthesized subquery), plus the exact-dup and quality
+    # rules inline — one decision row per document
+    sqls["text_curation_decisions"] = f"""WITH
+eh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+ek AS (SELECT h, min(doc_id) AS keep_doc FROM eh GROUP BY h),
+clus AS (SELECT * FROM ({sqls['dedup_cluster']}) t),
+dec AS (SELECT DISTINCT doc_id FROM ({sqls['text_decontaminate']}) t),
+q AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+  FROM documents WHERE text IS NOT NULL)
+SELECT d.doc_id,
+  CAST(CASE WHEN eh.doc_id IS NOT NULL AND eh.doc_id != ek.keep_doc
+       THEN 1 ELSE 0 END AS INT) AS exact_dup,
+  CAST(CASE WHEN clus.keep = 0 THEN 1 ELSE 0 END AS INT) AS near_dup,
+  CAST(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS contaminated,
+  CAST(CASE WHEN q.doc_id IS NULL OR q.n < {_CURATE_MIN_TOKENS}
+            OR q.ttr < {_CURATE_MIN_TTR} THEN 1 ELSE 0 END AS INT)
+    AS low_quality,
+  CAST(CASE WHEN (eh.doc_id IS NOT NULL AND eh.doc_id != ek.keep_doc)
+            OR clus.keep = 0 OR dec.doc_id IS NOT NULL
+            OR q.doc_id IS NULL OR q.n < {_CURATE_MIN_TOKENS}
+            OR q.ttr < {_CURATE_MIN_TTR}
+       THEN 0 ELSE 1 END AS INT) AS keep
+FROM documents d
+LEFT JOIN eh ON eh.doc_id = d.doc_id
+LEFT JOIN ek ON ek.h = eh.h
+LEFT JOIN clus ON clus.doc_id = d.doc_id
+LEFT JOIN dec ON dec.doc_id = d.doc_id
+LEFT JOIN q ON q.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+    return sqls
