@@ -30,6 +30,10 @@ _OPS = [
     # null-injected corpora exercise NULL-text propagation through
     # host_stats' md5 sentinel and pii's count/md5 semantics)
     "text_url_stats", "text_url_dedup", "text_pii_scrub",
+    # round-4 continuation: packing (null text → 0 tokens on both sides)
+    # and the composed curation verdict (every flag's null semantics ride
+    # through the composition)
+    "text_pack_sequences", "text_curation_decisions",
 ]
 
 _VOCABS = {
