@@ -237,6 +237,13 @@ def decode_positions_flat_at(blob: bytes, tfs: np.ndarray,
     skipPositions), it never materializes every doc's positions."""
     total = int(tfs.sum())
     flat, _ = vbyte_decode(bytes(blob), 0, total)
+    if flat.size < total:
+        # positions were not stored for these rows (store_positions=False
+        # build, or a position-free side-car row): a position-dependent
+        # scorer matches NOTHING here — mirror decode_positions' graceful
+        # empty-slice behavior instead of indexing past the short stream
+        return (np.zeros(len(sel), dtype=np.int64),
+                np.empty(0, dtype=np.int64))
     flat = flat.astype(np.int64)
     np.cumsum(flat, out=flat)  # running absolutes across the whole blob
     offs = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))

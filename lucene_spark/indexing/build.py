@@ -609,8 +609,14 @@ def build_index(
             # seg=k dirs from a differently-shaped old plan would otherwise
             # be unioned into every read (duplicated docs, corrupt stats)
             import shutil as _shutil
+            # norms (per-doc boosts), spellgrams (suggest aux index), and
+            # commits (generations pinning the OLD segment set) are derived
+            # state of the old index too: leaving them unions stale boosts
+            # into every new-index query / serves stale suggestions /
+            # offers pinned generations whose segments are gone
             for sub in ("tokens", "docmap", "postings", "term_dict",
-                        "manifests", "deleted"):
+                        "manifests", "deleted", "norms", "spellgrams",
+                        "commits"):
                 _shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
             for fn in ("stats.json",):
                 try:
@@ -663,7 +669,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
         payload_fn = PAYLOAD_ANALYZERS[payload_analyzer][1]
 
     t0 = time.time()
-    chunk_files = [f for f in plan.files if f.seg in set(segs)]
+    seg_set = set(segs)
+    chunk_files = [f for f in plan.files if f.seg in seg_set]
     paths = [f.path for f in chunk_files]
     cols = ["url", "lang",
             F.col("_metadata.file_path").alias("fp"),

@@ -30,7 +30,6 @@ from pyspark.sql import SparkSession, functions as F
 
 from .. import BLOCK_SIZE
 from ..codec import decode_positions, decode_postings, encode_postings, vbyte_encode
-from .build import POSTINGS_SCHEMA
 
 
 def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> dict:
@@ -85,22 +84,19 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
     field_analyzers: dict = {}
     analyzed_fields: list = []
     keyword_fields: list = ["lang", "url"]
-    committed: list[dict] = []
-    mdir = os.path.join(out_dir, "manifests")
-    if os.path.isdir(mdir):
-        for n in sorted(os.listdir(mdir)):
-            if not n.endswith(".json"):
-                continue
-            with open(os.path.join(mdir, n)) as f:
-                m = json.load(f)
-            if analyzer is None:
-                analyzer = m.get("analyzer")
-                payload_analyzer = m.get("payload_analyzer")
-                field_analyzers = m.get("field_analyzers", {})
-                analyzed_fields = m.get("analyzed_fields", [])
-                keyword_fields = m.get("keyword_fields", keyword_fields)
-            if m.get("status") == "committed":
-                committed.append(m)
+    # THE shared manifest scanner + the cross-segment-validated config
+    # reader (build.py) — not a private os.listdir loop that could drift
+    from .build import load_manifests, read_manifest_config
+
+    committed = [m for m in load_manifests(out_dir).values()
+                 if m.get("status") == "committed"]
+    cfg = read_manifest_config(out_dir)
+    if cfg:
+        analyzer = cfg.get("analyzer")
+        payload_analyzer = cfg.get("payload_analyzer")
+        field_analyzers = cfg.get("field_analyzers", {})
+        analyzed_fields = cfg.get("analyzed_fields", [])
+        keyword_fields = cfg.get("keyword_fields", keyword_fields)
 
     foldable = (bool(committed)
                 and all("sum_doclen" in m for m in committed)
@@ -285,20 +281,13 @@ def find_merges(out_dir: str, merge_factor: int = 10) -> list[list[int]]:
     cascades exactly like the reference's levelled LSM."""
     import math
 
-    mdir = os.path.join(out_dir, "manifests")
-    sizes: list[tuple[int, int]] = []
-    if not os.path.isdir(mdir):
-        return []
-    for n in sorted(os.listdir(mdir)):
-        if not (n.startswith("seg_") and n.endswith(".json")):
-            continue
-        with open(os.path.join(mdir, n)) as f:
-            m = json.load(f)
-        # only status=committed: "compacted" markers are tombstoned sources
-        # whose docs already live in a destination — never merge candidates
-        if m.get("status") == "committed":
-            sizes.append((int(m["seg"]), max(int(m.get("docs", 1)), 1)))
-    sizes.sort()
+    # only status=committed: "compacted" markers are tombstoned sources
+    # whose docs already live in a destination — never merge candidates
+    from .build import load_manifests
+
+    sizes: list[tuple[int, int]] = sorted(
+        (int(m["seg"]), max(int(m.get("docs", 1)), 1))
+        for m in load_manifests(out_dir, ("committed",)).values())
     if not sizes:
         return []
     lmf = math.log(merge_factor)
@@ -310,9 +299,25 @@ def find_merges(out_dir: str, merge_factor: int = 10) -> list[list[int]]:
         j = i
         while j < len(sizes) and levels[j] <= lvl:
             j += 1
-        run = [s for s, _d in sizes[i:j]]
-        for k in range(0, len(run) - merge_factor + 1, merge_factor):
-            groups.append(run[k:k + merge_factor])
+        run = sizes[i:j]
+        # LEVEL-UP GUARANTEE (the point of LogMergePolicy's geometric
+        # bands, index/LogMergePolicy.java:41): a chunk merges only if the
+        # merged size lands a level ABOVE its largest member — otherwise a
+        # big earlier destination would open every run and be re-encoded
+        # with each fresh batch of small segments (O(N²) rewrite churn;
+        # each doc must be rewritten at most log_mf(N) times). Chunks that
+        # don't level up are skipped by one and re-tried, so small
+        # stragglers behind a big segment still merge among themselves.
+        k = 0
+        while k + merge_factor <= len(run):
+            chunk = run[k:k + merge_factor]
+            total = sum(d for _s, d in chunk)
+            if int(math.log(total) / lmf) > max(
+                    int(math.log(d) / lmf) for _s, d in chunk):
+                groups.append([s for s, _d in chunk])
+                k += merge_factor
+            else:
+                k += 1
         i = j
     return groups
 
@@ -382,21 +387,32 @@ def compact_segments(
     block_size: int = BLOCK_SIZE,
     max_postings_per_row: int = 250_000,
 ) -> int:
-    """Merge several segments into one (destination = min seg id).
+    """Merge several segments into one fresh destination.
 
     Rewrites postings + docmap + tokens partitions for the group; the
     destination segment is byte-identical to a cold single-segment build of
     the same docs (tested property: merge(build(A), build(B)) ≡ build(A∪B)).
 
+    CRASH SAFETY (the reference's two-phase commit via segments_N,
+    index/SegmentInfos.java:668 prepareCommit/finishCommit): the merged
+    output ALWAYS lands under a fresh destination id from the reserved
+    merge namespace (>= MERGE_SEG_BASE — disjoint from build-plan ids, so
+    a later plan append can never collide), and the sequence is
+    stage → install dest → flip manifests → delete sources. A crash at
+    any point leaves a READABLE index: before the manifest flip the
+    sources are still committed and untouched (the installed dest
+    partition is invisible — no manifest); after it the dest manifest is
+    live and undeleted source dirs are inert compacted leftovers. The
+    earlier eager mode (dest = min id, sources deleted before install)
+    had a window where a crash lost the whole group's data while
+    manifests still said committed.
+
     Commit-point retention (index/IndexFileDeleter.java:54 refcounting):
     when a retained commit point (commits.py) still references a source
-    segment, its partitions are LEFT ON DISK for pinned readers and the
-    merged output lands under a fresh destination id from the reserved
-    merge namespace (>= MERGE_SEG_BASE — disjoint from build-plan ids, so
-    a later plan append can never collide). ``purge_unreferenced``
-    reclaims the sources once the deletion policy drops the old
-    generations. With no commits/ directory the eager-delete behavior is
-    unchanged.
+    segment, its partitions are LEFT ON DISK for pinned readers;
+    ``purge_unreferenced`` reclaims them once the deletion policy drops
+    the old generations. Unreferenced sources are removed at the end of
+    this call (same eager cleanup, crash-safe order).
     """
     import shutil
 
@@ -412,7 +428,7 @@ def compact_segments(
     out_schema = postings_schema(bool(cfg.get("payload_analyzer")))
 
     protected = referenced_segments(out_dir) & set(seg_group)
-    dest = _next_merge_seg(out_dir) if protected else min(seg_group)
+    dest = _next_merge_seg(out_dir)
 
     # tombstones on absorbed segments must follow their docs into dest:
     # the kernel groups by seg, so a side-car row keyed to a removed seg id
@@ -440,11 +456,10 @@ def compact_segments(
         out_df = df_fn(spark.read.parquet(src)
                        .where(F.col("seg").isin(seg_group)))
         out_df.write.mode("overwrite").partitionBy("seg").parquet(tmp)
-        for s in seg_group:
-            if s in protected:
-                continue  # a retained commit still lists this segment
-            shutil.rmtree(os.path.join(src, f"seg={s}"), ignore_errors=True)
-        # a merge group of fully-deleted-then-expunged segments stages ZERO
+        # install the destination FIRST — its id is fresh, so no source is
+        # disturbed and a crash here leaves an invisible extra partition
+        # (no manifest), never a missing one.
+        # A merge group of fully-deleted-then-expunged segments stages ZERO
         # rows, so the staged partition dir may not exist (partitionBy
         # writes nothing for an empty frame); the destination still gets a
         # schema-bearing empty partition so the table root stays readable
@@ -456,25 +471,11 @@ def compact_segments(
             write_empty_partition(spark, os.path.join(src, f"seg={dest}"),
                                   out_df.schema)
         shutil.rmtree(tmp, ignore_errors=True)
-    if moved_tombstones is not None:
+    if moved_tombstones is not None and len(moved_tombstones):
         from .deletes import delete_by_docids
 
-        for s in seg_group:
-            if s != dest and s not in protected:
-                # protected sources keep their tombstones too — a pinned
-                # reader still subtracts them; dest got a rekeyed COPY
-                shutil.rmtree(os.path.join(deleted_path(out_dir), f"seg={s}"),
-                              ignore_errors=True)
-        if len(moved_tombstones):
-            delete_by_docids(spark, out_dir,
-                             spark.createDataFrame(moved_tombstones))
-    # norms side-car follows its docs into dest the same way: the absorbed
-    # segments' partitions drop, dest regenerates from the merged docmap
-    # (the authoritative per-doc boost column — indexing/norms.py)
-    from .norms import rebuild_norms_for_segs
-
-    rebuild_norms_for_segs(spark, out_dir,
-                           sorted((set(seg_group) - protected) | {dest}))
+        delete_by_docids(spark, out_dir,
+                         spark.createDataFrame(moved_tombstones))
     group_docs = 0
     group_postings = 0
     group_doclen = 0
@@ -554,4 +555,25 @@ def compact_segments(
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, mp)
+    # physical cleanup LAST, after the manifest flip: from here readers
+    # already resolve the group through dest, so a crash mid-delete only
+    # leaves inert compacted leftovers on disk (never missing data)
+    for s in seg_group:
+        if s in protected:
+            continue  # a retained commit still lists this segment —
+            # purge_unreferenced reclaims it when the policy drops the gen
+        for name in ("postings", "docmap", "tokens"):
+            shutil.rmtree(os.path.join(out_dir, name, f"seg={s}"),
+                          ignore_errors=True)
+        # protected sources keep their tombstones too — a pinned reader
+        # still subtracts them; dest got a rekeyed COPY above
+        shutil.rmtree(os.path.join(deleted_path(out_dir), f"seg={s}"),
+                      ignore_errors=True)
+    # norms side-car follows its docs into dest the same way: the absorbed
+    # segments' partitions drop, dest regenerates from the merged docmap
+    # (the authoritative per-doc boost column — indexing/norms.py)
+    from .norms import rebuild_norms_for_segs
+
+    rebuild_norms_for_segs(spark, out_dir,
+                           sorted((set(seg_group) - protected) | {dest}))
     return dest

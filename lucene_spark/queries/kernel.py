@@ -681,6 +681,17 @@ def _span_fast_freqs(sp: SegmentPostings, q
                 return empty
         cand = np.sort(cand)
         streams = [sp.positions_flat_for(t, cand) for t in terms]
+        # the packed key is rank*offset + position: a position ≥ offset−1
+        # would spill into the next candidate's bucket (cur_end can reach
+        # max_pos+1). Derive the offset from the batch like the exact-
+        # phrase kernel does, and when rank_span×offset can't fit int64
+        # fall back to the generic per-doc span algebra (returns exact
+        # results at any document length).
+        max_pos = max((int(f.max()) for _i, _l, f in streams if f.size),
+                      default=0)
+        offset = max(_SPAN_OFFSET, np.int64(max_pos) + 2)
+        if cand.size and cand.size > (np.int64(1) << 62) // offset:
+            return None
         ids0, lens0, flat0 = streams[0]
         occ_rank = np.repeat(np.searchsorted(cand, ids0), lens0)
         start = flat0
@@ -689,13 +700,13 @@ def _span_fast_freqs(sp: SegmentPostings, q
         alive = np.ones(flat0.size, dtype=bool)
         for ids_i, lens_i, flat_i in streams[1:]:
             keys = (np.repeat(np.searchsorted(cand, ids_i), lens_i)
-                    * _SPAN_OFFSET + flat_i)
+                    * offset + flat_i)
             keys.sort()
-            idx = np.searchsorted(keys, occ_rank * _SPAN_OFFSET + cur_end,
+            idx = np.searchsorted(keys, occ_rank * offset + cur_end,
                                   side="left")
             k = keys[np.minimum(idx, keys.size - 1)]
-            alive &= (idx < keys.size) & (k // _SPAN_OFFSET == occ_rank)
-            p = k % _SPAN_OFFSET
+            alive &= (idx < keys.size) & (k // offset == occ_rank)
+            p = k % offset
             gap = np.where(alive, gap + p - cur_end, gap)
             cur_end = np.where(alive, p + 1, cur_end)
         match = alive & (gap <= np.int64(q.slop))
@@ -1139,12 +1150,10 @@ def _explain_node(sp: SegmentPostings, ctx: Ctx, q: Query, scale: float,
         # sloppyFreq sum; recompute it the same way the scorer did
         boosted = sp.apply_boost(ids, np.ones(ids.size))
         w = sc / (q.boost * idf * boosted) if idf else np.zeros(ids.size)
-        # invert tf-weight → freq: w = (k1+1)f / (f + k1·B) ⇒
-        # f = k1·B·w / (k1+1−w) with B = 1−b+b·dl/avgdl
-        from .. import BM25_B, BM25_K1
-
-        B = 1.0 - BM25_B + BM25_B * dls.astype(np.float64) / ctx.avgdl_of(uniq[0])
-        freqs = BM25_K1 * B * w / ((BM25_K1 + 1.0) - w)
+        # invert tf-weight → freq through the ACTIVE similarity (the
+        # scorer emitted w under ctx.sim; a hardcoded BM25 inversion
+        # reported nonsense freqs under classic/sweetspot)
+        freqs = ctx.sim.invert_tf_weight(w, dls, ctx.avgdl_of(uniq[0]))
         _explain_rows(recs, ids, label, "phrase", freqs, dls, idf, w,
                       sc * scale)
         return
@@ -1158,10 +1167,7 @@ def _explain_node(sp: SegmentPostings, ctx: Ctx, q: Query, scale: float,
         dls = _dl_map(sp, uniq, ids)
         boosted = sp.apply_boost(ids, np.ones(ids.size))
         w = sc / (q.boost * idf * boosted) if idf else np.zeros(ids.size)
-        from .. import BM25_B, BM25_K1
-
-        B = 1.0 - BM25_B + BM25_B * dls.astype(np.float64) / ctx.avgdl_of(uniq[0])
-        freqs = BM25_K1 * B * w / ((BM25_K1 + 1.0) - w)
+        freqs = ctx.sim.invert_tf_weight(w, dls, ctx.avgdl_of(uniq[0]))
         _explain_rows(recs, ids, label, "span", freqs, dls, idf, w,
                       sc * scale)
         return

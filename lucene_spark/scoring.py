@@ -80,6 +80,15 @@ class Similarity:
         whose length norm is NOT monotone must override."""
         return self.tf_weight(max_tf, min_dl, avgdl)
 
+    def invert_tf_weight(self, w, dl, avgdl: float):
+        """freq such that tf_weight(freq, dl, avgdl) == w — explain_full's
+        phrase/span freq reconstruction (the scorer emits only the summed
+        sloppy-frequency weight). Must be overridden alongside tf_weight
+        or explain rows report BM25-inverted nonsense for other metrics.
+        BM25: w = (k1+1)f/(f + k1·B) ⇒ f = k1·B·w/((k1+1)−w)."""
+        B = 1.0 - BM25_B + BM25_B * np.asarray(dl, np.float64) / avgdl
+        return BM25_K1 * B * w / ((BM25_K1 + 1.0) - w)
+
 
 class ClassicSimilarity(Similarity):
     """The reference's DefaultSimilarity (search/DefaultSimilarity.java:
@@ -102,6 +111,11 @@ class ClassicSimilarity(Similarity):
         return self.tf(tf) * self.length_norm(dl)
     # tf ↑, length_norm ↓ in dl → the base-class (max_tf, min_dl) bound
     # stays admissible.
+
+    def invert_tf_weight(self, w, dl, avgdl: float):
+        """w = sqrt(f)·lengthNorm(dl) ⇒ f = (w / lengthNorm(dl))²."""
+        t = np.asarray(w, np.float64) / self.length_norm(dl)
+        return t * t
 
 
 class SweetSpotSimilarity(ClassicSimilarity):
@@ -152,6 +166,23 @@ class SweetSpotSimilarity(ClassicSimilarity):
         [ln_min, ln_max]), so bound it by its maximum instead of
         evaluating at min_dl."""
         return self.tf(max_tf) * 1.0
+
+    def invert_tf_weight(self, w, dl, avgdl: float):
+        """Invert tf(f)·lengthNorm(dl): baseline tf inverts as
+        f = t² − tf_base² + tf_min (t above the tf_base floor); the
+        hyperbolic tf inverts through arctanh inside its open range and
+        reports NaN at/beyond the saturation plateau (where freq is
+        genuinely unrecoverable from the weight)."""
+        t = np.asarray(w, np.float64) / self.length_norm(dl)
+        if not self.hyperbolic_tf:
+            return np.where(t <= self.tf_base, float(self.tf_min),
+                            t * t - self.tf_base ** 2 + self.tf_min)
+        span = self.tf_hyper_max - self.tf_hyper_min
+        y = 2.0 * (t - self.tf_hyper_min) / span - 1.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(np.abs(y) < 1.0, np.arctanh(np.clip(y, -1, 1)),
+                         np.nan)
+        return x / np.log(self.tf_hyper_base) + self.tf_hyper_xoffset
 
 
 DEFAULT_SIMILARITY = Similarity()

@@ -141,3 +141,44 @@ def test_boost_survives_compaction(spark, boosted):
     merge_index(spark, clone)
     for q in ("seven", "seven forty ninety"):
         assert _top(spark, clone, q) == _top(spark, idx_dir, q), q
+
+
+def test_fresh_rebuild_clears_stale_norms(spark, tmp_path):
+    """Rebuilding an out_dir WITHOUT boost_col must not union the previous
+    build's norms side-car into queries (regression: the fresh-build clear
+    list skipped norms/ — stale byte315 boosts silently multiplied into
+    the NEW index's scores at colliding (seg, docid)). Same for spellgrams
+    and commit generations pinning the vanished segment set."""
+    src = str(tmp_path / "src")
+    write_pages_files(src, 20, 1)
+    out = str(tmp_path / "idx")
+    import pandas as pd
+
+    from lucene_spark.fixtures import pages_pdf
+
+    pdf = pages_pdf(20)
+    pdf["w"] = [4.0] * 20  # every doc heavily boosted
+    p2 = str(tmp_path / "srcb")
+    os.makedirs(p2)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(p2, "part.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    build_index(spark, p2, out, target_docs_per_seg=10, boost_col="w")
+    merge_index(spark, out)
+    assert os.path.isdir(os.path.join(out, "norms"))
+
+    # fresh rebuild over the same dir, no boosts: scores must equal a
+    # clean-dir build's exactly
+    build_index(spark, src, out, target_docs_per_seg=10, resume=False)
+    merge_index(spark, out)
+    assert not os.path.isdir(os.path.join(out, "norms"))
+    clean = str(tmp_path / "clean")
+    build_index(spark, src, clean, target_docs_per_seg=10)
+    merge_index(spark, clean)
+    got = [(int(r["docid"]), round(float(r["score"]), 9))
+           for r in Searcher(IndexReader(spark, out)).search("seven", k=10)
+           .collect()]
+    want = [(int(r["docid"]), round(float(r["score"]), 9))
+            for r in Searcher(IndexReader(spark, clean)).search("seven", k=10)
+            .collect()]
+    assert got == want

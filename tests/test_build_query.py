@@ -186,3 +186,33 @@ def test_merge_equals_cold_build(spark, pages_dir, tmp_path_factory):
     assert d_two.keys() == d_one.keys()
     for key in d_one:
         assert d_two[key] == d_one[key], key
+
+
+def test_phrase_on_positionless_index_matches_nothing(spark, tmp_path):
+    """store_positions=False: a phrase/span query must return EMPTY, not
+    crash (regression: decode_positions_flat_at indexed past the empty
+    positions blob — IndexError inside the worker killed the whole job;
+    decode_positions' graceful empty-slice behavior is now mirrored)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from conftest import write_pages_files
+
+    from lucene_spark.indexing import build_index, merge_index
+
+    src = str(tmp_path / "src")
+    write_pages_files(src, 30, 1)
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, target_docs_per_seg=30,
+                store_positions=False)
+    merge_index(spark, out)
+    s = Searcher(IndexReader(spark, out))
+    assert s.count("seven") > 0          # term queries still serve
+    # "twenty one" appears adjacently in the fixture text, so only the
+    # ABSENCE of positions can make this empty (a one-term phrase after
+    # stop-filtering would degenerate to a term query — avoid stopwords)
+    assert s.search('"twenty one"', k=5).collect() == []
+    from lucene_spark.queries.ast import SpanNear, SpanTerm
+
+    q = SpanNear([SpanTerm("twenty"), SpanTerm("one")], slop=1, in_order=True)
+    assert s.search(q, k=5).collect() == []

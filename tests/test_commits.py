@@ -169,12 +169,16 @@ def test_ingest_commit_points(spark, tmp_path):
 
 def test_compaction_without_commits_keeps_eager_delete(spark,
                                                        tmp_path_factory):
-    """No commits/ dir -> the pre-existing KeepOnlyLastCommit-style
-    behavior: dest = min(group), sources physically removed."""
+    """No commits/ dir -> eager CLEANUP is kept (unreferenced sources are
+    physically removed by the end of the call), but through the crash-safe
+    order: the destination is a fresh reserved id installed BEFORE the
+    manifest flip, and source dirs go away only after it — a committed
+    source is never mutated in place."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from conftest import write_pages_files
+    from lucene_spark.indexing.merge import MERGE_SEG_BASE
 
     src = str(tmp_path_factory.mktemp("esrc"))
     write_pages_files(src, 80, 4)
@@ -183,10 +187,11 @@ def test_compaction_without_commits_keeps_eager_delete(spark,
     merge_index(spark, out)
 
     dest = compact_segments(spark, out, [0, 1])
-    assert dest == 0
-    assert not os.path.isdir(os.path.join(out, "postings", "seg=1"))
+    assert dest >= MERGE_SEG_BASE
+    for s in (0, 1):  # both sources gone — eager cleanup preserved
+        assert not os.path.isdir(os.path.join(out, "postings", f"seg={s}"))
     merge_index(spark, out)
-    assert IndexReader(spark, out)._committed == [0, 2, 3]
+    assert IndexReader(spark, out)._committed == [2, 3, dest]
 
 
 def test_expunge_respects_retained_commits(spark, tmp_path):

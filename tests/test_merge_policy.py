@@ -53,8 +53,12 @@ def test_maybe_merge_cascade_preserves_results(spark, many_segs, tmp_path):
     merge_index(spark, out)  # refresh dict/stats
 
     r = IndexReader(spark, out)
-    # three destinations remain, a level up (4×33 docs each)
-    assert r._committed == [0, 4, 8]
+    # three destinations remain, a level up (4×33 docs each), each under a
+    # fresh reserved merge id (crash-safe install: sources are never
+    # overwritten in place)
+    from lucene_spark.indexing.merge import MERGE_SEG_BASE
+    assert len(r._committed) == 3
+    assert all(s >= MERGE_SEG_BASE for s in r._committed)
     # second application: 3 segments < mf → fixpoint reached
     assert find_merges(out, merge_factor=4) == []
 
@@ -132,7 +136,8 @@ def test_compact_group_of_expunged_empty_segments(spark, tmp_path):
             assert spark.read.parquet(p).count() == 0
 
     dest = compact_segments(spark, out, [0, 1])  # crashed before the fix
-    assert dest == 0
+    from lucene_spark.indexing.merge import MERGE_SEG_BASE
+    assert dest >= MERGE_SEG_BASE
     merge_index(spark, out)
     assert validate_index(spark, out)["ok"]
 
@@ -199,3 +204,40 @@ def test_fully_emptied_index_stays_readable_and_writable(spark, tmp_path):
     s3 = Searcher(IndexReader(spark, out))
     assert s3.count("*:*") == 10
     assert len(s3.search("seven", k=5).collect()) > 0
+
+
+def _fake_manifests(root, sizes):
+    """Write committed-manifest stubs (seg -> docs) for find_merges."""
+    mdir = os.path.join(root, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    import json
+
+    for seg, docs in sizes:
+        with open(os.path.join(mdir, f"seg_{seg:06d}.json"), "w") as f:
+            json.dump({"seg": seg, "status": "committed", "docs": docs}, f)
+
+
+def test_find_merges_level_up_guarantee(tmp_path):
+    """LogMergePolicy churn regression: a big earlier destination must NOT
+    be re-merged with every fresh batch of small segments (the merged size
+    would stay at the big segment's level — O(N²) rewrite). A chunk
+    qualifies only when the merge lands a level ABOVE its largest member;
+    the smalls behind the big segment still merge among themselves."""
+    out = str(tmp_path / "idx")
+    big = [(0, 500_000)]
+    smalls = [(i, 50_000) for i in range(1, 11)]
+    _fake_manifests(out, big + smalls)
+    groups = find_merges(out, merge_factor=10)
+    # the ONLY group is the ten smalls; the 500k destination is untouched
+    assert groups == [[i for i in range(1, 11)]]
+
+    # ten 500k-level segments DO level up together
+    out2 = str(tmp_path / "idx2")
+    _fake_manifests(out2, [(i, 500_000) for i in range(10)])
+    assert find_merges(out2, merge_factor=10) == [list(range(10))]
+
+    # mixed run: nine smalls + one straggler a level below still merge
+    # (the result levels up past every member)
+    out3 = str(tmp_path / "idx3")
+    _fake_manifests(out3, [(i, 50_000) for i in range(9)] + [(9, 4_000)])
+    assert find_merges(out3, merge_factor=10) == [list(range(10))]

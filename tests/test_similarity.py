@@ -150,3 +150,23 @@ def test_similarity_changes_ranking(spark, index_dir):
     s_b = [float(r["score"]) for r in base.search("seven", k=5).collect()]
     s_c = [float(r["score"]) for r in classic.search("seven", k=5).collect()]
     assert s_b and s_c and s_b != s_c
+
+
+def test_invert_tf_weight_roundtrip():
+    """explain_full reconstructs phrase/span freqs by inverting the ACTIVE
+    similarity's tf-weight (regression: a hardcoded BM25 inversion reported
+    nonsense freqs under classic/sweetspot). Pin invert(tf_weight(f)) == f
+    for every strategy, including hyperbolic sweetspot inside its open
+    range."""
+    import numpy as np
+
+    from lucene_spark.scoring import (ClassicSimilarity, Similarity,
+                                      SweetSpotSimilarity)
+
+    f = np.array([1.0, 2.0, 3.5, 8.0])
+    dl = np.array([10, 50, 100, 30])
+    for sim in (Similarity(), ClassicSimilarity(), SweetSpotSimilarity(),
+                SweetSpotSimilarity(hyperbolic_tf=True)):
+        w = sim.tf_weight(f, dl, 40.0)
+        assert np.allclose(sim.invert_tf_weight(w, dl, 40.0), f,
+                           rtol=1e-8), sim.name
