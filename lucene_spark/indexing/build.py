@@ -635,8 +635,11 @@ def build_index(
     done = completed_segments(out_dir) if resume else set()
     pending = [s for s in plan.seg_ids() if s not in done]
     t0 = time.time()
+    # skipped counts PLAN segments already complete — merge destinations
+    # (reserved-namespace ids) also sit in `done` but were never planned
     summary = {"n_docs": plan.n_docs, "n_segments": plan.n_segments,
-               "built": 0, "skipped": len(done), "wall_s": 0.0}
+               "built": 0,
+               "skipped": len(done & set(plan.seg_ids())), "wall_s": 0.0}
     if not pending:
         summary["wall_s"] = time.time() - t0
         return summary

@@ -429,8 +429,8 @@ def test_compact_updates_destination_manifest_docs(spark, tmp_path_factory):
     write_pages_files(d, 120, 4)
     build_index(spark, d, out, target_docs_per_seg=30)
     merge_index(spark, out)
-    compact_segments(spark, out, [0, 1, 2])
-    with open(_os.path.join(out, "manifests", "seg_000000.json")) as f:
+    dest = compact_segments(spark, out, [0, 1, 2])
+    with open(_os.path.join(out, "manifests", f"seg_{dest:06d}.json")) as f:
         m = _json.load(f)
     assert m["docs"] == 90
     assert m["merged_from"] == [0, 1, 2]
