@@ -2171,6 +2171,17 @@ def _q_text_pack_sequences(spark, sf_dir):
     docs = (_docs(spark, sf_dir).select("doc_id", n_col.alias("n_tok"))
             .repartitionByRange("doc_id")
             .withColumn("pid", F.spark_partition_id()))
+    # persist BEFORE the totals collect: phases 1 and 2 both read this
+    # plan, and the driver-side pid→offset map is only correct if both
+    # executions see the SAME partition ids — range sampling and AQE
+    # coalescing are not guaranteed deterministic across jobs, so pin the
+    # materialized partitioning rather than hoping. Two narrow columns per
+    # row; the cache is tiny relative to the corpus and dies with the
+    # session (the returned lazy DataFrame still depends on it, so there
+    # is no safe unpersist point inside this function).
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     totals = {int(r["pid"]): int(r["s"]) for r in
               docs.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()}
     if not totals:
@@ -2601,8 +2612,12 @@ def _q_geo_distance_search(spark, sf_dir):
 
 
 def _q_geo_knn(spark, sf_dir):
-    """10 nearest docs to a point — DistanceFieldComparatorSource sort as
-    one TakeOrderedAndProject."""
+    """10 nearest docs to a point — the tier-filter-then-sort pipeline
+    (DistanceQueryBuilder + DistanceFieldComparatorSource): an expanding
+    bounding-box probe finds a radius provably holding ≥ k verified hits,
+    then one TakeOrderedAndProject runs inside that box (never an unpruned
+    corpus scan; with physical lat/lng columns the box predicate pushes
+    into the Parquet scan — pinned by tests/test_spatial.py)."""
     out = spatial.knn_search(_geo_docs(spark, sf_dir), *_GEO_KNN_CENTER, 10)
     return out.select("doc_id", F.round("distance_miles", 4)
                       .alias("dist_mi"))

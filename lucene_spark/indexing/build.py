@@ -491,18 +491,38 @@ def load_manifests(out_dir: str,
     to the manifest protocol — a new status value, a renamed key — lands
     in exactly one place."""
     mdir = os.path.join(out_dir, "manifests")
-    out: dict[int, dict] = {}
+    raw: dict[int, dict] = {}
     if not os.path.isdir(mdir):
-        return out
+        return raw
     for n in sorted(os.listdir(mdir)):
         if n.startswith("seg_") and n.endswith(".json"):
             try:
                 with open(os.path.join(mdir, n)) as f:
                     m = json.load(f)
-                if statuses is None or m.get("status") in statuses:
-                    out[int(m["seg"])] = m
+                raw[int(m["seg"])] = m
             except (ValueError, KeyError, json.JSONDecodeError):
                 continue
+    # Crash-window resolution for compact_segments' two-phase flip: the
+    # destination manifest (carrying ``merged_from``) is rename-committed
+    # FIRST, then each source flips to "compacted". A crash between the two
+    # leaves dest AND some sources simultaneously committed — the dest
+    # commit is authoritative (its data dirs hold every source's docs), so
+    # any committed member of a committed dest's merged_from is viewed as
+    # compacted here. Safe because segment ids are never reused
+    # (_next_merge_seg / the build plan both allocate past the manifest
+    # max). purge_unreferenced() completes the flip durably.
+    superseded: set[int] = set()
+    for seg, m in raw.items():
+        if m.get("status") == "committed":
+            for s in m.get("merged_from") or []:
+                if s != seg:
+                    superseded.add(int(s))
+    out: dict[int, dict] = {}
+    for seg, m in raw.items():
+        if seg in superseded and m.get("status") == "committed":
+            m = {**m, "status": "compacted"}
+        if statuses is None or m.get("status") in statuses:
+            out[seg] = m
     return out
 
 
@@ -520,6 +540,16 @@ def committed_segments(out_dir: str) -> set[int]:
     """Reader snapshot set: segments whose data dirs are live right now
     (compacted sources are excluded — their dirs are gone)."""
     return _manifest_segments(out_dir, ("committed",))
+
+
+def index_block_size(out_dir: str) -> int:
+    """The codec block size this index's blobs are encoded with (manifest
+    config; module default for config-less layouts). Every side-car that
+    shares the postings codec — tombstones, norms — and every decode path
+    must use it; a mismatch silently scrambles the delta-coded docids."""
+    from .. import BLOCK_SIZE
+
+    return int(read_manifest_config(out_dir).get("block_size", BLOCK_SIZE))
 
 
 def read_manifest_config(out_dir: str) -> dict:

@@ -197,6 +197,46 @@ def referenced_segments(out_dir: str) -> set[int]:
     return refs
 
 
+def _repair_interrupted_compaction(mdir: str) -> None:
+    """Durably complete compact_segments' two-phase flip after a crash.
+
+    The destination manifest (carrying ``merged_from``) rename-commits
+    before each source flips to "compacted"; a crash in between leaves
+    sources committed on disk while readers already resolve them as
+    compacted (build.load_manifests masks any committed member of a
+    committed destination's merged_from). This writes that resolution
+    back to disk so the window closes permanently. Reference analog:
+    IndexFileDeleter's startup pass deleting files no segments_N
+    references (index/IndexFileDeleter.java:54)."""
+    raw: dict[int, dict] = {}
+    names: dict[int, str] = {}
+    for n in sorted(os.listdir(mdir)):
+        if not (n.startswith("seg_") and n.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, n)) as f:
+                m = json.load(f)
+            raw[int(m["seg"])] = m
+            names[int(m["seg"])] = n
+        except (ValueError, KeyError, json.JSONDecodeError, OSError):
+            continue
+    for seg, m in raw.items():
+        if m.get("status") != "committed":
+            continue
+        for s in m.get("merged_from") or []:
+            s = int(s)
+            src = raw.get(s)
+            if s == seg or src is None or src.get("status") != "committed":
+                continue
+            src["status"] = "compacted"
+            src["into"] = seg
+            p = os.path.join(mdir, names[s])
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(src, f, indent=1)
+            os.replace(tmp, p)
+
+
 def purge_unreferenced(out_dir: str) -> list[int]:
     """Physically reclaim compacted segments no retained commit references
     (the IndexFileDeleter decref-to-zero path). Only manifests with status
@@ -208,6 +248,7 @@ def purge_unreferenced(out_dir: str) -> list[int]:
     mdir = os.path.join(out_dir, "manifests")
     if not os.path.isdir(mdir):
         return []
+    _repair_interrupted_compaction(mdir)
     removed = []
     for n in sorted(os.listdir(mdir)):
         if not (n.startswith("seg_") and n.endswith(".json")):

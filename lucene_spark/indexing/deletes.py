@@ -38,6 +38,12 @@ def deleted_path(index_dir: str) -> str:
     return os.path.join(index_dir, "deleted")
 
 
+def _index_block_size(index_dir: str) -> int:
+    from .build import index_block_size
+
+    return index_block_size(index_dir)
+
+
 def deleted_rows(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Tombstone rows (POSTINGS_SCHEMA) or None if no deletes exist. An
     empty side-car dir (every seg= partition reclaimed, e.g. by
@@ -56,12 +62,13 @@ def deleted_docids(spark: SparkSession, index_dir: str) -> DataFrame | None:
     rows = deleted_rows(spark, index_dir)
     if rows is None:
         return None
+    bs = _index_block_size(index_dir)
 
     def decode(batches):
         for pdf in batches:
             segs, ids = [], []
             for rec in pdf.to_dict("records"):
-                d, _t, _dl = decode_postings(rec, BLOCK_SIZE)
+                d, _t, _dl = decode_postings(rec, bs)
                 segs.append(np.full(d.size, rec["seg"], dtype=np.int64))
                 ids.append(d)
             if ids:
@@ -90,7 +97,8 @@ def delete_by_docids(spark: SparkSession, index_dir: str,
         .repartition("seg")
         .sortWithinPartitions("seg", "term", "docid")
     )
-    (crafted.mapInPandas(_encode_stream(1 << 62, BLOCK_SIZE, False),
+    (crafted.mapInPandas(_encode_stream(1 << 62, _index_block_size(index_dir),
+                                        False),
                          schema=POSTINGS_SCHEMA)
         .write.mode("append").partitionBy("seg")
         .parquet(deleted_path(index_dir)))

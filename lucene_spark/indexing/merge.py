@@ -161,6 +161,12 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         "total_tokens": int(total_tokens),
         "n_terms": int(n_terms),
         "n_segments": int(n_segments),
+        # the codec's block size rides into stats so the QUERY path decodes
+        # with the size the postings were written with (manifest-recorded;
+        # e.g. addIndexes into an empty dest adopts the source's) — without
+        # this, a non-default block_size index would silently scramble
+        # docids at query time while every build-side tool decoded fine
+        "block_size": int(cfg.get("block_size", BLOCK_SIZE)),
     }
     tmp = os.path.join(out_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
@@ -398,14 +404,21 @@ def compact_segments(
     output ALWAYS lands under a fresh destination id from the reserved
     merge namespace (>= MERGE_SEG_BASE — disjoint from build-plan ids, so
     a later plan append can never collide), and the sequence is
-    stage → install dest → flip manifests → delete sources. A crash at
-    any point leaves a READABLE index: before the manifest flip the
-    sources are still committed and untouched (the installed dest
-    partition is invisible — no manifest); after it the dest manifest is
-    live and undeleted source dirs are inert compacted leftovers. The
+    stage → install dest data+norms → commit dest manifest → flip source
+    manifests → delete sources. The dest-manifest rename is the SINGLE
+    commit point. A crash at any point leaves a READABLE index with every
+    doc visible exactly once: before the dest manifest lands the sources
+    are still committed and untouched (the installed dest partition is
+    invisible — no manifest); after it, any source whose flip didn't
+    happen yet is resolved as compacted at read time — load_manifests
+    masks committed members of a committed destination's ``merged_from``
+    (segment ids are never reused, so the mask can't hide a later
+    segment), and purge_unreferenced writes the flip back durably. The
     earlier eager mode (dest = min id, sources deleted before install)
     had a window where a crash lost the whole group's data while
-    manifests still said committed.
+    manifests still said committed; the pre-round-5 order (sources
+    flipped before dest committed) had one where the whole group
+    vanished from view.
 
     Commit-point retention (index/IndexFileDeleter.java:54 refcounting):
     when a retained commit point (commits.py) still references a source
@@ -500,23 +513,14 @@ def compact_segments(
                 group_docs_fdl[fld] = group_docs_fdl.get(fld, 0) + int(v)
             if m.get("docid_range"):
                 ranges.append(m["docid_range"])
-    for s in seg_group:
-        if s == dest:
-            continue
-        mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
-        if os.path.exists(mp):
-            # keep the manifest as a "compacted" marker: resume must still
-            # treat the segment's input files as done (its docs now live in
-            # dest) — deleting it would make a resumed build re-create the
-            # segment and duplicate every doc
-            with open(mp) as f:
-                m = json.load(f)
-            m["status"] = "compacted"
-            m["into"] = dest
-            tmp = mp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(m, f, indent=1)
-            os.replace(tmp, mp)
+    # dest's norms side-car regenerates from the just-installed docmap
+    # BEFORE any manifest changes: once dest is visible its boosts must
+    # score — a crash that left dest live without norms would silently
+    # score index-time boosts as 1.0 with no recovery path (the absorbed
+    # sources' norms dirs drop in the post-flip cleanup below)
+    from .norms import rebuild_norms_for_segs
+
+    rebuild_norms_for_segs(spark, out_dir, [dest])
     # the destination manifest must reflect the MERGED size: find_merges
     # levels segments by manifest docs (LogMergePolicy.java:41), so a stale
     # per-source count would keep a big merged segment at a small-segment
@@ -555,9 +559,37 @@ def compact_segments(
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, mp)
+    # source manifests flip AFTER the dest manifest rename-commits: the
+    # dest write is the single commit point. A crash before it leaves the
+    # sources committed and the installed dest partition invisible (no
+    # manifest); a crash after it but before a source flip leaves both
+    # nominally committed — readers resolve that window through
+    # merged_from (build.load_manifests masks committed members of a
+    # committed dest's merged_from; purge_unreferenced completes the flip
+    # durably), so no ordering of these per-source renames can lose or
+    # double-count docs
+    for s in seg_group:
+        if s == dest:
+            continue
+        mp = os.path.join(out_dir, "manifests", f"seg_{s:06d}.json")
+        if os.path.exists(mp):
+            # keep the manifest as a "compacted" marker: resume must still
+            # treat the segment's input files as done (its docs now live in
+            # dest) — deleting it would make a resumed build re-create the
+            # segment and duplicate every doc
+            with open(mp) as f:
+                m = json.load(f)
+            m["status"] = "compacted"
+            m["into"] = dest
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, mp)
     # physical cleanup LAST, after the manifest flip: from here readers
     # already resolve the group through dest, so a crash mid-delete only
     # leaves inert compacted leftovers on disk (never missing data)
+    from .norms import norms_path
+
     for s in seg_group:
         if s in protected:
             continue  # a retained commit still lists this segment —
@@ -569,11 +601,8 @@ def compact_segments(
         # still subtracts them; dest got a rekeyed COPY above
         shutil.rmtree(os.path.join(deleted_path(out_dir), f"seg={s}"),
                       ignore_errors=True)
-    # norms side-car follows its docs into dest the same way: the absorbed
-    # segments' partitions drop, dest regenerates from the merged docmap
-    # (the authoritative per-doc boost column — indexing/norms.py)
-    from .norms import rebuild_norms_for_segs
-
-    rebuild_norms_for_segs(spark, out_dir,
-                           sorted((set(seg_group) - protected) | {dest}))
+        # stale norms follow their segment out (dest's were regenerated
+        # pre-flip); protected sources keep theirs for pinned readers
+        shutil.rmtree(os.path.join(norms_path(out_dir), f"seg={s}"),
+                      ignore_errors=True)
     return dest

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import BLOCK_SIZE
+
 from .build import POSTINGS_SCHEMA, _encode_stream
 
 BOOST_TERM = "\x00boost"
@@ -78,7 +78,10 @@ def write_norms(spark: SparkSession, index_dir: str, docs: DataFrame,
         .repartition("seg")
         .sortWithinPartitions("seg", "term", "docid")
     )
-    (crafted.mapInPandas(_encode_stream(1 << 62, BLOCK_SIZE, False),
+    from .build import index_block_size
+
+    (crafted.mapInPandas(_encode_stream(1 << 62, index_block_size(index_dir),
+                                        False),
                          schema=POSTINGS_SCHEMA)
         .write.mode(mode)
         .option("partitionOverwriteMode", "dynamic").partitionBy("seg")

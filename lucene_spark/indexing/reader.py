@@ -240,6 +240,19 @@ class IndexReader:
         # payload-producing chain name when the index stores payloads
         # (lucene_spark/payloads.py; None for plain indexes)
         self.payload_analyzer: str | None = self.stats.get("payload_analyzer")
+        # codec block size the postings were WRITTEN with — every kernel
+        # decode must use it (a mismatch scrambles the delta-coded docids).
+        # stats.json records it since round 5; older stats fall back to the
+        # cross-validated manifest config, then the module default
+        if "block_size" in self.stats:
+            self.block_size: int = int(self.stats["block_size"])
+        else:
+            from .build import read_manifest_config
+            from .. import BLOCK_SIZE
+
+            self.block_size = int(
+                read_manifest_config(index_dir).get("block_size",
+                                                    BLOCK_SIZE))
         # point-in-time segment set (NRT reopen contract — see _snapshot);
         # None (no manifests dir: pre-manifest layouts) → read everything
         from .build import committed_segments

@@ -84,8 +84,14 @@ def _check_rows(block_size: int, keyword_fields: tuple = ("lang", "url")):
     return fn
 
 
-def validate_index(spark: SparkSession, index_dir: str, block_size: int = BLOCK_SIZE) -> dict:
-    """→ report dict; report['ok'] is the gate."""
+def validate_index(spark: SparkSession, index_dir: str,
+                   block_size: int | None = None) -> dict:
+    """→ report dict; report['ok'] is the gate. Decodes with the block
+    size the index was BUILT with (manifest config) unless overridden."""
+    if block_size is None:
+        from .build import index_block_size
+
+        block_size = index_block_size(index_dir)
     report: dict = {"ok": True, "violations": []}
 
     kw: tuple = ("lang", "url")

@@ -238,10 +238,12 @@ class Searcher:
 
             import zlib
 
+            bs = int(self.reader.block_size)
+
             @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
             def run(pdf):
                 q, ctx = pickle.loads(zlib.decompress(bytes(pdf["_job"].iloc[0])))
-                return _topk(pdf, q, ctx)
+                return _topk(pdf, q, ctx, bs)
 
             self._topk_udf_c = run
         return self._topk_udf_c
@@ -257,12 +259,14 @@ class Searcher:
 
             import zlib
 
+            bs = int(self.reader.block_size)
+
             @pandas_udf("qid string, docid long, score double",
                         PandasUDFType.GROUPED_MAP)
             def run(pdf):
                 qs, ctx_by = pickle.loads(
                     zlib.decompress(bytes(pdf["_job"].iloc[0])))
-                return _many(pdf, qs, ctx_by)
+                return _many(pdf, qs, ctx_by, bs)
 
             self._many_udf_c = run
         return self._many_udf_c
@@ -278,11 +282,13 @@ class Searcher:
 
             import zlib
 
+            bs = int(self.reader.block_size)
+
             @pandas_udf("docid long, score double", PandasUDFType.GROUPED_MAP)
             def run(pdf):
                 k, boost = pickle.loads(
                     zlib.decompress(bytes(pdf["_job"].iloc[0])))
-                return _fids(pdf, k, boost)
+                return _fids(pdf, k, boost, bs)
 
             self._filter_udf_c = run
         return self._filter_udf_c
@@ -298,11 +304,13 @@ class Searcher:
 
             import zlib
 
+            bs = int(self.reader.block_size)
+
             @pandas_udf(EXPLAIN_SCHEMA, PandasUDFType.GROUPED_MAP)
             def run(pdf):
                 q, ctx = pickle.loads(
                     zlib.decompress(bytes(pdf["_job"].iloc[0])))
-                return _sx(pdf, q, ctx)
+                return _sx(pdf, q, ctx, bs)
 
             self._explain_udf_c = run
         return self._explain_udf_c
@@ -318,11 +326,13 @@ class Searcher:
 
             import zlib
 
+            bs = int(self.reader.block_size)
+
             @pandas_udf("docid long, payload double",
                         PandasUDFType.GROUPED_MAP)
             def run(pdf):
                 units = pickle.loads(zlib.decompress(bytes(pdf["_job"].iloc[0])))
-                return _payx(pdf, units)
+                return _payx(pdf, units, bs)
 
             self._payx_udf_c = run
         return self._payx_udf_c
@@ -1099,6 +1109,7 @@ class Searcher:
                 [], "docid long, term string, tf long, dl long, df long, "
                     "idf double, tf_weight double, score double")
         rows = self._postings_for(_terms_pred(list(dfs)))
+        bs = int(self.reader.block_size)
 
         def decode(batches):
             import numpy as np
@@ -1107,7 +1118,7 @@ class Searcher:
             for pdf in batches:
                 out = []
                 for rec in pdf.to_dict("records"):
-                    ids, tfs, dls = decode_postings(rec)
+                    ids, tfs, dls = decode_postings(rec, bs)
                     out.append(pd.DataFrame({
                         "docid": ids, "term": rec["term"],
                         "tf": tfs, "dl": dls}))

@@ -246,6 +246,20 @@ def distance_search(df: DataFrame, lat0: float, lng0: float,
     DistanceQueryBuilder pipeline: coarse box predicate (pushes down to
     the Parquet scan, the tier-filter analog), exact arc distance, sort.
     Adds a `distance_miles` column; `k=None` keeps all matches."""
+    verified = _boxed_with_distance(df, lat0, lng0, radius_miles,
+                                    lat_col, lng_col)
+    out = verified.orderBy(F.asc("distance_miles"), *[
+        F.asc(c) for c in ("doc_id",) if c in df.columns])
+    return out.limit(k) if k is not None else out
+
+
+def _boxed_with_distance(df: DataFrame, lat0: float, lng0: float,
+                         radius_miles: float, lat_col: str,
+                         lng_col: str) -> DataFrame:
+    """Rows within `radius_miles`, exact-verified, with a
+    ``distance_miles`` column — unsorted. The coarse box predicate pushes
+    down to the Parquet scan (the tier-filter analog); the arc distance is
+    the fine verify."""
     lat_min, lat_max, lng_min, lng_max = bounding_box(lat0, lng0,
                                                       radius_miles)
     lat, lng = F.col(lat_col), F.col(lng_col)
@@ -259,21 +273,47 @@ def distance_search(df: DataFrame, lat0: float, lng0: float,
                                 | (lng <= lng_max - 360.0))
         else:
             boxed = boxed.where(lng.between(lng_min, lng_max))
-    out = (boxed
-           .withColumn("distance_miles",
-                       arc_distance_miles(lat, lng, F.lit(lat0),
-                                          F.lit(lng0)))
-           .where(F.col("distance_miles") <= radius_miles)
-           .orderBy(F.asc("distance_miles"), *[
-               F.asc(c) for c in ("doc_id",) if c in df.columns]))
-    return out.limit(k) if k is not None else out
+    return (boxed
+            .withColumn("distance_miles",
+                        arc_distance_miles(lat, lng, F.lit(lat0),
+                                           F.lit(lng0)))
+            .where(F.col("distance_miles") <= radius_miles))
+
+
+# any radius past this covers the whole sphere (half the circumference)
+_GLOBE_RADIUS_MILES = math.pi * EARTH_RADIUS_MILES
 
 
 def knn_search(df: DataFrame, lat0: float, lng0: float, k: int,
-               lat_col: str = "lat", lng_col: str = "lng") -> DataFrame:
-    """k nearest docs to the point, no radius — one TakeOrderedAndProject
-    over the exact distance column (DistanceFieldComparatorSource.java's
-    sort without the filter stage)."""
+               lat_col: str = "lat", lng_col: str = "lng",
+               seed_radius_miles: float = 50.0) -> DataFrame:
+    """k nearest docs to the point, no radius bound in the API — but never
+    an unpruned corpus scan: an expanding bounding-box probe (the
+    reference's tier-filter-then-sort pipeline,
+    contrib/spatial/.../tier/DistanceQueryBuilder.java +
+    DistanceFieldComparatorSource.java) finds a radius that provably
+    contains ≥ k exact-verified hits, then one TakeOrderedAndProject runs
+    INSIDE that box. Correctness: if ≥ k docs lie within radius r, the
+    k nearest overall all lie within r, so top-k inside the box IS the
+    global top-k.
+
+    Cost: each probe is a COUNT over the boxed scan (lat/lng range
+    predicates pushed to Parquet, so row groups outside the box are never
+    read). The radius grows by doubling, accelerated by the observed hit
+    density (r × sqrt(k/n) when the probe found n>0 docs) — O(log) probes
+    worst case, 1-2 typically; a radius past half the circumference falls
+    back to the exhaustive scan, which is then genuinely necessary."""
+    r = max(float(seed_radius_miles), 1e-3)
+    while r < _GLOBE_RADIUS_MILES:
+        n = _boxed_with_distance(df, lat0, lng0, r, lat_col,
+                                 lng_col).count()
+        if n >= k:
+            return distance_search(df, lat0, lng0, r, k=k,
+                                   lat_col=lat_col, lng_col=lng_col)
+        grow = 2.0 if n == 0 else max(2.0, 1.5 * math.sqrt(k / n))
+        r = min(r * grow, _GLOBE_RADIUS_MILES)
+    # sparse corpus (fewer than k docs on the whole sphere, or nearly):
+    # the full scan is unavoidable and correct
     tie = [F.asc("doc_id")] if "doc_id" in df.columns else []
     return (df.withColumn("distance_miles",
                           arc_distance_miles(F.col(lat_col), F.col(lng_col),
