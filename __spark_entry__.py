@@ -69,11 +69,38 @@ _IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_i
 # ---------------------------------------------------------------------------
 
 
+def _index_cache_fresh(d: str, sf_dir: str) -> bool:
+    """Cache validity = built AND built from the CURRENT documents table.
+    The dedup artifacts gained source-fingerprint validation in round 4
+    for exactly this failure mode (stale artifacts silently served after
+    the corpus was rewritten in place); the contract index cache — which
+    feeds every ft_* entry — gets the same gate: the fingerprint of the
+    source parquet layout is recorded at build time and re-checked at
+    every open; a mismatch evicts and rebuilds."""
+    if not os.path.exists(os.path.join(d, "stats.json")):
+        return False
+    fp_path = os.path.join(d, "src_fingerprint.json")
+    if not os.path.exists(fp_path):
+        return False
+    with open(fp_path) as f:
+        return json.load(f).get("fingerprint") == _docs_fingerprint(sf_dir)
+
+
+def _stamp_index_cache(d: str, sf_dir: str) -> None:
+    tmp = os.path.join(d, "src_fingerprint.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": _docs_fingerprint(sf_dir)}, f)
+    os.replace(tmp, os.path.join(d, "src_fingerprint.json"))
+
+
 def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Build-once (resumable) whitespace-analyzed index over documents."""
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_IDX_CACHE, tag)
-    if not os.path.exists(os.path.join(d, "stats.json")):
+    if not _index_cache_fresh(d, sf_dir):
+        shutil.rmtree(d, ignore_errors=True)
         src = os.path.join(d, "src")
         # docid order must equal doc_id order for rank-identical tie-breaks:
         # range-partition + sort, and the build plan takes files path-sorted
@@ -92,6 +119,7 @@ def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
                     target_docs_per_seg=2000, store_positions=True,
                     keyword_fields=("lang",), analyzed_fields=("title",))
         merge_index(spark, d)
+        _stamp_index_cache(d, sf_dir)
     return IndexReader(spark, d)
 
 
@@ -113,9 +141,14 @@ register_payload_analyzer(
 
 def _index_pay(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Build-once payload index over the same source parquet as _index
-    (same docid order ⇒ same tie-breaks)."""
+    (same docid order ⇒ same tie-breaks). Same source-fingerprint gate
+    as _index: a rewritten corpus evicts and rebuilds."""
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_IDX_CACHE, tag + "_pay")
+    if not _index_cache_fresh(d, sf_dir):
+        shutil.rmtree(d, ignore_errors=True)
     if not os.path.exists(os.path.join(d, "stats.json")):
         _index(spark, sf_dir)  # materializes the shared src parquet
         src = os.path.join(_IDX_CACHE, tag, "src")
@@ -123,6 +156,7 @@ def _index_pay(spark: SparkSession, sf_dir: str) -> IndexReader:
                     target_docs_per_seg=2000, store_positions=True,
                     keyword_fields=("lang",))
         merge_index(spark, d)
+        _stamp_index_cache(d, sf_dir)
     return IndexReader(spark, d)
 
 

@@ -68,6 +68,29 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+# --- clean-window gate (round 5) -------------------------------------------
+# A section's headline is min-of-rounds, so ONE round measured in a clean
+# host window suffices. The gate: track the fastest control burn observed
+# anywhere in this run (the cleanest window the host showed us); a section
+# whose every round ran with a control > 1.25x that floor (+20 ms noise
+# allowance) was entirely measured under co-tenant steal — re-run it
+# (bounded extra rounds, every attempt recorded) instead of leaving the
+# adjudication to the reader of BENCH_DETAIL.json (round-4's ask).
+_MAX_EXTRA = int(os.environ.get("BENCH_MAX_EXTRA_ROUNDS", "3"))
+_clean_floor = [float("inf")]
+
+
+def _control(cpu_control: dict, section: str) -> float:
+    c = _burn()
+    _clean_floor[0] = min(_clean_floor[0], c)
+    cpu_control[section].append(round(c, 3))
+    return c
+
+
+def _section_clean(cpu_control: dict, section: str) -> bool:
+    return min(cpu_control[section]) <= 1.25 * _clean_floor[0] + 0.02
+
+
 def main() -> None:
     from lucene_spark.fixtures import write_pages
     from lucene_spark.indexing.build import build_index
@@ -109,10 +132,16 @@ def main() -> None:
     # is the HEADLINE metric and a single shot on this shared host measures
     # the co-tenant as often as the engine (observed 1.5k vs 2.9k docs/s on
     # identical code)
+    # seed the clean floor before any section: three quick burns give the
+    # gate an idle-host reference even if the first section lands stolen
+    for _ in range(3):
+        _clean_floor[0] = min(_clean_floor[0], _burn())
+
     idx_dir = os.path.join(WORK, f"idx_{N_DOCS}_c{CPUS}")
     rounds["build"] = []
-    for _ in range(int(os.environ.get("BENCH_BUILD_ROUNDS", "3"))):
-        cpu_control["build"].append(round(_burn(), 3))
+
+    def _build_round():
+        _control(cpu_control, "build")
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         build_index(
@@ -122,6 +151,13 @@ def main() -> None:
         )
         merge_index(spark, idx_dir)
         rounds["build"].append(round(time.time() - t0, 3))
+
+    for _ in range(int(os.environ.get("BENCH_BUILD_ROUNDS", "3"))):
+        _build_round()
+    extra = 0
+    while not _section_clean(cpu_control, "build") and extra < _MAX_EXTRA:
+        extra += 1
+        _build_round()
     t_build = min(rounds["build"])
     docs_per_sec = N_DOCS / t_build
 
@@ -148,13 +184,21 @@ def main() -> None:
     # the per-round control burn timestamps the host's speed for that round
     for name in list(qnames) + ["batch_all"]:
         rounds[name] = []
-    for _ in range(N_ROUNDS):
-        cpu_control["query"].append(round(_burn(), 3))
+
+    def _query_round():
+        _control(cpu_control, "query")
         for name, q in qnames.items():
             rounds[name].append(round(
                 _timed(lambda: searcher.search(q, k=10).collect()), 3))
         rounds["batch_all"].append(round(
             _timed(lambda: searcher.search_many(batch, k=10).collect()), 3))
+
+    for _ in range(N_ROUNDS):
+        _query_round()
+    extra = 0
+    while not _section_clean(cpu_control, "query") and extra < _MAX_EXTRA:
+        extra += 1
+        _query_round()
     queries = {name: min(rs) for name, rs in rounds.items()
                if name.startswith("q")}
     batch_all_sec = min(rounds["batch_all"])
@@ -189,12 +233,20 @@ def main() -> None:
     # decreasing, i.e. never warm.
     for name in PIPELINE:
         efns[name](spark, SF_DIR).collect()
-    for _ in range(N_ROUNDS):
-        cpu_control["pipeline"].append(round(_burn(), 3))
+
+    def _pipeline_round():
+        _control(cpu_control, "pipeline")
         for name in PIPELINE:
             fn = efns[name]
             rounds[name].append(round(
                 _timed(lambda: fn(spark, SF_DIR).collect()), 3))
+
+    for _ in range(N_ROUNDS):
+        _pipeline_round()
+    extra = 0
+    while not _section_clean(cpu_control, "pipeline") and extra < _MAX_EXTRA:
+        extra += 1
+        _pipeline_round()
     for name in PIPELINE:
         queries[name] = min(rounds[name])
 
@@ -233,6 +285,14 @@ def main() -> None:
         "rounds": rounds,
         "cpu_control": cpu_control,
         "cpu_control_burn_n": _BURN_N,
+        # clean-window gate record: the fastest control observed this run
+        # (the host's demonstrated idle speed) and the per-section verdict —
+        # a section still unclean after the bounded retries ran ENTIRELY
+        # under co-tenant steal and its numbers should be read against its
+        # own controls
+        "clean_floor_sec": round(_clean_floor[0], 3),
+        "section_clean": {s: _section_clean(cpu_control, s)
+                          for s in cpu_control},
     })
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

@@ -423,6 +423,79 @@ def _exact_phrase_freqs_perdoc(per_term, qpos) -> tuple[np.ndarray, np.ndarray]:
             np.asarray(out_fr, dtype=np.float64))
 
 
+def _sloppy_phrase_freqs_batch(per_term_flat, qpos, slop: int,
+                               cand: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized sloppy-phrase frequency for ALL candidate docs at once —
+    the round-5 replacement of the per-candidate Python loop (the one
+    interpreter-speed walk left in the kernel, VERDICT r4).
+
+    Semantics are EXACTLY scoring.phrase_freq's greedy machine
+    (search/SloppyPhraseScorer.java:25-75 + DefaultSimilarity.java:63
+    sloppyFreq), proven equivalent by the differential test in
+    tests/test_sloppy_batch.py: every doc runs the same cursor automaton —
+    m cursors over its shifted position lists; a window within `slop`
+    whose absolute positions are distinct scores 1/(span+1) and advances
+    every cursor, anything else advances the minimal-shifted cursor
+    (first index on ties, matching Python ``min(key=)``) — but here every
+    candidate's automaton steps SIMULTANEOUSLY in numpy. Iterations =
+    max steps over docs (positions-per-doc-bounded, typically tf-small);
+    each iteration is O(active docs) vector work, so a huge
+    post-intersection candidate set costs vector time, not interpreter
+    time.
+
+    per_term_flat[i] = (ids, lens, flat_abs) straight from
+    positions_flat_for (ids unsorted across salt rows is fine); `cand`
+    sorted unique, ⊆ every term's ids."""
+    m = len(per_term_flat)
+    n = int(cand.size)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    qp = np.asarray(qpos, dtype=np.int64)
+    t_start = np.empty((m, n), dtype=np.int64)
+    t_len = np.empty((m, n), dtype=np.int64)
+    flats: list[np.ndarray] = []
+    for i, (ids, lens, flat) in enumerate(per_term_flat):
+        starts = np.zeros(ids.size, dtype=np.int64)
+        if ids.size > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        order = np.argsort(ids, kind="stable")
+        at = order[np.searchsorted(ids[order], cand)]
+        t_start[i] = starts[at]
+        t_len[i] = lens[at]
+        flats.append(flat.astype(np.int64) - qp[i])  # shifted positions
+    cur = np.zeros((m, n), dtype=np.int64)
+    total = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
+    vals = np.empty((m, n), dtype=np.int64)
+    while True:
+        idx = np.flatnonzero(active)
+        if not idx.size:
+            break
+        v = vals[:, : idx.size]
+        for i in range(m):
+            v[i] = flats[i][t_start[i, idx] + cur[i, idx]]
+        lo = v.min(axis=0)
+        hi = v.max(axis=0)
+        within = (hi - lo) <= slop
+        # distinct-absolute-positions guard (one token occurrence cannot
+        # fill two phrase slots): sort abspos per doc, all diffs nonzero
+        ab = np.sort(v + qp[:, None], axis=0)
+        distinct = (np.ones(idx.size, dtype=bool) if m == 1 else
+                    np.all(np.diff(ab, axis=0) != 0, axis=0))
+        match = within & distinct
+        total[idx[match]] += 1.0 / (hi[match] - lo[match] + 1.0)
+        amin = v.argmin(axis=0)  # first index of the min — the tie rule
+        for i in range(m):
+            cur[i, idx] += np.where(match, 1, (amin == i).view(np.int8))
+        alive = np.ones(idx.size, dtype=bool)
+        for i in range(m):
+            alive &= cur[i, idx] < t_len[i, idx]
+        active[idx] = alive
+    sel = total > 0.0
+    return cand[sel], total[sel]
+
+
 def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if any(not sp.has(t) for t in q.phrase_terms):
@@ -451,24 +524,14 @@ def _eval_phrase(sp: SegmentPostings, ctx: Ctx, q: Phrase):
         dls = l_dls[np.searchsorted(l_ids, ids_arr)]
         sc = q.boost * idf * ctx.sim.tf_weight(frs, dls, ctx.avgdl_of(q.phrase_terms[0]))
         return ids_arr, sp.apply_boost(ids_arr, sc)
-    per_term: list[tuple[np.ndarray, list[np.ndarray]]] = [
-        sp.positions_for(t, cand) for t in q.phrase_terms
-    ]
-    # sloppy: per-candidate greedy window walk (python loop over candidates
-    # only — candidate sets are small after intersection; positions math
-    # inside is numpy, and index lookup is searchsorted, not per-posting dicts)
-    out_ids, out_fr = [], []
-    idx_per_term = _cand_pos_indices(per_term, cand)
-    for j, d in enumerate(cand):
-        pls = [per_term[i][1][idx_per_term[i][j]] for i in range(len(per_term))]
-        f = phrase_freq(pls, qpos, q.slop)
-        if f > 0:
-            out_ids.append(int(d))
-            out_fr.append(f)
-    if not out_ids:
+    # sloppy: the batched greedy-window machine — flat ragged triples
+    # end-to-end (same input shape as the exact path), every candidate's
+    # cursor automaton stepping simultaneously in numpy
+    ids, frs = _sloppy_phrase_freqs_batch(
+        [sp.positions_flat_for(t, cand) for t in q.phrase_terms],
+        qpos, q.slop, cand)
+    if ids.size == 0:
         return empty
-    ids = np.asarray(out_ids, dtype=np.int64)
-    frs = np.asarray(out_fr, dtype=np.float64)
     # need dl per candidate: take from any term's postings via lookup
     l_ids, _, l_dls = sp.lookup(q.phrase_terms[0], ids)
     dls = l_dls[np.searchsorted(l_ids, ids)]
@@ -569,17 +632,17 @@ def _eval_multiphrase(sp: SegmentPostings, ctx: Ctx, q: MultiPhrase):
             if cand.size == 0:
                 return empty
         cand = np.sort(cand)
-        out_ids, out_fr = [], []
-        idx_per_slot = _cand_pos_indices(slot_streams, cand)
-        for j, d in enumerate(cand):
-            pls = [slot_streams[i][1][idx_per_slot[i][j]]
-                   for i in range(len(slot_streams))]
-            f = phrase_freq(pls, qpos, q.slop)
-            if f > 0:
-                out_ids.append(int(d))
-                out_fr.append(f)
-        ids_arr = np.asarray(out_ids, dtype=np.int64)
-        frs = np.asarray(out_fr, dtype=np.float64)
+        # restrict each merged slot stream to the final candidate set, then
+        # flatten for the batched machine (slot position unions are sorted
+        # unique — np.unique in _merged_slot)
+        flat_slots = []
+        for ids, pls in slot_streams:
+            order = np.argsort(ids, kind="stable")
+            keep = order[np.searchsorted(ids[order], cand)]
+            flat_slots.append(_flat_of((ids[keep],
+                                        [pls[int(j)] for j in keep])))
+        ids_arr, frs = _sloppy_phrase_freqs_batch(flat_slots, qpos,
+                                                  q.slop, cand)
     if ids_arr.size == 0:
         return empty
     dls = _dl_map(sp, uniq, ids_arr)
