@@ -394,3 +394,91 @@ def fvh_highlight(hits, docs, query, analyzer: str = "whitespace",
             yield pdf
 
     return joined.mapInPandas(run, schema=schema).select(*cols, "fragments")
+
+
+# ---------------------------------------------------------------------------
+# Index-served offsets (round 5): FieldTermStack straight from the stored
+# term vectors, no display-time re-analysis
+# ---------------------------------------------------------------------------
+
+def term_stack_from_vectors(terms, positions, offsets, term_set) -> list:
+    """[(term, position, start, end)] position-ascending — FieldTermStack
+    built from ONE forward-index row's parallel arrays (terms[i] has
+    positions[i] and interleaved char offsets offsets[i] = [s0,e0,...]),
+    restricted to query terms. This is the reference's actual data path:
+    FieldTermStack.java reads TermPositionVector offsets stored at index
+    time (TermVectorOffsetInfo), not re-analyzed text."""
+    entries: list = []
+    for t, ps, off in zip(terms, positions, offsets):
+        if t not in term_set or ps is None or off is None:
+            continue
+        for j, p in enumerate(ps):
+            so = 2 * j
+            if so + 1 < len(off):
+                entries.append((t, int(p), int(off[so]), int(off[so + 1])))
+    entries.sort(key=lambda e: e[1])
+    return entries
+
+
+def fvh_highlight_indexed(reader, hits, docs, query,
+                          on: str | list[str] = "url",
+                          text_col: str = "text",
+                          frag_char_size: int = 100, max_frags: int = 3,
+                          pre_tags: tuple[str, ...] = ("<b>",),
+                          post_tags: tuple[str, ...] = ("</b>",),
+                          phrase_highlight: bool = True,
+                          score_order: bool = True):
+    """fvh_highlight served from the index's STORED offsets (build option
+    ``store_offsets=``): the term stack comes from the tokens forward
+    index instead of re-analyzing the stored text — the reference's cost
+    model (offsets read back from the .tvf term vectors,
+    index/TermVectorsTermsWriter.java:30), which matters when the analysis
+    chain is expensive at serving time. Output is byte-identical to the
+    re-analysis path for offset-preserving chains (pinned by
+    tests/test_fvh_offsets.py).
+
+    Plan shape: tokens is corpus-sized but the hits side is top-k — the
+    join broadcasts the hits, so the scan is the only corpus touch and
+    carries only the four vector columns."""
+    from pyspark.sql import functions as F, types as T
+
+    if not getattr(reader, "store_offsets", False):
+        raise ValueError("index was built without store_offsets=True — "
+                         "use fvh_highlight (re-analysis) instead")
+    fq = FieldQuery(query, phrase_highlight=phrase_highlight)
+    keys = [on] if isinstance(on, str) else list(on)
+    vec = reader.tokens().select(
+        *keys, F.col("terms").alias("_terms"),
+        F.col("positions").alias("_positions"),
+        F.col("offsets").alias("_offsets"))
+    small = hits.join(docs.select(*keys, text_col), keys, "left")
+    # inner join is safe (a hit's doc exists in tokens by construction)
+    # and lets the top-k side broadcast: the corpus-sized tokens scan
+    # streams through a BroadcastHashJoin instead of shuffling
+    joined = F.broadcast(small).join(vec, keys)
+    cols = [c for c in joined.columns
+            if c not in ("_terms", "_positions", "_offsets")]
+    schema = T.StructType(
+        [f for f in joined.schema.fields
+         if f.name not in ("_terms", "_positions", "_offsets")] +
+        [T.StructField("fragments", T.ArrayType(T.StringType()))])
+
+    def run(batches):
+        for pdf in batches:
+            frags = []
+            for t, ts, ps, offs in zip(pdf[text_col], pdf["_terms"],
+                                       pdf["_positions"], pdf["_offsets"]):
+                if ts is None:
+                    frags.append([])
+                    continue
+                stack = term_stack_from_vectors(ts, ps, offs, fq.term_set)
+                phrases = field_phrase_list(stack, fq)
+                fr = simple_frag_list(phrases, frag_char_size)
+                frags.append(make_fragments(t or "", fr, pre_tags,
+                                            post_tags, max_frags,
+                                            score_order))
+            pdf = pdf.drop(columns=["_terms", "_positions", "_offsets"])
+            pdf["fragments"] = frags
+            yield pdf
+
+    return joined.mapInPandas(run, schema=schema).select(*cols, "fragments")

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading as _threading
 import time
 
@@ -57,14 +58,18 @@ POSTINGS_SCHEMA = (
 )
 
 
-def tokens_schema(payloads: bool = False) -> str:
+def tokens_schema(payloads: bool = False, offsets: bool = False) -> str:
     """TOKENS_SCHEMA, plus the per-position payload channel when the build
     runs a payload-producing chain (payloads array parallel to positions —
     the .prx payload stream of the reference,
-    index/FormatPostingsPositionsWriter.java payload writes). Plain builds
-    keep the historical schema byte-identically."""
-    return TOKENS_SCHEMA + (", payloads array<array<float>>" if payloads
-                            else "")
+    index/FormatPostingsPositionsWriter.java payload writes), plus the
+    stored term-vector offsets channel when ``store_offsets`` is on
+    (per (doc, term) an interleaved [s0,e0,...] char-offset array parallel
+    to positions — index/TermVectorOffsetInfo.java). Plain builds keep the
+    historical schema byte-identically."""
+    return (TOKENS_SCHEMA
+            + (", payloads array<array<float>>" if payloads else "")
+            + (", offsets array<array<int>>" if offsets else ""))
 
 
 def postings_schema(payloads: bool = False) -> str:
@@ -95,15 +100,38 @@ def _kw_value(v) -> str | None:
 _VECTOR_ANALYZERS = {"whitespace", "simple"}
 
 
-def _invert_batch_vectorized(texts, kind: str):
+_WS_TOKEN_RE = re.compile(r"\S+")
+_LETTER_TOKEN_RE = re.compile(r"[A-Za-z]+")
+
+
+def _invert_batch_vectorized(texts, kind: str, with_offsets: bool = False):
     """Whole-batch document inversion for split-style analyzers: one
     factorize + one lexsort replace the per-doc dict-of-positions loop.
     → (doclens, per-doc term lists, per-doc tf lists, per-doc position-array
-    lists); positions ascending per (doc, term) by lexsort stability."""
+    lists[, per-doc offset-array lists]); positions ascending per
+    (doc, term) by lexsort stability.
+
+    ``with_offsets`` additionally returns, per (doc, term), an interleaved
+    int array [s0,e0,s1,e1,...] of character start/end offsets parallel to
+    that term's positions — the stored term-vector offsets of the
+    reference (index/TermVectorsTermsWriter.java:30 storing
+    TermVectorOffsetInfo per position). Offset tokenization is the same
+    regex split the display-time tokenizer uses (fvh.py), so index-time
+    and recompute-at-display offsets are byte-identical by construction."""
     from ..analysis import simple_tokenize
 
     n = len(texts)
-    if kind == "whitespace":
+    flat_se = None
+    if with_offsets:
+        rx = _WS_TOKEN_RE if kind == "whitespace" else _LETTER_TOKEN_RE
+        token_lists = []
+        se_lists = []
+        for t in texts:
+            ms = list(rx.finditer(t)) if t else []
+            token_lists.append([m.group() if kind == "whitespace"
+                                else m.group().lower() for m in ms])
+            se_lists.append([(m.start(), m.end()) for m in ms])
+    elif kind == "whitespace":
         token_lists = [t.split() if t else [] for t in texts]
     else:
         token_lists = [simple_tokenize(t) if t else [] for t in texts]
@@ -111,12 +139,21 @@ def _invert_batch_vectorized(texts, kind: str):
     total = int(lens.sum())
     empty: list = [[] for _ in range(n)]
     if total == 0:
-        return lens, empty, [list(e) for e in empty], [list(e) for e in empty]
+        out = (lens, empty, [list(e) for e in empty],
+               [list(e) for e in empty])
+        return out + ([list(e) for e in empty],) if with_offsets else out
     flat = np.empty(total, dtype=object)
     off = 0
     for tl in token_lists:
         flat[off:off + len(tl)] = tl
         off += len(tl)
+    if with_offsets:
+        flat_se = np.empty((total, 2), dtype=np.int64)
+        off = 0
+        for sl in se_lists:
+            if sl:
+                flat_se[off:off + len(sl)] = sl
+                off += len(sl)
     codes, uniques = pd.factorize(flat, sort=False)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
     starts = np.zeros(n, dtype=np.int64)
@@ -132,8 +169,11 @@ def _invert_batch_vectorized(texts, kind: str):
     gdoc = d_s[gstart]
     gterms = np.asarray(uniques, dtype=object)[c_s[gstart]]
     pos_groups = np.split(p_s, gstart[1:])
+    if with_offsets:
+        se_s = flat_se[order].reshape(-1, 2)
+        off_groups = np.split(se_s.reshape(-1), 2 * gstart[1:])
     doc_grp_counts = np.bincount(gdoc, minlength=n)
-    terms_out, tfs_out, pos_out = [], [], []
+    terms_out, tfs_out, pos_out, off_out = [], [], [], []
     gi = 0
     for d in range(n):
         cnt = int(doc_grp_counts[d])
@@ -141,7 +181,11 @@ def _invert_batch_vectorized(texts, kind: str):
         terms_out.append(gterms[sl].tolist())
         tfs_out.append(gcount[sl].tolist())
         pos_out.append(pos_groups[gi:gi + cnt])
+        if with_offsets:
+            off_out.append(off_groups[gi:gi + cnt])
         gi += cnt
+    if with_offsets:
+        return lens, terms_out, tfs_out, pos_out, off_out
     return lens, terms_out, tfs_out, pos_out
 
 
@@ -149,7 +193,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                    keyword_fields: tuple = (), analyzed_fields: tuple = (),
                    field_analyzers: dict | None = None,
                    boost_col: str | None = None,
-                   payload_fn=None):
+                   payload_fn=None, store_offsets: bool = False):
     """mapInPandas closure: pages batches → ONE row per doc with parallel
     term/tf/positions arrays (the term-vector forward index, reference
     TermVectorsTermsWriter .tvf — index/TermVectorsTermsWriter.java:30).
@@ -200,6 +244,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             c_seg, c_docid, c_url, c_lang, c_dl = [], [], [], [], []
             c_terms, c_tfs, c_pos, c_dls, c_fdl = [], [], [], [], []
             c_pay: list = []
+            c_off: list = []
             # index-time document boost (document/Document.java:88 setBoost):
             # carried per doc through the forward index; 1.0 when unset
             boosts = (pdf[boost_col] if boost_col and boost_col in pdf
@@ -216,10 +261,28 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             # batch-vectorized inversion for split-style analyzers (the hot
             # build path — round 1 spent per-token Python dict work here);
             # html extraction forces the scalar path
-            fast = fast_ok and htmls is None and texts is not None
+            # the vectorized path needs a complete text column; rows whose
+            # text is NULL fall back to html extraction (scalar path). A
+            # corpus carrying BOTH columns with text fully populated takes
+            # the fast path — text is authoritative in the scalar path too
+            fast = fast_ok and texts is not None and (
+                htmls is None or not texts.isna().any())
+            if store_offsets and not fast:
+                # build_index validated the analyzer; html-only corpora
+                # would need offset-preserving extraction, which the
+                # forward index cannot promise — fail loudly, never store
+                # wrong offsets
+                raise ValueError(
+                    "store_offsets requires a text column and a "
+                    "split-style analyzer (whitespace/simple)")
             if fast:
-                b_lens, b_terms, b_tfs, b_pos = _invert_batch_vectorized(
-                    texts.tolist(), analyzer)
+                if store_offsets:
+                    b_lens, b_terms, b_tfs, b_pos, b_off = \
+                        _invert_batch_vectorized(texts.tolist(), analyzer,
+                                                 with_offsets=True)
+                else:
+                    b_lens, b_terms, b_tfs, b_pos = _invert_batch_vectorized(
+                        texts.tolist(), analyzer)
                 f_inv = {
                     af: _invert_batch_vectorized(
                         col.tolist(),
@@ -229,6 +292,7 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             for i in range(len(pdf)):
                 base, seg = fps.iloc[i]
                 fdl: dict[str, int] = {}
+                offs: list | None = None
                 if fast:
                     dl_i = int(b_lens[i])
                     terms = b_terms[i]
@@ -236,6 +300,8 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                     pos = (list(b_pos[i]) if store_positions
                            else list(empty_pos))
                     dls = [dl_i] * len(terms)
+                    if store_offsets:
+                        offs = list(b_off[i])
                     for af in afields:
                         fl, ft, ftf, fp = f_inv[af]
                         fdl[af] = int(fl[i])
@@ -244,6 +310,11 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                         dls.extend([int(fl[i])] * len(ft[i]))
                         if store_positions:
                             pos.extend(fp[i])
+                        if offs is not None:
+                            # offsets are a MAIN-field channel (fvh slices
+                            # the main stored text); extra fields carry
+                            # empty runs to keep the arrays parallel
+                            offs.extend([] for _ in ft[i])
                 else:
                     text = texts.iloc[i] if texts is not None else None
                     if text is None and htmls is not None:
@@ -323,6 +394,8 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                             pos.append([])
                         if payload_fn is not None:
                             pays.append([None])
+                        if offs is not None:
+                            offs.append([])
                 c_terms.append(terms)
                 c_tfs.append(tfs)
                 c_pos.append(pos)
@@ -330,6 +403,8 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
                 c_fdl.append(fdl)
                 if payload_fn is not None:
                     c_pay.append(pays)
+                if store_offsets:
+                    c_off.append(offs)
             if boosts is not None:
                 c_boost = [1.0 if (b is None or b != b) else float(b)
                            for b in boosts]
@@ -343,6 +418,8 @@ def _tokenize_iter(base_by_path: dict, analyzer: str, store_positions: bool,
             }
             if payload_fn is not None:
                 cols["payloads"] = c_pay
+            if store_offsets:
+                cols["offsets"] = c_off
             yield pd.DataFrame(cols)
 
     return fn
@@ -562,8 +639,8 @@ def read_manifest_config(out_dir: str) -> dict:
     if not os.path.isdir(mdir):
         return cfg
     keys = ("analyzer", "analyzed_fields", "keyword_fields",
-            "store_positions", "block_size", "field_analyzers",
-            "payload_analyzer")
+            "store_positions", "store_offsets", "block_size",
+            "field_analyzers", "payload_analyzer")
     for n in sorted(os.listdir(mdir)):
         if not (n.startswith("seg_") and n.endswith(".json")):
             continue
@@ -579,6 +656,7 @@ def read_manifest_config(out_dir: str) -> dict:
         this.setdefault("field_analyzers", {})
         this.setdefault("analyzed_fields", [])
         this.setdefault("payload_analyzer", None)
+        this.setdefault("store_offsets", False)
         if not cfg:
             cfg = this
         elif any(cfg.get(k) != v for k, v in this.items()):
@@ -605,6 +683,7 @@ def build_index(
     field_analyzers: dict | None = None,
     boost_col: str | None = None,
     payload_analyzer: str | None = None,
+    store_offsets: bool = False,
 ) -> dict:
     """Build (or resume) the index for the pages corpus at input_path — a
     parquet directory or an Iceberg table source string
@@ -627,6 +706,22 @@ def build_index(
             raise ValueError(f"unregistered payload analyzer: "
                              f"{payload_analyzer!r}")
         analyzer = PAYLOAD_ANALYZERS[payload_analyzer][0]
+    if store_offsets:
+        # stored term-vector offsets (index/TermVectorsTermsWriter.java:30
+        # stores positions AND offsets; TermVectorOffsetInfo.java): only
+        # offset-preserving split-style chains can promise index-time
+        # offsets identical to display-time ones; other chains keep the
+        # re-analysis fallback (fvh.py)
+        if payload_analyzer is not None:
+            raise ValueError("store_offsets: unsupported with a payload "
+                             "analyzer (separate tokenize path)")
+        bad = [a for a in {analyzer,
+                           *(dict(field_analyzers or {}).values())}
+               if a not in _VECTOR_ANALYZERS]
+        if bad:
+            raise ValueError(
+                f"store_offsets requires split-style analyzers "
+                f"(whitespace/simple); got {sorted(bad)}")
     os.makedirs(out_dir, exist_ok=True)
     plan_path = os.path.join(out_dir, "build_plan.json")
     if resume and os.path.exists(plan_path):
@@ -680,7 +775,7 @@ def build_index(
         _build_chunk(spark, plan, segs, out_dir, analyzer, store_positions,
                      max_postings_per_row, block_size, keyword_fields,
                      analyzed_fields, field_analyzers, boost_col,
-                     payload_analyzer)
+                     payload_analyzer, store_offsets)
         summary["built"] += len(segs)
     summary["wall_s"] = time.time() - t0
     return summary
@@ -692,7 +787,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
                  keyword_fields: tuple = (), analyzed_fields: tuple = (),
                  field_analyzers: dict | None = None,
                  boost_col: str | None = None,
-                 payload_analyzer: str | None = None) -> None:
+                 payload_analyzer: str | None = None,
+                 store_offsets: bool = False) -> None:
     import pyarrow.parquet as pq
 
     payload_fn = None
@@ -767,8 +863,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
     tokens = pages.mapInPandas(
         _tokenize_iter(plan.base_by_path(), analyzer, store_positions,
                        keyword_fields, analyzed_fields, field_analyzers,
-                       boost_col, payload_fn),
-        schema=tokens_schema(payload_fn is not None),
+                       boost_col, payload_fn, store_offsets),
+        schema=tokens_schema(payload_fn is not None, store_offsets),
     )
     # forward index (≙ stored fields + term vectors): written once, consumed
     # twice (docmap + postings) without re-tokenizing
@@ -944,6 +1040,7 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
             "field_analyzers": dict(field_analyzers or {}),
             "keyword_fields": list(keyword_fields),
             "store_positions": store_positions,
+            "store_offsets": store_offsets,
             "block_size": block_size,
         }
         mp = _manifest_path(out_dir, seg)

@@ -167,6 +167,7 @@ def merge_index(spark: SparkSession, out_dir: str, dict_partitions: int = 8) -> 
         # this, a non-default block_size index would silently scramble
         # docids at query time while every build-side tool decoded fine
         "block_size": int(cfg.get("block_size", BLOCK_SIZE)),
+        "store_offsets": bool(cfg.get("store_offsets", False)),
     }
     tmp = os.path.join(out_dir, "stats.json.tmp")
     with open(tmp, "w") as f:

@@ -240,6 +240,11 @@ class IndexReader:
         # payload-producing chain name when the index stores payloads
         # (lucene_spark/payloads.py; None for plain indexes)
         self.payload_analyzer: str | None = self.stats.get("payload_analyzer")
+        # stored term-vector offsets present in tokens/ (build option
+        # store_offsets — index/TermVectorOffsetInfo.java): fvh serves
+        # offsets from the forward index instead of re-analyzing
+        self.store_offsets: bool = bool(self.stats.get("store_offsets",
+                                                       False))
         # codec block size the postings were WRITTEN with — every kernel
         # decode must use it (a mismatch scrambles the delta-coded docids).
         # stats.json records it since round 5; older stats fall back to the
