@@ -62,6 +62,7 @@ from .tokenizers import (arabic_letter_tokenize, chinese_filter,
 __all__ = [
     "register", "LANG_CHAINS", "make_elision", "reverse_token",
     "position_filter", "edge_ngrams", "ngram_filter",
+    "make_compound_decomposer", "register_compound_analyzer",
 ]
 
 
@@ -241,6 +242,33 @@ def analyze_chinese(text: str):
     return _enumerate_pairs(chinese_filter(chinese_tokenize(text or "")))
 
 
+def _snowball_chain(stop, stem_fn):
+    """SnowballAnalyzer chain (contrib snowball/SnowballAnalyzer.java:76
+    tokenStream): StandardTokenizer → StandardFilter → LowerCase → Stop →
+    SnowballFilter. Stop lists are the snowball resource files the
+    reference ships (contrib resources snowball/*_stop.txt)."""
+    def chain(text: str):
+        out = []
+        for typ, raw, pos in _std_stream(text):
+            t = _standard_filter(typ, raw).lower()
+            if t in stop:
+                continue
+            out.append((stem_fn(t), pos))
+        return out
+    return chain
+
+
+def _make_nordic_chains():
+    from .nordic import (danish_stem, finnish_stem, norwegian_stem,
+                         swedish_stem)
+    return {
+        "danish": _snowball_chain(_sw.DANISH_STOP, danish_stem),
+        "norwegian": _snowball_chain(_sw.NORWEGIAN_STOP, norwegian_stem),
+        "swedish": _snowball_chain(_sw.SWEDISH_STOP, swedish_stem),
+        "finnish": _snowball_chain(_sw.FINNISH_STOP, finnish_stem),
+    }
+
+
 LANG_CHAINS = {
     "german": analyze_german,
     "french": analyze_french,
@@ -257,6 +285,7 @@ LANG_CHAINS = {
     "hindi": analyze_hindi,
     "cjk": analyze_cjk,
     "chinese": analyze_chinese,
+    **_make_nordic_chains(),
 }
 
 # ISO-639-1 lang-column codes → chain names (the documents/pages tables
@@ -267,6 +296,8 @@ LANG_CODES = {
     "tr": "turkish",
     "ru": "russian", "ar": "arabic", "fa": "persian", "hi": "hindi",
     "zh": "cjk", "ja": "cjk", "ko": "cjk", "en": "standard",
+    "da": "danish", "no": "norwegian", "nb": "norwegian",
+    "nn": "norwegian", "sv": "swedish", "fi": "finnish",
 }
 
 
@@ -285,6 +316,72 @@ def analyze_by_lang(text: str, lang: str | None = None):
 # utility filters (contrib fr/ElisionFilter, reverse/, position/, ngram/)
 # for make_chain composition
 # ---------------------------------------------------------------------------
+
+def make_compound_decomposer(dictionary, min_word_size: int = 5,
+                             min_subword_size: int = 2,
+                             max_subword_size: int = 15,
+                             only_longest_match: bool = False):
+    """DictionaryCompoundWordTokenFilter
+    (contrib/analyzers/.../compound/DictionaryCompoundWordTokenFilter.java
+    decomposeInternal:192-223 + CompoundWordTokenFilterBase.java): brute-
+    force Germanic compound splitting — the original token is always kept,
+    and every dictionary word found inside it is ADDED at the SAME
+    position (createToken sets positionIncrement 0,
+    CompoundWordTokenFilterBase.java:249), so "donaudampfschiff" also
+    matches queries for "schiff". Matching is lowercase; emitted subwords
+    slice the ORIGINAL buffer.
+
+    The reference's loop bounds are reproduced verbatim, including the
+    known quirk that subwords of length ``minSubwordSize - 1`` can match
+    (``for j = minSubwordSize - 1 ...``, fixed upstream only much later):
+    golden behavior, not an off-by-one here.
+
+    Returns a PAIRS filter: [(term, pos)] → [(term, pos)], composable
+    with any chain (wrap a chain like
+    ``lambda text: decomp(chain(text))``)."""
+    dic = {w.lower() for w in dictionary}
+
+    def decompose(pairs):
+        out = []
+        for term, pos in pairs:
+            out.append((term, pos))
+            n = len(term)
+            if n < min_word_size:
+                continue
+            low = term.lower()
+            for i in range(0, n - min_subword_size):
+                longest = None
+                for j in range(min_subword_size - 1, max_subword_size):
+                    if i + j > n:
+                        break
+                    if low[i:i + j] in dic:
+                        if only_longest_match:
+                            if longest is None or len(longest) < j:
+                                longest = term[i:i + j]
+                        else:
+                            out.append((term[i:i + j], pos))
+                if only_longest_match and longest is not None:
+                    out.append((longest, pos))
+        return out
+
+    return decompose
+
+
+def register_compound_analyzer(name: str, base: str, dictionary,
+                               **kw) -> None:
+    """Register ``name`` as ``base`` chain + dictionary compound
+    decomposition — usable as build_index(analyzer=name) or per-field."""
+    from ..analysis import positional_pairs_fn
+
+    base_fn = positional_pairs_fn(base)
+    decomp = make_compound_decomposer(dictionary, **kw)
+
+    def chain(text: str):
+        return decomp(base_fn(text))
+
+    POSITIONAL_ANALYZERS[name] = chain
+    ANALYZERS[name] = lambda text: [t for t, _ in chain(text)]
+
 
 _DEFAULT_ARTICLES = frozenset(("l", "m", "t", "qu", "n", "s", "j"))
 
