@@ -100,6 +100,29 @@ def _make_fuzzy(term: str, sim: str | None, boost: float) -> Fuzzy:
     return Fuzzy(term, min_similarity=f, boost=boost)
 
 
+# parse-call-scoped date resolution (QueryParser.setDateResolution,
+# QueryParser.java:709 getRangeQuery): when set, range endpoints that
+# parse as dates resolve to DateTools strings; set per parse_query call
+# (try/finally), never leaks across calls
+_DATE_RESOLUTION: list = [None]
+
+# the reference uses the locale's lenient SHORT DateFormat; this port
+# accepts ISO and the common US/EU slash forms — dates are otherwise
+# native columns here (SURVEY §2.2 NumericTokenStream rationale)
+_DATE_FORMATS = ("%Y-%m-%d", "%m/%d/%Y", "%d.%m.%Y", "%m/%d/%y")
+
+
+def _try_parse_date(s: str):
+    import datetime as dt
+
+    for f in _DATE_FORMATS:
+        try:
+            return dt.datetime.strptime(s, f)
+        except ValueError:
+            continue
+    return None
+
+
 def _range_query(tok: str) -> Query | None:
     m = re.match(
         r"^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])(?:\^(\d+(?:\.\d+)?))?$", tok)
@@ -107,8 +130,25 @@ def _range_query(tok: str) -> Query | None:
         return None
     lo = None if m.group(2) == "*" else m.group(2).lower()
     hi = None if m.group(3) == "*" else m.group(3).lower()
-    return TermRange(lo, hi, include_lo=m.group(1) == "[",
-                     include_hi=m.group(4) == "]",
+    include_lo, include_hi = m.group(1) == "[", m.group(4) == "]"
+    res = _DATE_RESOLUTION[0]
+    if res is not None and lo is not None and hi is not None:
+        # getRangeQuery: both endpoints date-parse → DateTools strings at
+        # the configured resolution; an INCLUSIVE upper bound covers the
+        # whole day (the reference sets 23:59:59.999 before resolving,
+        # QueryParser.java:723-733); parse failure falls through to plain
+        # terms (the reference swallows the exception the same way)
+        d1, d2 = _try_parse_date(lo), _try_parse_date(hi)
+        if d1 is not None and d2 is not None:
+            from .datetools import date_to_string
+
+            if include_hi:
+                d2 = d2.replace(hour=23, minute=59, second=59,
+                                microsecond=999000)
+            lo = date_to_string(d1, res)
+            hi = date_to_string(d2, res)
+    return TermRange(lo, hi, include_lo=include_lo,
+                     include_hi=include_hi,
                      boost=float(m.group(5) or 1.0))
 
 
@@ -378,10 +418,20 @@ def _parse_or(lx: _Lexer, analyzer: str, fields: tuple = (),
 
 def parse_query(s: str, analyzer: str = "standard",
                 analyzed_fields: tuple = (),
-                keyword_fields: tuple = KEYWORD_FIELDS) -> Query:
-    lx = _Lexer(s)
-    had_tokens = bool(lx.tokens)
-    q = _parse_or(lx, analyzer, analyzed_fields, keyword_fields)
+                keyword_fields: tuple = KEYWORD_FIELDS,
+                date_resolution: str | None = None) -> Query:
+    """``date_resolution`` ("year".."millisecond"): the
+    QueryParser.setDateResolution analog — range endpoints that parse as
+    dates resolve to DateTools index strings at that resolution
+    (QueryParser.java:709 getRangeQuery); None (default) keeps endpoints
+    as plain lowercased terms."""
+    _DATE_RESOLUTION[0] = date_resolution
+    try:
+        lx = _Lexer(s)
+        had_tokens = bool(lx.tokens)
+        q = _parse_or(lx, analyzer, analyzed_fields, keyword_fields)
+    finally:
+        _DATE_RESOLUTION[0] = None
     if q is None:
         # blank input → MatchAll (lenient); input that analyzed away entirely
         # (e.g. all stopwords) → empty boolean, matches nothing (reference
