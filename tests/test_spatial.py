@@ -259,15 +259,26 @@ def test_knn_box_pushes_to_parquet_scan(spark, tmp_path):
         .write.parquet(p)
     df = spark.read.parquet(p)
     out = knn_search(df, 20.0, 20.0, 10)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plan printer truncates metadata lists at
+    # spark.sql.maxMetadataStringLength (default 100 chars) — where the
+    # cut lands depends on rendered float digits, so raise it for a
+    # deterministic assertion and restore after
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "4096")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
     import re
     scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
-    # the plan printer truncates the PushedFilters list, so assert the box
-    # predicate via DataFilters (same filters, pre-pushdown form) plus the
-    # pushdown marker itself
     assert "PushedFilters: [" in scan, scan
-    assert re.search(r"lat#\d+ >= ", scan), scan
-    assert re.search(r"lat#\d+ <= ", scan), scan
+    pushed = scan.split("PushedFilters: [", 1)[1]
+    assert re.search(r"GreaterThanOrEqual\(lat,", pushed), scan
+    assert re.search(r"LessThanOrEqual\(lat,", pushed), scan
     got = [r["doc_id"] for r in out.collect()]
     want = [i for i, _ in sorted(
         ((i, arc_distance_miles_py(lat, lng, 20.0, 20.0))
