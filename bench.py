@@ -203,6 +203,33 @@ def main() -> None:
                if name.startswith("q")}
     batch_all_sec = min(rounds["batch_all"])
 
+    # --- 2b. driver-local serving (InstantiatedSearcher, round 5) ---------
+    # the contrib/instantiated analog: sub-RAM indexes serve search() with
+    # zero Spark jobs through the same kernel — measure the latency the
+    # distributed job floor hides. Falls back silently (inst_* absent) if
+    # the index outgrows the size guard at a larger BENCH_DOCS.
+    inst_stats = {}
+    try:
+        from lucene_spark.queries.instantiated import InstantiatedSearcher
+
+        inst = InstantiatedSearcher(IndexReader(spark, idx_dir))
+        for q in list(qnames.values())[:4]:
+            inst.search_local(q, k=10)  # warm load + parse caches
+        laps = []
+        for _ in range(N_ROUNDS):
+            for q in qnames.values():
+                t0 = time.time()
+                inst.search_local(q, k=10)
+                laps.append(time.time() - t0)
+        laps.sort()
+        inst_stats = {
+            "inst_p50_ms": round(laps[len(laps) // 2] * 1000, 2),
+            "inst_p95_ms": round(laps[int(len(laps) * 0.95)] * 1000, 2),
+            "inst_qps": round(len(laps) / sum(laps), 1),
+        }
+    except Exception as e:  # size guard or shape — the metric is optional
+        inst_stats = {"inst_skipped": type(e).__name__}
+
     # --- 3. pipeline operators over the sf_dir tables ----------------------
     import __spark_entry__ as entry
 
@@ -273,6 +300,7 @@ def main() -> None:
                                    if k.startswith("q")), 2),
         "batch_all_sec": round(batch_all_sec, 2),
         "batch_qps": round(len(REFERENCE_QUERIES) / batch_all_sec, 1),
+        **inst_stats,
         "detail": "BENCH_DETAIL.json",
     }
     detail = dict(out)
