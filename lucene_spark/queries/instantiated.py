@@ -87,10 +87,17 @@ class InstantiatedSearcher(Searcher):
                 base = pd.concat([base, side], ignore_index=True)
         if len(base) and committed:
             base = base[base["seg"].isin(list(committed))]
-        # per-segment row tables, exactly what each kernel UDF instance
-        # receives in the distributed plan
-        self._by_seg: dict[int, pd.DataFrame] = {
-            int(s): g.reset_index(drop=True)
+        # ONE persistent SegmentPostings per segment — the RAM-resident
+        # rewrite the reference's InstantiatedIndex actually is: its decode
+        # memos (_rowdec/_full) fill as queries touch terms and every later
+        # query reuses them, where the distributed kernel (one UDF call per
+        # query) re-decodes per query. This is what turns the per-query
+        # cost into pure scorer math after warmup.
+        from .kernel import SegmentPostings
+
+        bs = int(reader.block_size)
+        self._sp_by_seg: dict[int, SegmentPostings] = {
+            int(s): SegmentPostings(g.reset_index(drop=True), bs)
             for s, g in base.groupby("seg")} if len(base) else {}
         # stored-field fetch for hydrate — docid → (url, lang)
         dm = _read_hive_dir(os.path.join(reader.index_dir, "docmap"))
@@ -104,7 +111,7 @@ class InstantiatedSearcher(Searcher):
         _Delegate for shapes the local kernel doesn't serve; callers
         should use search(), which falls back transparently."""
         from .ast import ConstantScore, MatchAll, REWRITE_CONST_FILTER
-        from .kernel import Ctx, segment_topk
+        from .kernel import Ctx, eval_query
         from .planner import _MULTITERM, _residual_complement
 
         q = self.parse(query, lang=lang) if isinstance(query, str) else query
@@ -125,25 +132,28 @@ class InstantiatedSearcher(Searcher):
         ctx = Ctx(self.reader.N, self.reader.avgdl, dfs, k,
                   avgdl_fields=self.reader.avgdl_fields,
                   sim=self.similarity)
-        qset = set(terms)
-        bs = int(self.reader.block_size)
-        frames = []
-        for seg, pdf in self._by_seg.items():
-            rows = pdf[pdf["term"].isin(qset)
-                       | pdf["term"].str.startswith("\x00")]
-            if not len(rows):
-                continue
-            out = segment_topk(rows, q, ctx, bs)
-            if len(out):
-                frames.append(out)
-        if not frames:
+        # same math as kernel.segment_topk per segment (eval → tombstone
+        # subtract → per-seg bounded sort), then the global merge with the
+        # identical (score desc, docid asc) tie-break — against the
+        # PERSISTENT SegmentPostings, so decodes amortize across queries
+        all_ids: list[np.ndarray] = []
+        all_sc: list[np.ndarray] = []
+        for seg, sp in self._sp_by_seg.items():
+            ids, sc = eval_query(sp, ctx, q, top=True)
+            if sp.deleted is not None and ids.size:
+                keep = ~np.isin(ids, sp.deleted, assume_unique=False)
+                ids, sc = ids[keep], sc[keep]
+            if ids.size:
+                kk = min(k, ids.size)
+                order = np.lexsort((ids, -sc))[:kk]
+                all_ids.append(ids[order])
+                all_sc.append(sc[order])
+        if not all_ids:
             return []
-        allr = pd.concat(frames, ignore_index=True)
-        order = np.lexsort((allr["docid"].to_numpy(),
-                            -allr["score"].to_numpy()))[:k]
-        top = allr.iloc[order]
-        return [(int(d), float(s))
-                for d, s in zip(top["docid"], top["score"])]
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_sc)
+        order = np.lexsort((ids, -sc))[:k]
+        return [(int(d), float(s)) for d, s in zip(ids[order], sc[order])]
 
     def search(self, query, k: int = 10, hydrate: bool = False,
                lang: str | None = None):
