@@ -63,6 +63,7 @@ __all__ = [
     "register", "LANG_CHAINS", "make_elision", "reverse_token",
     "position_filter", "edge_ngrams", "ngram_filter",
     "make_compound_decomposer", "register_compound_analyzer",
+    "register_hyphenation_compound_analyzer",
 ]
 
 
@@ -375,6 +376,27 @@ def register_compound_analyzer(name: str, base: str, dictionary,
 
     base_fn = positional_pairs_fn(base)
     decomp = make_compound_decomposer(dictionary, **kw)
+
+    def chain(text: str):
+        return decomp(base_fn(text))
+
+    POSITIONAL_ANALYZERS[name] = chain
+    ANALYZERS[name] = lambda text: [t for t, _ in chain(text)]
+
+
+def register_hyphenation_compound_analyzer(name: str, base: str,
+                                           patterns, dictionary,
+                                           **kw) -> None:
+    """Hyphenation twin of register_compound_analyzer
+    (HyphenationCompoundWordTokenFilter — lang/hyphenation.py):
+    ``patterns`` is a HyphenationPatterns (parse_hyphenation_xml for FOP
+    pattern files) and subwords come from dictionary-checked substrings
+    between hyphenation points."""
+    from ..analysis import positional_pairs_fn
+    from .hyphenation import make_hyphenation_decomposer
+
+    base_fn = positional_pairs_fn(base)
+    decomp = make_hyphenation_decomposer(patterns, dictionary, **kw)
 
     def chain(text: str):
         return decomp(base_fn(text))
