@@ -2500,12 +2500,19 @@ _INST_CACHE: dict = {}
 def _inst_searcher(spark, sf_dir):
     """Cached InstantiatedSearcher over the contract index — driver-local
     serving (contrib/instantiated analog, queries/instantiated.py). The
-    cache keys on (appId, sf_dir) like the other per-session caches."""
+    cache key includes the index's stats.json mtime, so a fingerprint-
+    triggered rebuild of the underlying index (see _index_cache_fresh)
+    also evicts the RAM-resident copy instead of serving stale decodes."""
     from lucene_spark.queries.instantiated import InstantiatedSearcher
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    reader = _index(spark, sf_dir)
+    gen = os.path.getmtime(os.path.join(reader.index_dir, "stats.json"))
+    key = (spark.sparkContext.applicationId, sf_dir, gen)
     if key not in _INST_CACHE:
-        _INST_CACHE[key] = InstantiatedSearcher(_index(spark, sf_dir))
+        # drop superseded generations of the SAME sf_dir (stale decodes)
+        for k in [k for k in _INST_CACHE if k[1] == sf_dir]:
+            del _INST_CACHE[k]
+        _INST_CACHE[key] = InstantiatedSearcher(reader)
     return _INST_CACHE[key]
 
 
