@@ -2693,6 +2693,58 @@ def _q_geo_knn(spark, sf_dir):
                       .alias("dist_mi"))
 
 
+def _q_ft_similar(spark, sf_dir):
+    """SimilarityQueries.formSimilarQuery (contrib/queries/.../similar/
+    SimilarityQueries.java:82): the body's unique analyzed terms as a
+    SHOULD disjunction — dedup order is first occurrence, clause-cap
+    fail-safe. Body repeats terms to exercise the dedup."""
+    s = _searcher(spark, sf_dir)
+    q = s.form_similar_query("data spark data vector spark")
+    top = s.search(q, k=10, hydrate=True)
+    return (top.select(F.col("url").cast("long").alias("doc_id"),
+                       F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+# dictionary + reference loop bounds for the compound-split pipeline op
+# (compound/DictionaryCompoundWordTokenFilter.java decomposeInternal:192-223
+# — including the j-from-minSubwordSize-1 quirk, so subwords of length
+# minsub-1 CAN match; lang/__init__.make_compound_decomposer is the
+# per-token twin, pinned by the reference's own SE goldens)
+_COMPOUND_DICT = ("win", "dow", "able", "tab", "ream", "lum", "ter",
+                  "row")
+_COMPOUND_MINW, _COMPOUND_MINSUB, _COMPOUND_MAXSUB = 5, 2, 15
+
+
+def _q_text_compound_split(spark, sf_dir):
+    """Corpus-scale compound decomposition: for every whitespace token of
+    length >= minWordSize, count the dictionary subwords found at each
+    start position (the reference's brute-force scan) — restated as pure
+    JVM higher-order functions (explode -> per-(token, word) filtered
+    start-position sequence), zero Python on the hot path. Output:
+    (doc_id, subword, n) — per-doc counts of emitted subword tokens."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("doc_id", F.explode(F.split("text", " "))
+                        .alias("tok"))
+            .where(F.length("tok") >= _COMPOUND_MINW))
+    w_arr = F.array(*[F.lit(w) for w in _COMPOUND_DICT])
+    lo, hi = _COMPOUND_MINSUB - 1, _COMPOUND_MAXSUB - 1
+    n_tok, n_w = F.length("tok"), F.length("w")
+    starts = F.sequence(F.lit(0), F.length("tok") - _COMPOUND_MINSUB - 1)
+    matches = F.size(F.filter(
+        starts,
+        lambda i: (i + F.length("w") <= F.length("tok"))
+        & (F.lower(F.col("tok")).substr(i + 1, F.length("w"))
+           == F.col("w"))))
+    return (toks.select("doc_id", "tok", F.explode(w_arr).alias("w"))
+            .where(n_w.between(lo, hi) & (n_tok >= _COMPOUND_MINSUB + 1))
+            .withColumn("m", matches)
+            .where(F.col("m") > 0)
+            .groupBy("doc_id", F.col("w").alias("subword"))
+            .agg(F.sum("m").cast("long").alias("n"))
+            .orderBy("doc_id", "subword"))
+
+
 def _q_geo_distance_join(spark, sf_dir):
     """All doc pairs within 500 miles via the bounded grid-cell equality
     join (CartesianShapeFilter analog) + exact verify — never a cross
@@ -2775,6 +2827,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_inst_term": _ft_inst("join"),
         "ft_inst_bool": _ft_inst("data AND spark"),
         "ft_inst_phrase": _ft_inst('"batch batch"'),
+        # round 5: SimilarityQueries.formSimilarQuery + corpus-scale
+        # dictionary compound decomposition (JVM higher-order functions)
+        "ft_similar": _q_ft_similar,
+        "text_compound_split": _q_text_compound_split,
     }
 
 
@@ -3646,6 +3702,29 @@ def extra_oracle_sql() -> dict[str, str]:
         "ft_inst_bool": _sql_sum(["data", "spark"],
                                  having="HAVING count(*) = 2"),
         "ft_inst_phrase": _sql_phrase("batch", "batch"),
+        # formSimilarQuery("data spark data vector spark") dedups to the
+        # same three-term disjunction ft_bool_or scores
+        "ft_similar": _sql_sum(["data", "spark", "vector"]),
+        "text_compound_split": f"""WITH
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+d(w) AS (VALUES {", ".join(f"('{w}')" for w in _COMPOUND_DICT)}),
+m AS (
+  SELECT t.doc_id, d.w,
+         count(*) AS hits
+  FROM toks t
+  JOIN d ON length(d.w) BETWEEN {_COMPOUND_MINSUB - 1}
+                            AND {_COMPOUND_MAXSUB - 1},
+       LATERAL (SELECT unnest(generate_series(
+                  0, length(t.tok) - {_COMPOUND_MINSUB} - 1)) AS i) g
+  WHERE length(t.tok) >= {_COMPOUND_MINW}
+    AND g.i + length(d.w) <= length(t.tok)
+    AND substr(lower(t.tok), g.i + 1, length(d.w)) = d.w
+  GROUP BY t.doc_id, d.w
+)
+SELECT doc_id, w AS subword, CAST(hits AS BIGINT) AS n FROM m
+ORDER BY doc_id, subword""",
         # quality harness: ranking restated from the shared BM25 CTE, stats
         # from the QualityStats rules (P@n = |rel in first n|/n covers the
         # reference's beyond-list scaling; MRR cutoff 5; AvP over maxGood)

@@ -1202,6 +1202,28 @@ class Searcher:
         return (out.where(F.col("docid") != docid)
                 .orderBy(F.desc("score"), F.asc("docid")).limit(k))
 
+    def form_similar_query(self, body: str, stop=None) -> Bool:
+        """SimilarityQueries.formSimilarQuery
+        (contrib/queries/.../similar/SimilarityQueries.java:82): analyze
+        ``body`` with the index's analyzer, keep each unique term once in
+        first-occurrence order (optional stop set skipped), OR them as
+        SHOULD clauses; at the clause cap, keep what fits (the
+        reference's TooManyClauses fail-safe, :106-110)."""
+        from .parser import _analyze_pairs
+
+        seen: set[str] = set()
+        clauses: list[Term] = []
+        for t, _p in _analyze_pairs(body or "", self.reader.analyzer):
+            if stop is not None and t in stop:
+                continue
+            if t in seen:
+                continue
+            seen.add(t)
+            if len(clauses) >= MAX_CLAUSES:
+                break  # fail-safe: return what we have
+            clauses.append(Term(t))
+        return Bool(should=clauses)
+
     # ------------------------------------------------------------------ #
     def _hydrate(self, topk: DataFrame) -> DataFrame:
         """Join url/lang back — broadcast the k-row side into the docmap scan
