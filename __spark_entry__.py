@@ -69,21 +69,28 @@ _IDX_CACHE = os.environ.get("LUCENE_SPARK_IDX_CACHE", "/tmp/lucene_spark_entry_i
 # ---------------------------------------------------------------------------
 
 
+def _index_cache_src_matches(d: str, sf_dir: str) -> bool:
+    """Fingerprint stamped for THIS corpus — the partial-build resume
+    predicate (the stamp lands when src/ materializes, before the build,
+    so an interrupted build keeps its committed segments instead of
+    being wiped on the next open)."""
+    fp_path = os.path.join(d, "src_fingerprint.json")
+    if not os.path.exists(fp_path):
+        return False
+    with open(fp_path) as f:
+        return json.load(f).get("fingerprint") == _docs_fingerprint(sf_dir)
+
+
 def _index_cache_fresh(d: str, sf_dir: str) -> bool:
     """Cache validity = built AND built from the CURRENT documents table.
     The dedup artifacts gained source-fingerprint validation in round 4
     for exactly this failure mode (stale artifacts silently served after
     the corpus was rewritten in place); the contract index cache — which
     feeds every ft_* entry — gets the same gate: the fingerprint of the
-    source parquet layout is recorded at build time and re-checked at
-    every open; a mismatch evicts and rebuilds."""
-    if not os.path.exists(os.path.join(d, "stats.json")):
-        return False
-    fp_path = os.path.join(d, "src_fingerprint.json")
-    if not os.path.exists(fp_path):
-        return False
-    with open(fp_path) as f:
-        return json.load(f).get("fingerprint") == _docs_fingerprint(sf_dir)
+    source parquet layout is recorded when src/ is written and re-checked
+    at every open; a mismatch evicts and rebuilds."""
+    return (os.path.exists(os.path.join(d, "stats.json"))
+            and _index_cache_src_matches(d, sf_dir))
 
 
 def _stamp_index_cache(d: str, sf_dir: str) -> None:
@@ -94,27 +101,38 @@ def _stamp_index_cache(d: str, sf_dir: str) -> None:
 
 
 def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
-    """Build-once (resumable) whitespace-analyzed index over documents."""
+    """Build-once (resumable) whitespace-analyzed index over documents.
+    The source fingerprint is stamped when src/ is first materialized, so
+    a crash mid-build keeps its committed segments (the resume path) —
+    only a CHANGED corpus evicts the partial build."""
     import shutil
 
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_IDX_CACHE, tag)
     if not _index_cache_fresh(d, sf_dir):
-        shutil.rmtree(d, ignore_errors=True)
+        if not _index_cache_src_matches(d, sf_dir):
+            shutil.rmtree(d, ignore_errors=True)  # stale/foreign corpus
         src = os.path.join(d, "src")
         # docid order must equal doc_id order for rank-identical tie-breaks:
-        # range-partition + sort, and the build plan takes files path-sorted
-        (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            .select(F.col("doc_id").cast("string").alias("url"), "text", "lang",
-                    # derived title: first 3 body words — a second ANALYZED
-                    # field with its own namespace + per-field norms
-                    F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
-                    .alias("title"))
-            .repartitionByRange(4, F.col("url").cast("long"))
-            .sortWithinPartitions(F.col("url").cast("long"))
-            .write.mode("overwrite").parquet(src)
-        )
+        # range-partition + sort, and the build plan takes files path-sorted.
+        # Skip the rewrite when a matching src already exists (a partial
+        # build resuming) — rewriting it would invalidate the build plan's
+        # file layout mid-resume.
+        if not _index_cache_src_matches(d, sf_dir):
+            (
+                spark.read.parquet(
+                    os.path.join(sf_dir, "documents.parquet"))
+                .select(F.col("doc_id").cast("string").alias("url"),
+                        "text", "lang",
+                        # derived title: first 3 body words — a second
+                        # ANALYZED field with its own namespace + norms
+                        F.concat_ws(" ", F.slice(F.split("text", " "),
+                                                 1, 3)).alias("title"))
+                .repartitionByRange(4, F.col("url").cast("long"))
+                .sortWithinPartitions(F.col("url").cast("long"))
+                .write.mode("overwrite").parquet(src)
+            )
+            _stamp_index_cache(d, sf_dir)  # resume-safe: stamp pre-build
         build_index(spark, src, d, analyzer="whitespace",
                     target_docs_per_seg=2000, store_positions=True,
                     keyword_fields=("lang",), analyzed_fields=("title",))
@@ -2506,7 +2524,9 @@ def _inst_searcher(spark, sf_dir):
     from lucene_spark.queries.instantiated import InstantiatedSearcher
 
     reader = _index(spark, sf_dir)
-    gen = os.path.getmtime(os.path.join(reader.index_dir, "stats.json"))
+    # nanosecond mtime: seconds-granularity getmtime could collide across
+    # a same-second rebuild and serve stale decodes
+    gen = os.stat(os.path.join(reader.index_dir, "stats.json")).st_mtime_ns
     key = (spark.sparkContext.applicationId, sf_dir, gen)
     if key not in _INST_CACHE:
         # drop superseded generations of the SAME sf_dir (stale decodes)

@@ -163,7 +163,9 @@ def _search_phrase(root: _Node, cand: list) -> _Node | None:
 # ---------------------------------------------------------------------------
 
 _RE_WS = re.compile(r"\S+")
-_RE_LETTERS = re.compile(r"[A-Za-z]+")
+# exact simple_tokenize pattern (analysis.py _RE_LETTER_RUN) — display-time
+# offsets must tokenize identically to index-time terms
+_RE_LETTERS = re.compile(r"[^\W\d_]+")
 
 
 def tokenize_with_offsets(text: str, analyzer: str = "whitespace"):

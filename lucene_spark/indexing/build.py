@@ -101,7 +101,10 @@ _VECTOR_ANALYZERS = {"whitespace", "simple"}
 
 
 _WS_TOKEN_RE = re.compile(r"\S+")
-_LETTER_TOKEN_RE = re.compile(r"[A-Za-z]+")
+# MUST be the exact simple_tokenize pattern (analysis.py _RE_LETTER_RUN):
+# an ASCII-only offset tokenizer would silently index different terms
+# than the query-time analyzer for non-ASCII letters
+_LETTER_TOKEN_RE = re.compile(r"[^\W\d_]+")
 
 
 def _invert_batch_vectorized(texts, kind: str, with_offsets: bool = False):
@@ -948,7 +951,8 @@ def _build_chunk(spark, plan: BuildPlan, segs: list[int], out_dir: str,
 
         tp = time.time()
         write_norms(spark, out_dir,
-                    tok.select("seg", "docid", "boost"), mode="overwrite")
+                    tok.select("seg", "docid", "boost"), mode="overwrite",
+                    block_size=block_size)
         phases["norms_ms"] = int((time.time() - tp) * 1000)
 
     tp = time.time()

@@ -60,11 +60,19 @@ def _b315_col():
 
 
 def write_norms(spark: SparkSession, index_dir: str, docs: DataFrame,
-                mode: str = "overwrite") -> None:
+                mode: str = "overwrite",
+                block_size: int | None = None) -> None:
     """Write the norms side-car for DataFrame(seg, docid, boost). Rows with
     boost == 1.0 are dropped (the default needs no byte); the rest encode
     through the same streaming block encoder as postings/tombstones, with
-    tf = byte315(boost) (index/NormsWriter.java:61's quantization)."""
+    tf = byte315(boost) (index/NormsWriter.java:61's quantization).
+
+    ``block_size``: the build's codec size. Callers INSIDE a fresh build
+    (_build_chunk) must pass it explicitly — the chunk's manifests are
+    written after the norms, so the manifest-config fallback would
+    silently encode with the module default and scramble decodes for a
+    non-default build. Maintenance callers (rebuild_norms_for_segs) may
+    omit it; their manifests exist."""
     crafted = (
         docs.where(F.col("boost").isNotNull() & (F.col("boost") != 1.0))
         .select(
@@ -78,10 +86,11 @@ def write_norms(spark: SparkSession, index_dir: str, docs: DataFrame,
         .repartition("seg")
         .sortWithinPartitions("seg", "term", "docid")
     )
-    from .build import index_block_size
+    if block_size is None:
+        from .build import index_block_size
 
-    (crafted.mapInPandas(_encode_stream(1 << 62, index_block_size(index_dir),
-                                        False),
+        block_size = index_block_size(index_dir)
+    (crafted.mapInPandas(_encode_stream(1 << 62, block_size, False),
                          schema=POSTINGS_SCHEMA)
         .write.mode(mode)
         .option("partitionOverwriteMode", "dynamic").partitionBy("seg")

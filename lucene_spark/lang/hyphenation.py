@@ -105,8 +105,11 @@ class HyphenationPatterns:
             return None
         norm = "".join(letters)
         if norm in self.exceptions:
+            # FOP's exception branch uses a STRICT upper bound (j <
+            # len - pushCharCount, HyphenationTree.java:374) where the
+            # algorithm branch uses <= — reproduced as-is
             pts = [p for p in self.exceptions[norm]
-                   if remain <= p <= n - push]
+                   if remain <= p < n - push]
         else:
             w = "." + norm + "."
             vals = [0] * (n + 1)  # gap j = before norm[j]
@@ -122,7 +125,11 @@ class HyphenationPatterns:
                    if (vals[j] & 1) and remain <= j <= n - push]
         if not pts:
             return None
-        return [0] + [p + ignore_lead for p in pts] + [n + ignore_lead]
+        # synthetic end point is the bare LETTER count (FOP
+        # HyphenationTree.java:407 res[k+1]=len — no iIgnoreAtBeginning
+        # offset, unlike the interior points), reproduced as-is; for
+        # tokens without leading non-letters the two agree
+        return [0] + [p + ignore_lead for p in pts] + [n]
 
 
 _TAG = re.compile(r"<(classes|patterns|exceptions)>(.*?)</\1>", re.S)

@@ -334,90 +334,101 @@ SPANISH_STOP = frozenset((
 ))
 
 
-# snowball danish_stop.txt (contrib resources, BSD) — 94 entries
+# snowball danish_stop.txt (contrib resources, BSD; whitespace-split like the
+# reference's snowball word-set loader — multiple words per line) — 94 entries
 DANISH_STOP = frozenset((
-    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "på",
-    "de", "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
-    "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun", "nu",
-    "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op", "man",
-    "hans", "hvor", "eller", "hvad", "skal", "selv", "her", "alle", "vil",
-    "blev", "kunne", "ind", "når", "være", "dog", "noget", "ville", "jo",
-    "deres", "efter", "ned", "skulle", "denne", "end", "dette", "mit",
-    "også", "under", "have", "dig", "anden", "hende", "mine", "alt",
-    "meget", "sit", "sine", "vor", "mod", "disse", "hvis", "din", "nogle",
-    "hos", "blive", "mange", "ad", "bliver", "hendes", "været", "thi",
-    "jer", "sådan",
+    "ad", "af", "alle", "alt", "anden", "at", "blev", "blive", "bliver",
+    "da", "de", "dem", "den", "denne", "der", "deres", "det", "dette",
+    "dig", "din", "disse", "dog", "du", "efter", "eller", "en", "end",
+    "er", "et", "for", "fra", "ham", "han", "hans", "har", "havde", "have",
+    "hende", "hendes", "her", "hos", "hun", "hvad", "hvis", "hvor", "i",
+    "ikke", "ind", "jeg", "jer", "jo", "kunne", "man", "mange", "med",
+    "meget", "men", "mig", "min", "mine", "mit", "mod", "ned", "noget",
+    "nogle", "nu", "når", "og", "også", "om", "op", "os", "over", "på",
+    "selv", "sig", "sin", "sine", "sit", "skal", "skulle", "som", "sådan",
+    "thi", "til", "ud", "under", "var", "vi", "vil", "ville", "vor",
+    "være", "været",
 ))
 
 
-# snowball norwegian_stop.txt (contrib resources, BSD) — 176 entries
+# snowball norwegian_stop.txt (contrib resources, BSD; whitespace-split like the
+# reference's snowball word-set loader — multiple words per line) — 172 entries
 NORWEGIAN_STOP = frozenset((
-    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
-    "på", "de", "med", "han", "av", "ikke", "ikkje", "der", "så", "var",
-    "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
-    "hadde", "hun", "nå", "over", "da", "ved", "fra", "du", "ut", "sin",
-    "dem", "oss", "opp", "man", "kan", "hans", "hvor", "eller", "hva",
-    "skal", "selv", "sjøl", "her", "alle", "vil", "bli", "ble", "blei",
-    "blitt", "kunne", "inn", "når", "være", "kom", "noen", "noe", "ville",
-    "dere", "som", "deres", "kun", "ja", "etter", "ned", "skulle", "denne",
-    "for", "deg", "si", "sine", "sitt", "mot", "å", "meget", "hvorfor",
-    "dette", "disse", "uten", "hvordan", "ingen", "din", "ditt", "blir",
-    "samme", "hvilken", "hvilke", "sånn", "inni", "mellom", "vår", "hver",
-    "hvem", "vors", "hvis", "både", "bare", "enn", "fordi", "før", "mange",
-    "også", "slik", "vært", "være", "båe", "begge", "siden", "dykk",
-    "dykkar", "dei", "deira", "deires", "deim", "di", "då", "eg", "ein",
-    "eit", "eitt", "elles", "honom", "hjå", "ho", "hoe", "henne", "hennar",
-    "hennes", "hoss", "hossen", "ikkje", "ingi", "inkje", "korleis",
-    "korso", "kva", "kvar", "kvarhelst", "kven", "kvi", "kvifor", "me",
-    "medan", "mi", "mine", "mykje", "no", "nokon", "noka", "nokor", "noko",
-    "nokre", "si", "sia", "sidan", "so", "somt", "somme", "um", "upp",
-    "vere", "vore", "verte", "vort", "varte", "vart",
+    "alle", "at", "av", "bare", "begge", "ble", "blei", "bli", "blir",
+    "blitt", "både", "båe", "da", "de", "deg", "dei", "deim", "deira",
+    "deires", "dem", "den", "denne", "der", "dere", "deres", "det",
+    "dette", "di", "din", "disse", "ditt", "du", "dykk", "dykkar", "då",
+    "eg", "ein", "eit", "eitt", "eller", "elles", "en", "enn", "er", "et",
+    "ett", "etter", "for", "fordi", "fra", "før", "ha", "hadde", "han",
+    "hans", "har", "hennar", "henne", "hennes", "her", "hjå", "ho", "hoe",
+    "honom", "hoss", "hossen", "hun", "hva", "hvem", "hver", "hvilke",
+    "hvilken", "hvis", "hvor", "hvordan", "hvorfor", "i", "ikke", "ikkje",
+    "ingen", "ingi", "inkje", "inn", "inni", "ja", "jeg", "kan", "kom",
+    "korleis", "korso", "kun", "kunne", "kva", "kvar", "kvarhelst", "kven",
+    "kvi", "kvifor", "man", "mange", "me", "med", "medan", "meg", "meget",
+    "mellom", "men", "mi", "min", "mine", "mitt", "mot", "mykje", "ned",
+    "no", "noe", "noen", "noka", "noko", "nokon", "nokor", "nokre", "nå",
+    "når", "og", "også", "om", "opp", "oss", "over", "på", "samme", "seg",
+    "selv", "si", "sia", "sidan", "siden", "sin", "sine", "sitt", "sjøl",
+    "skal", "skulle", "slik", "so", "som", "somme", "somt", "så", "sånn",
+    "til", "um", "upp", "ut", "uten", "var", "vart", "varte", "ved",
+    "vere", "verte", "vi", "vil", "ville", "vore", "vors", "vort", "vår",
+    "være", "vært", "å",
 ))
 
 
-# snowball swedish_stop.txt (contrib resources, BSD) — 114 entries
+# snowball swedish_stop.txt (contrib resources, BSD; whitespace-split like the
+# reference's snowball word-set loader — multiple words per line) — 114 entries
 SWEDISH_STOP = frozenset((
-    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
-    "den", "med", "var", "sig", "för", "så", "till", "är", "men", "ett",
-    "om", "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin",
-    "nu", "har", "inte", "hans", "honom", "skulle", "hennes", "där", "min",
-    "man", "ej", "vid", "kunde", "något", "från", "ut", "när", "efter",
-    "upp", "vi", "dem", "vara", "vad", "över", "än", "dig", "kan", "sina",
-    "här", "ha", "mot", "alla", "under", "någon", "eller", "allt",
-    "mycket", "sedan", "ju", "denna", "själv", "detta", "åt", "utan",
-    "varit", "hur", "ingen", "mitt", "ni", "bli", "blev", "oss", "din",
-    "dessa", "några", "deras", "blir", "mina", "samma", "vilken", "er",
-    "sådan", "vår", "blivit", "dess", "inom", "mellan", "sådant", "varför",
-    "varje", "vilka", "ditt", "vem", "vilket", "sitta", "sådana", "vart",
-    "dina", "vars", "vårt", "våra", "ert", "era", "vilkas",
+    "alla", "allt", "att", "av", "blev", "bli", "blir", "blivit", "de",
+    "dem", "den", "denna", "deras", "dess", "dessa", "det", "detta", "dig",
+    "din", "dina", "ditt", "du", "där", "då", "efter", "ej", "eller", "en",
+    "er", "era", "ert", "ett", "från", "för", "ha", "hade", "han", "hans",
+    "har", "henne", "hennes", "hon", "honom", "hur", "här", "i", "icke",
+    "ingen", "inom", "inte", "jag", "ju", "kan", "kunde", "man", "med",
+    "mellan", "men", "mig", "min", "mina", "mitt", "mot", "mycket", "ni",
+    "nu", "när", "någon", "något", "några", "och", "om", "oss", "på",
+    "samma", "sedan", "sig", "sin", "sina", "sitta", "själv", "skulle",
+    "som", "så", "sådan", "sådana", "sådant", "till", "under", "upp", "ut",
+    "utan", "vad", "var", "vara", "varför", "varit", "varje", "vars",
+    "vart", "vem", "vi", "vid", "vilka", "vilkas", "vilken", "vilket",
+    "vår", "våra", "vårt", "än", "är", "åt", "över",
 ))
 
 
-# snowball finnish_stop.txt (contrib resources, BSD) — 68 entries
+# snowball finnish_stop.txt (contrib resources, BSD; whitespace-split like the
+# reference's snowball word-set loader — multiple words per line) — 229 entries
 FINNISH_STOP = frozenset((
-    "olla", "olen", "olet", "on", "olemme", "olette", "ovat", "ole", "oli",
-    "olisi", "olisit", "olisin", "olisimme", "olisitte", "olisivat",
-    "olit", "olin", "olimme", "olitte", "olivat", "ollut", "olleet", "en",
-    "et", "ei", "emme", "ette", "eivät",
-    "minä   minun  minut  minua  minussa minusta minuun minulla minulta minulle",
-    "sinä   sinun  sinut  sinua  sinussa sinusta sinuun sinulla sinulta sinulle",
-    "hän    hänen  hänet  häntä  hänessä hänestä häneen hänellä häneltä hänelle",
-    "me     meidän meidät meitä  meissä  meistä  meihin meillä  meiltä  meille",
-    "te     teidän teidät teitä  teissä  teistä  teihin teillä  teiltä  teille",
-    "he     heidän heidät heitä  heissä  heistä  heihin heillä  heiltä  heille",
-    "tämä   tämän         tätä   tässä   tästä   tähän  tallä   tältä   tälle   tänä   täksi",
-    "tuo    tuon          tuotä  tuossa  tuosta  tuohon tuolla  tuolta  tuolle  tuona  tuoksi",
-    "se     sen           sitä   siinä   siitä   siihen sillä   siltä   sille   sinä   siksi",
-    "nämä   näiden        näitä  näissä  näistä  näihin näillä  näiltä  näille  näinä  näiksi",
-    "nuo    noiden        noita  noissa  noista  noihin noilla  noilta  noille  noina  noiksi",
-    "ne     niiden        niitä  niissä  niistä  niihin niillä  niiltä  niille  niinä  niiksi",
-    "kuka   kenen kenet   ketä   kenessä kenestä keneen kenellä keneltä kenelle kenenä keneksi",
-    "ketkä  keiden ketkä  keitä  keissä  keistä  keihin keillä  keiltä  keille  keinä  keiksi",
-    "mikä   minkä minkä   mitä   missä   mistä   mihin  millä   miltä   mille   minä   miksi",
-    "mitkä",
-    "joka   jonka         jota   jossa   josta   johon  jolla   jolta   jolle   jona   joksi",
-    "jotka  joiden        joita  joissa  joista  joihin joilla  joilta  joille  joina  joiksi",
-    "että", "ja", "jos", "koska", "kuin", "mutta", "niin", "sekä", "sillä",
-    "tai", "vaan", "vai", "vaikka", "kanssa", "mukaan", "noin", "poikki",
-    "yli", "kun", "niin", "nyt", "itse",
+    "ei", "eivät", "emme", "en", "et", "ette", "että", "he", "heidän",
+    "heidät", "heihin", "heille", "heillä", "heiltä", "heissä", "heistä",
+    "heitä", "hän", "häneen", "hänelle", "hänellä", "häneltä", "hänen",
+    "hänessä", "hänestä", "hänet", "häntä", "itse", "ja", "johon",
+    "joiden", "joihin", "joiksi", "joilla", "joille", "joilta", "joina",
+    "joissa", "joista", "joita", "joka", "joksi", "jolla", "jolle",
+    "jolta", "jona", "jonka", "jos", "jossa", "josta", "jota", "jotka",
+    "kanssa", "keiden", "keihin", "keiksi", "keille", "keillä", "keiltä",
+    "keinä", "keissä", "keistä", "keitä", "keneen", "keneksi", "kenelle",
+    "kenellä", "keneltä", "kenen", "kenenä", "kenessä", "kenestä", "kenet",
+    "ketkä", "ketä", "koska", "kuin", "kuka", "kun", "me", "meidän",
+    "meidät", "meihin", "meille", "meillä", "meiltä", "meissä", "meistä",
+    "meitä", "mihin", "miksi", "mikä", "mille", "millä", "miltä", "minkä",
+    "minua", "minulla", "minulle", "minulta", "minun", "minussa",
+    "minusta", "minut", "minuun", "minä", "missä", "mistä", "mitkä",
+    "mitä", "mukaan", "mutta", "ne", "niiden", "niihin", "niiksi",
+    "niille", "niillä", "niiltä", "niin", "niinä", "niissä", "niistä",
+    "niitä", "noiden", "noihin", "noiksi", "noilla", "noille", "noilta",
+    "noin", "noina", "noissa", "noista", "noita", "nuo", "nyt", "näiden",
+    "näihin", "näiksi", "näille", "näillä", "näiltä", "näinä", "näissä",
+    "näistä", "näitä", "nämä", "ole", "olemme", "olen", "olet", "olette",
+    "oli", "olimme", "olin", "olisi", "olisimme", "olisin", "olisit",
+    "olisitte", "olisivat", "olit", "olitte", "olivat", "olla", "olleet",
+    "ollut", "on", "ovat", "poikki", "se", "sekä", "sen", "siihen",
+    "siinä", "siitä", "siksi", "sille", "sillä", "siltä", "sinua",
+    "sinulla", "sinulle", "sinulta", "sinun", "sinussa", "sinusta",
+    "sinut", "sinuun", "sinä", "sitä", "tai", "tallä", "te", "teidän",
+    "teidät", "teihin", "teille", "teillä", "teiltä", "teissä", "teistä",
+    "teitä", "tuo", "tuohon", "tuoksi", "tuolla", "tuolle", "tuolta",
+    "tuon", "tuona", "tuossa", "tuosta", "tuotä", "tähän", "täksi",
+    "tälle", "tältä", "tämä", "tämän", "tänä", "tässä", "tästä", "tätä",
+    "vaan", "vai", "vaikka", "yli",
 ))

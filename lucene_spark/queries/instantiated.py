@@ -77,7 +77,12 @@ class InstantiatedSearcher(Searcher):
             raise IndexTooLargeError(
                 "term dictionary exceeds the RAM-dict guard; driver "
                 "serving needs zero-job df lookups")
-        committed = set(reader._committed or [])
+        # reader._committed is the SNAPSHOT semantics: a list (possibly
+        # empty — nothing committed, serve nothing) or None (pre-manifest
+        # layout — read everything). `if committed:` would wrongly skip the
+        # filter for the empty-list case and score uncommitted partitions
+        # the distributed reader hides.
+        committed = reader._committed
         base = _read_hive_dir(os.path.join(reader.index_dir, "postings"))
         if base is None:
             base = pd.DataFrame()
@@ -85,8 +90,8 @@ class InstantiatedSearcher(Searcher):
             side = _read_hive_dir(os.path.join(reader.index_dir, sub))
             if side is not None and len(side):
                 base = pd.concat([base, side], ignore_index=True)
-        if len(base) and committed:
-            base = base[base["seg"].isin(list(committed))]
+        if len(base) and committed is not None:
+            base = base[base["seg"].isin([int(s) for s in committed])]
         # ONE persistent SegmentPostings per segment — the RAM-resident
         # rewrite the reference's InstantiatedIndex actually is: its decode
         # memos (_rowdec/_full) fill as queries touch terms and every later
@@ -99,9 +104,14 @@ class InstantiatedSearcher(Searcher):
         self._sp_by_seg: dict[int, SegmentPostings] = {
             int(s): SegmentPostings(g.reset_index(drop=True), bs)
             for s, g in base.groupby("seg")} if len(base) else {}
-        # stored-field fetch for hydrate — docid → (url, lang)
+        # stored-field fetch for hydrate — docid → (url, lang). Scoped to
+        # the committed snapshot like the postings: retained compacted
+        # source partitions (commits.py) would otherwise duplicate docids
+        # and break the per-docid lookup. Indexed ONCE here, not per call.
         dm = _read_hive_dir(os.path.join(reader.index_dir, "docmap"))
-        self._docmap = (dm[["docid", "url", "lang"]]
+        if dm is not None and committed is not None:
+            dm = dm[dm["seg"].isin([int(s) for s in committed])]
+        self._docmap = (dm[["docid", "url", "lang"]].set_index("docid")
                         if dm is not None else None)
 
     # ------------------------------------------------------------------ #
@@ -163,7 +173,7 @@ class InstantiatedSearcher(Searcher):
             return super().search(query, k, hydrate=hydrate, lang=lang)
         spark = self.reader.spark
         if hydrate and self._docmap is not None:
-            dm = self._docmap.set_index("docid")
+            dm = self._docmap
             data = [(d, s,
                      dm["url"].get(d), dm["lang"].get(d))
                     for d, s in rows]

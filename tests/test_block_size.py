@@ -119,3 +119,38 @@ def test_addindexes_empty_dest_adopts_and_queries(spark, odd_index,
     all_docs = docs + [(len(docs) + i, t)
                        for i, (_, t) in enumerate(docs_b)]
     _assert_rank_identity(spark, merged, all_docs)
+
+
+def test_norms_encode_with_build_block_size(spark, tmp_path):
+    """Round-5 review regression: on a FRESH build the chunk writes norms
+    BEFORE its manifests exist, so write_norms must take the build's
+    block_size explicitly — the manifest-config fallback would encode
+    boosts with the module default and scramble their docids."""
+    import pandas as pd
+
+    pages = str(tmp_path / "pages")
+    os.makedirs(pages)
+    pdf = pages_pdf(120)
+    pdf["b"] = [2.0 if i % 7 == 0 else 1.0 for i in range(len(pdf))]
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(pages, "part-0000.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, target_docs_per_seg=50,
+                block_size=ODD_BS, boost_col="b")
+    merge_index(spark, idx)
+    searcher = Searcher(IndexReader(spark, idx))
+    # boosted docs (doc_id % 7 == 0) must outrank unboosted ties — with a
+    # scrambled norms side-car the 2x boosts land on the wrong docs
+    got = searcher.search(Term("seven"), k=200).collect()
+    scores = {int(r["docid"]): float(r["score"]) for r in got}
+    boosted = [d for d in scores if d % 7 == 0]
+    assert boosted, "fixture must contain boosted matches"
+    from lucene_spark.oracle import build_oracle_index, oracle_search
+
+    oracle = build_oracle_index(
+        [(i, t) for i, t in enumerate(pdf["text"].tolist())],
+        boosts={i: 2.0 for i in range(len(pdf)) if i % 7 == 0})
+    want = dict(oracle_search(oracle, Term("seven"), k=200))
+    for d, s in scores.items():
+        assert s == pytest.approx(want[d], rel=1e-9), d

@@ -90,3 +90,35 @@ def test_standard_analyzer_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="split-style"):
         build_index(spark, "/nonexistent", str(tmp_path / "x"),
                     analyzer="standard", store_offsets=True)
+
+
+def test_simple_offsets_match_unicode_tokenizer(spark, tmp_path):
+    """Round-5 review regression: the 'simple' offset tokenizer must be
+    simple_tokenize's Unicode letter-run pattern, not ASCII — accented
+    terms index whole with correct offsets."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    rows = [("u0", dt.datetime(2020, 1, 1), None,
+             "das Café an der Straße", "de")]
+    pages = str(tmp_path / "pages")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(pages)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, analyzer="simple",
+                target_docs_per_seg=5, store_offsets=True)
+    merge_index(spark, idx)
+    reader = IndexReader(spark, idx)
+    row = reader.tokens().collect()[0]
+    by_term = dict(zip(row["terms"], row["offsets"]))
+    assert "café" in by_term  # not 'caf'
+    s, e = by_term["café"][0], by_term["café"][1]
+    assert rows[0][3][s:e] == "Café"
+    assert "straße" in by_term

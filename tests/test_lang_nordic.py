@@ -377,3 +377,15 @@ def test_build_and_search_danish_oracle_identity(spark, tmp_path):
                oracle_search(oracle, parse_query(qs, analyzer="danish"),
                              k=5)]
         assert eng == orc, qs
+
+
+def test_finnish_multiword_stop_lines_split():
+    """Round-5 review regression: the snowball finnish stop file packs
+    many words per line (the reference's loader whitespace-splits); the
+    pronoun/demonstrative rows must be individual stopwords."""
+    from lucene_spark.lang.stopdata import FINNISH_STOP
+
+    for w in ("minä", "minun", "hänet", "tämä", "se", "joka", "meidän"):
+        assert w in FINNISH_STOP, w
+    assert not any(" " in w for w in FINNISH_STOP)
+    assert analyze_by_lang("minä olen", "fi") == []  # both stopped
